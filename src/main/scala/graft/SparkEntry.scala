@@ -1,13 +1,325 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` (same column
+  * names, same ordering, exact-match-safe numerics).
+  *
+  * Numeric policy for oracle parity: big sums are computed over per-row
+  * DECIMAL casts (exact, engine-independent); small-magnitude statistics
+  * (avg, ratios) are rounded. Both sides order by a unique key so the
+  * row-stream hashes identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** ETL parsers here are total (null on failure, like the reference);
+    * run queries in non-ANSI (Hive-compat) eval mode. */
+  private def prep(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s
+  }
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec6(c: Column): Column = c.cast(DecimalType(28, 6))
+  private def sum2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+  private def sum6(c: Column): Column = sum(dec6(c)).cast(DecimalType(38, 6))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3/A1 hash aggregate w/ partial agg (TPC-H Q1 shape). Filter is pushed
+    // to the parquet scan; group-by shuffles only 6 groups after map-side
+    // partial aggregation.
+    "q01_pricing_summary" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum2(col("l_quantity")).as("sum_qty"),
+          sum2(col("l_extendedprice")).as("sum_base_price"),
+          sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J-ops: multi-way join, small dims broadcast (TPC-H Q5 shape).
+    "q02_revenue_by_nation" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // W5-style top-N with join + agg (TPC-H Q3 shape).
+    "q03_top_orders" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // J1 left-semi existence (F11): orders having a deep-discount line.
+    "q04_priority_with_discount" -> ((s0, d) => {
+      val s = prep(s0)
+      val o = Tables.orders(s, d)
+      val deep = Tables.lineitem(s, d)
+        .where(col("l_discount") > 0.05)
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(deep, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // J2 anti-join (replace-all sync delete-set shape): customers inactive
+    // since 2000.
+    "q05_customers_without_orders" -> ((s0, d) => {
+      val s = prep(s0)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum2(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // F10 range predicates + selective agg (TPC-H Q6 shape) — everything
+    // pushes to the scan; the agg is a single partial+final sum.
+    "q06_forecast_revenue" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+               col("l_discount").between(0.03, 0.07) &&
+               col("l_quantity") < 24)
+        .agg(sum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // W5 ranked top-k per group (pagination shape, W4/W5).
+    "q07_top_orders_per_segment" -> ((s0, d) => {
+      val s = prep(s0)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"),
+          dec2(col("o_totalprice")).as("o_totalprice"))
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // W1/W2-style ordered running total per key (order-dependent op).
+    "q08_running_supplier_qty" -> ((s0, d) => {
+      val s = prep(s0)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .where(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // A3 pivot: long → wide (first-match pivot family).
+    "q09_pivot_returnflag" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum2(col("l_quantity")))
+        .orderBy("l_returnflag")
+    }),
+
+    // Melt / unpivot (wide year-matrix shape, SURVEY §1.1).
+    "q10_unpivot_part" -> ((s0, d) => {
+      val s = prep(s0)
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+      graft.operators.Reshape.melt(p, Seq("p_partkey"),
+          Seq("p_retailprice", "p_size"), "metric", "value")
+        .where(col("p_partkey") <= 200)
+        .orderBy("p_partkey", "metric")
+    }),
+
+    // U2 keyed dedup, deterministic first-wins.
+    "q11_first_order_per_customer_status" -> ((s0, d) => {
+      val s = prep(s0)
+      val first = graft.operators.Dedup.firstPerKey(
+        Tables.orders(s, d)
+          .withColumn("__ord", struct(col("o_orderdate"), col("o_orderkey"))),
+        Seq("o_custkey", "o_orderstatus"), "__ord")
+      first.select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"),
+          col("o_orderdate"))
+        .orderBy("o_custkey", "o_orderstatus")
+    }),
+
+    // Set ops: EXCEPT (distinct) — big orders with no deep-discount lines.
+    "q12_big_orders_no_deep_discount" -> ((s0, d) => {
+      val s = prep(s0)
+      val big = Tables.orders(s, d).where(col("o_totalprice") > 100000)
+        .select(col("o_orderkey"))
+      val deep = Tables.lineitem(s, d).where(col("l_discount") > 0.08)
+        .select(col("l_orderkey").as("o_orderkey"))
+      big.except(deep).orderBy("o_orderkey")
+    }),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_charge,
+        | ROUND(AVG(l_quantity), 4) AS avg_qty,
+        | ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        | ROUND(AVG(l_discount), 6) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_priority_with_discount" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_top_orders_per_segment" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q08_running_supplier_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q09_pivot_returnflag" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "F",
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "O"
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q10_unpivot_part" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS metric,
+        |         CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part) t
+        |WHERE p_partkey <= 200
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q11_first_order_per_customer_status" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+
+    "q12_big_orders_no_deep_discount" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+        |EXCEPT
+        |SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_discount > 0.08
+        |ORDER BY o_orderkey""".stripMargin,
+  )
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Generic string hygiene (SURVEY.md §2.7 C20-C22, C37-C41). */
+object TextClean {
+
+  /** C20 whitespace normalize: newlines → space, collapse runs, trim
+    * (pdf_ocr_inv_to_json.py:56-57). */
+  def normWs(c: Column): Column =
+    trim(regexp_replace(c.cast("string"), "\\s+", " "))
+
+  /** C21 invisible-char strip: zero-width chars, NBSP; fullwidth parens →
+    * ASCII (script_read_dbd_income.py:131-143, PublicApiController.php:713-715). */
+  def stripInvisible(c: Column): Column = {
+    val zw = regexp_replace(c.cast("string"), "[\\u200b\\u200c\\u200d\\ufeff\\u00a0]", "")
+    translate(zw, "（）", "()")
+  }
+
+  /** C22 null-if-empty-or-`?` (BolApiController.php:415-420). */
+  def nullIfBlank(c: Column): Column = {
+    val t = trim(stripInvisible(c))
+    when(t.isin("", "?"), lit(null).cast("string")).otherwise(t)
+  }
+
+  /** C37 tax-id normalize: digits only, keep last 13, left-pad to 13 with 0
+    * (ImportDbdFinancial.php:149-154). */
+  def normalizeTaxId(c: Column): Column = {
+    val digits = regexp_replace(c.cast("string"), "\\D", "")
+    val last13 = when(length(digits) > 13, substring(digits, -13, 13)).otherwise(digits)
+    when(length(last13) === 0, lit(null).cast("string"))
+      .otherwise(lpad(last13, 13, "0"))
+  }
+
+  /** C38 `.0` suffix strip on reference docs
+    * (ImportSaleInvoiceReport.php:125-134). */
+  def stripDotZero(c: Column): Column =
+    regexp_replace(c.cast("string"), "\\.0+$", "")
+
+  /** C30 PO-number tail extraction: 8-14 digit run out of `PO:1013090869`
+    * (pdf_ocr_inv_to_json.py:223-227). Null if absent. */
+  def poTail(c: Column): Column = {
+    val hit = regexp_extract(c.cast("string"), "(\\d{8,14})", 1)
+    when(hit === "", lit(null).cast("string")).otherwise(hit)
+  }
+
+  /** C40 header uniquify — driver-side schema repair before `toDF(names)`:
+    * duplicate header names become `name_2`, `name_3`, …
+    * (read_po_csv_to_json.py:198-208). */
+  def uniquifyHeaders(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    names.map { n =>
+      val k = seen.getOrElse(n, 0) + 1
+      seen(n) = k
+      if (k == 1) n else s"${n}_$k"
+    }
+  }
+
+  /** Thai honorific name split (C31): strip invisibles, peel an honorific
+    * prefix, split the rest on the first space → struct(title, first, last).
+    * Order of alternation matters — `นางสาว` must precede `นาง`
+    * (BolApiController.php:490-506; the PublicApiController.php:719-735
+    * variant has them reversed and thus never matches `นางสาว` — we keep the
+    * correct order and note the variant). */
+  def splitThaiName(c: Column): Column = {
+    val honorifics = Seq("นางสาว", "นาย", "นาง", "ดร\\.", "ผศ\\.ดร\\.",
+      "Mr\\.", "Mrs\\.", "Ms\\.")
+    val s = normWs(stripInvisible(c))
+    val pat = s"^(${honorifics.mkString("|")})\\s*(.*)$$"
+    val title = regexp_extract(s, pat, 1)
+    val rest  = when(title =!= "", regexp_extract(s, pat, 2)).otherwise(s)
+    val parts = split(trim(rest), "\\s+", 2)
+    struct(
+      when(title === "", lit(null).cast("string")).otherwise(title).as("title"),
+      element_at(parts, 1).as("first_name"),
+      when(size(parts) > 1, element_at(parts, 2))
+        .otherwise(lit(null).cast("string")).as("last_name"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Thai/Buddhist-calendar-aware date parsing, re-expressed as pure
+  * `Column => Column` builders so every transform stays inside Catalyst
+  * codegen (no UDFs).
+  *
+  * Reference behavior (see SURVEY.md §2.7):
+  *  - Buddhist→Gregorian year shift: `credit-prepare-api/pdf_ocr_inv_to_json.py:66-79`,
+  *    `smf-api/app/Http/Controllers/BolApiController.php:438-451` (threshold 2400).
+  *  - Multi-format parse cascade: `credit-prepare-api/pdf_ocr_inv_to_json.py:81-111`,
+  *    `smf-api/app/Console/Commands/ImportInvoiceReport.php:334-369`.
+  *  - Two-digit-year policies: `pdf_ocr_inv_to_json.py:103-110` (pivot 50) vs
+  *    `ImportOldInvoices.php:232-239` (always 20yy).
+  *  - 12/24h repair (`14:54:26 PM`): `pdf_ocr_inv_to_json.py:60-64,113-131`.
+  *  - YYYY-DD-MM swap fix: `ImportInvoiceReport.php:372-473`.
+  *  - Excel serial date: `read_rem_detail_to_json.py:53-57`.
+  *  - Thai month names: `pdf_ocr_sale_invoice_to_json.py:74-78`,
+  *    `dbd_web_scraping.py:244-263`.
+  */
+object ThaiDates {
+
+  /** Buddhist-Era year → Gregorian: years >= threshold are shifted by -543.
+    * pdf_ocr_inv_to_json.py:66-79 uses 2400; supplier_processor.py:55-89 uses
+    * 2500 — pass the threshold to match the pipeline being reproduced. */
+  def beYear(year: Column, threshold: Int = 2400): Column =
+    when(year >= threshold, year - 543).otherwise(year)
+
+  /** Two-digit-year policy A (pdf_ocr_inv_to_json.py:103-110): yy<50 → 20yy
+    * else 19yy. */
+  def expandYy(yy: Column): Column =
+    when(yy < 50, yy + 2000).otherwise(yy + 1900)
+
+  /** Two-digit-year policy B (ImportOldInvoices.php:232-239): always 20yy. */
+  def expandYyAlways20(yy: Column): Column = yy + 2000
+
+  /** Normalize a raw date token: trim, collapse whitespace, unify separators
+    * (`.`, `/` → `-`). */
+  private def norm(c: Column): Column =
+    regexp_replace(regexp_replace(trim(c), "\\s+", " "), "[./]", "-")
+
+  /** Parse `d-m-y` or `y-m-d` (after separator unification) with B.E. repair
+    * on whichever side holds the year, two-digit-year expansion, and a
+    * month>12/day<=12 swap fix (ImportInvoiceReport.php:372-473).
+    * Returns a DateType column, null when unparseable — parser totality
+    * mirrors the reference's null-on-failure contract. */
+  def parseFlexibleDate(raw: Column): Column = {
+    val c  = norm(raw)
+    val m  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 0)
+    val a  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 1).cast("int")
+    val b  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 2).cast("int")
+    val d  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 3).cast("int")
+    // year position: 4-digit (or B.E.) leading token → y-m-d, else d-m-y
+    val yFirst = a >= 1000
+    val yearRaw  = when(yFirst, a).otherwise(d)
+    val year0 = when(yearRaw < 100, expandYy(yearRaw)).otherwise(beYear(yearRaw))
+    val mon0  = b
+    val day0  = when(yFirst, d).otherwise(a)
+    // swap repair: month slot > 12 but day slot <= 12 → swapped input
+    val swapped = mon0 > 12 && day0 <= 12
+    val mon  = when(swapped, day0).otherwise(mon0)
+    val day  = when(swapped, mon0).otherwise(day0)
+    when(m =!= "", tryMakeDate(year0, mon, day)).otherwise(lit(null).cast("date"))
+  }
+
+  /** Strip a bogus AM/PM suffix when the hour is already 24h (`14:54:26 PM`),
+    * then parse; 12h forms with a valid hour go through `h:mm:ss a`.
+    * pdf_ocr_inv_to_json.py:60-64,113-131. */
+  def parseFlexibleTimestamp(raw: Column): Column = {
+    val c = regexp_replace(trim(raw), "\\s+", " ")
+    val datePart = regexp_extract(c, "^(\\S+)", 1)
+    val timePart = regexp_extract(c, "^\\S+ (.*)$", 1)
+    val hour  = regexp_extract(timePart, "^(\\d{1,2}):", 1).cast("int")
+    val fixedTime = when(hour >= 13, regexp_replace(timePart, "\\s*(AM|PM|am|pm)$", ""))
+      .otherwise(timePart)
+    val t24 = coalesce(
+      try_to_timestamp(fixedTime, lit("H:mm:ss")),
+      try_to_timestamp(fixedTime, lit("h:mm:ss a")),
+      try_to_timestamp(fixedTime, lit("H:mm")))
+    val d = parseFlexibleDate(datePart)
+    when(d.isNotNull && t24.isNotNull,
+      to_timestamp(concat(date_format(d, "yyyy-MM-dd"), lit(" "),
+        date_format(t24, "HH:mm:ss")), "yyyy-MM-dd HH:mm:ss"))
+      .otherwise(when(d.isNotNull && (timePart.isNull || timePart === ""),
+        d.cast("timestamp")).otherwise(lit(null).cast("timestamp")))
+  }
+
+  /** Excel serial day-number → date (epoch 1899-12-30).
+    * Correct variant: read_rem_detail_to_json.py:53-57. The reference also
+    * ships a buggy variant that subtracts 543 from the *result* year
+    * (supplier_processor.py:91-97) — not reproduced; flagged per SURVEY §7.4. */
+  def excelSerialToDate(serial: Column): Column =
+    date_add(lit(java.sql.Date.valueOf("1899-12-30")), serial.cast("int"))
+
+  /** Thai month names (full + common OCR abbreviations) → month number.
+    * pdf_ocr_sale_invoice_to_json.py:74-78, dbd_web_scraping.py:244-263. */
+  val thaiMonths: Map[String, Int] = Map(
+    "มกราคม" -> 1, "กุมภาพันธ์" -> 2, "มีนาคม" -> 3, "เมษายน" -> 4,
+    "พฤษภาคม" -> 5, "มิถุนายน" -> 6, "กรกฎาคม" -> 7, "สิงหาคม" -> 8,
+    "กันยายน" -> 9, "ตุลาคม" -> 10, "พฤศจิกายน" -> 11, "ธันวาคม" -> 12,
+    "ม.ค." -> 1, "ก.พ." -> 2, "มี.ค." -> 3, "เม.ย." -> 4, "พ.ค." -> 5,
+    "มิ.ย." -> 6, "ก.ค." -> 7, "ส.ค." -> 8, "ก.ย." -> 9, "ต.ค." -> 10,
+    "พ.ย." -> 11, "ธ.ค." -> 12)
+
+  /** Thai month token → month number column (chained `when`, codegen'd). */
+  def thaiMonthNum(c: Column): Column =
+    thaiMonths.foldLeft(lit(null).cast("int")) { case (acc, (name, n)) =>
+      when(trim(c) === name, lit(n)).otherwise(acc)
+    }
+
+  /** Thai card date `15 มี.ค. 2543` → DateType (dbd_web_scraping.py:249-263). */
+  def parseThaiCardDate(raw: Column): Column = {
+    val c = regexp_replace(trim(raw), "\\s+", " ")
+    val day = regexp_extract(c, "^(\\d{1,2}) ", 1).cast("int")
+    val mon = thaiMonthNum(regexp_extract(c, "^\\d{1,2} (\\S+) ", 1))
+    val yr  = beYear(regexp_extract(c, " (\\d{4})$", 1).cast("int"))
+    tryMakeDate(yr, mon, day)
+  }
+
+  /** Null-on-invalid date construction (safe under ANSI mode). */
+  private def tryMakeDate(y: Column, m: Column, d: Column): Column =
+    call_function("try_make_date", y, m, d)
+}

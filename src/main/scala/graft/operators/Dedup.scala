@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators, exact → fuzzy, designed for the 100 TB document
+  * case (SURVEY.md §2.6 + north-star LLM-pipeline ops).
+  *
+  * Design:
+  *  - exact: hash-groupBy on a content digest — one shuffle on a 128-bit key,
+  *    never on the document text itself (bytes moved = keys + ids, not docs).
+  *  - MinHash+LSH: shingle → k minhashes (xxhash64 with k seeds, computed in
+  *    one pass via higher-order array functions — no UDF, stays codegen'd) →
+  *    band → explode (docs × bands rows, each tiny) → self-join on band
+  *    signature. Candidate pairs only are verified with exact Jaccard.
+  *    Shuffle volume is O(docs × bands × 16 bytes), independent of text size.
+  *  - SimHash: 64-bit fingerprint via per-token hash bit-voting, banded into
+  *    4×16-bit keys for Hamming-distance≤3 blocking.
+  * All sketches are deterministic (seeded hashes) — reruns give identical
+  * buckets, which matters for incremental dedup at scale. */
+object Dedup {
+
+  /** U2: keep exactly one row per key, deterministically (lowest `ord`).
+    * The reference's "first wins" (pdf_ocr_rm_to_json.py:437-445) depends on
+    * file order; we make the choice explicit with an order column. */
+  def firstPerKey(df: DataFrame, keys: Seq[String], ord: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact content dedup: group by digest of normalized text, keep min(id).
+    * One shuffle over (digest, id) pairs only. */
+  def exactByDigest(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.withColumn("__digest",
+      md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))))
+    firstPerKey(keyed, Seq("__digest"), idCol).drop("__digest")
+  }
+
+  /** Word n-gram shingles of the normalized text, as a distinct array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), count),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** k MinHash values over the shingle set: min over xxhash64(shingle, seed)
+    * per seed. Computed entirely with array expressions — one projection,
+    * no shuffle, codegen-friendly. */
+  def minhashSignature(shing: Column, k: Int = 32): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shing, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
+    * each group hashed to one 64-bit band key. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: returns (id_a, id_b, jaccard) for
+    * candidate pairs sharing >=1 LSH band whose verified Jaccard >= threshold.
+    * id_a < id_b; pairs deduplicated across bands BEFORE the verify step so
+    * each candidate's Jaccard is computed once.
+    *
+    * Scale: the only wide exchange is the band-key self-join; its input is
+    * (band_key, id, shingles-digest) — the shingle arrays needed for verify
+    * travel once. For 100 TB, raise `bands`/`k` and bucket the band join. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), n))
+      .where(size(col("sh")) > 0)
+      .withColumn("band", explode(lshBandKeys(
+        minhashSignature(col("sh"), k), bands, rowsPerBand)))
+    val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset: per token, xxhash64; each of the
+    * 64 bits votes +1/-1; fingerprint bit = sign of the vote sum. Pure
+    * aggregate expressions over the token array. */
+  def simhash64(text: Column): Column = {
+    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // For each bit position, sum(+1 if bit set else -1); set bit if sum > 0.
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit bands (any pair within
+    * Hamming distance 3 shares at least one band), verify with popcount of
+    * XOR. Returns (id_a, id_b, hamming). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+      .withColumn("band", explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
+    val a = withFp.select(col("band"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = withFp.select(col("band"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reshaping operators: melt (wide year-matrix → long), pivot back to wide,
+  * forward-fill, group-into-list (SURVEY.md §1.1, §2.4 A3/A4, §2.5 W1/W2).
+  *
+  * The reference's DBD financial pipeline is melt → item map → pivot
+  * (script_read_dbd_income.py:281-385, ImportDbdFinancial.php:185-288). */
+object Reshape {
+
+  /** Melt `valueCols` into (keyName, valName) long form, keeping `idCols`.
+    * Uses Spark's native unpivot (Spark 3.4+) — one narrow pass, no shuffle. */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           keyName: String = "key", valName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, keyName, valName)
+
+  /** A3 first-match pivot: one row per id with `payload[key] = value`,
+    * last-write-wins per key replicated as `first(value)` over an explicit
+    * ordering. `knownKeys` MUST be supplied at scale — an unpivoted key list
+    * forces an extra pass to discover distinct keys. */
+  def pivotFirst(df: DataFrame, idCols: Seq[String], keyCol: String,
+                 valCol: String, knownKeys: Seq[String]): DataFrame =
+    df.groupBy(idCols.map(col): _*)
+      .pivot(keyCol, knownKeys)
+      .agg(first(col(valCol), ignoreNulls = true))
+
+  /** W2 forward-fill down a column within `part`, ordered by `ord`
+    * (script_read_dbd_ratios.py:242-243). */
+  def ffill(c: Column, part: Seq[Column], ord: Column): Column =
+    last(c, ignoreNulls = true).over(
+      Window.partitionBy(part: _*).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** A4 group-into-dict: one row per group with the members collected as an
+    * array of structs, ordered deterministically by `ord` inside the array
+    * (script_read_dbd_income.py:349-385, PublicApiController.php:962-975). */
+  def groupToList(df: DataFrame, groupCols: Seq[String], ord: String,
+                  payload: Column): DataFrame =
+    df.withColumn("__p", struct(col(ord).as("__o"), payload.as("__v")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(col("__p"))),
+        x => x.getField("__v")).as("items"))
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, fingerprinting. All pure Column
+  * expressions — a single narrow projection pass at any scale. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(t === "" || t.isNull, lit(0)).otherwise(size(split(t, "\\s+")))
+  }
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * punctuation singles) — a cheap proxy for tokenizer cost accounting. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z\\u0E00-\\u0E7F]+|[0-9]+|[^\\sA-Za-z0-9\\u0E00-\\u0E7F]"), lit(0)))
+
+  /** Punctuation character ratio (0..1). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0 || n.isNull, lit(0.0)).otherwise(
+      (n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n)
+  }
+
+  /** Mean word length. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / toks)
+  }
+
+  /** English stopword hit ratio of the token stream (0..1). */
+  val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(enStopwords.map(x => x: Any): _*)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Composite quality score (0..1): length sweet-spot, moderate punctuation,
+    * nonzero stopword density — the shape of reference-free quality filters
+    * used in LLM data pipelines. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 4)
+  }
+
+  /** Heuristic language ID: Thai-script char ratio → 'th'; else English
+    * stopword density → 'en'; else 'und'. Extendable per-script. */
+  def langIdHeuristic(text: Column): Column = {
+    val n = greatest(length(text), lit(1))
+    val thaiRatio = (n - length(regexp_replace(text, "[\\u0E00-\\u0E7F]", ""))).cast("double") / n
+    when(thaiRatio > 0.3, lit("th"))
+      .when(stopwordRatio(text) > 0.05, lit("en"))
+      .otherwise(lit("und"))
+  }
+
+  /** Stable document fingerprint: md5 of case/whitespace-normalized text —
+    * the exact-dedup key (content-defined; reorder-sensitive). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 64-bit rolling-style content hash via xxhash64 of the normalized text —
+    * cheaper join key than the md5 hex string (8 bytes vs 32). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

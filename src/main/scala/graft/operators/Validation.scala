@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** F6 row-level validation with a reject channel (SURVEY.md §2.2).
+  *
+  * The reference validates per-row and classifies failures
+  * (ImportInvoiceReport.php:95-104,169-190; error taxonomy :199-253). The
+  * set-based design: evaluate every rule as a predicate column, keep valid
+  * rows on the fast path, route failures (with the list of failed rules) to
+  * a side output. Counters come from `observe()` — no second pass, no
+  * driver-side loop; the metrics ride along with the action that writes the
+  * valid rows. */
+object Validation {
+
+  /** A named validation rule: `pred` must be true for a row to be valid. */
+  final case class Rule(name: String, pred: Column)
+
+  def notNull(c: String): Rule = Rule(s"${c}_not_null", col(c).isNotNull)
+  def numeric(c: String): Rule =
+    Rule(s"${c}_numeric", col(c).isNull || col(c).cast("double").isNotNull)
+  def dateYmd(c: String): Rule =
+    Rule(s"${c}_date", col(c).isNull || try_to_timestamp(col(c), lit("yyyy-MM-dd")).isNotNull)
+  def matches(c: String, pattern: String): Rule =
+    Rule(s"${c}_format", col(c).isNull || col(c).rlike(pattern))
+
+  /** Split `df` into (valid, rejects). `rejects` carries a `_failed_rules`
+    * array naming every violated rule — the bulk equivalent of the
+    * reference's per-row error taxonomy. */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val failed = array_compact(array(rules.map(r =>
+      when(!coalesce(r.pred, lit(false)), lit(r.name))): _*))
+    val tagged = df.withColumn("_failed_rules", failed)
+    val valid   = tagged.where(size(col("_failed_rules")) === 0).drop("_failed_rules")
+    val rejects = tagged.where(size(col("_failed_rules")) > 0)
+    (valid, rejects)
+  }
+
+  /** Attach live counters (rows seen / rows invalid) to a plan via
+    * `observe` — read them from the QueryExecutionListener or
+    * `Observation` after the action completes. */
+  def observed(df: DataFrame, rules: Seq[Rule], name: String = "validation"): DataFrame = {
+    val anyFail = rules.map(r => !coalesce(r.pred, lit(false))).reduce(_ || _)
+    df.observe(name, count(lit(1)).as("rows_seen"),
+      sum(when(anyFail, 1L).otherwise(0L)).as("rows_invalid"))
+  }
+}
