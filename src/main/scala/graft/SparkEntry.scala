@@ -203,6 +203,196 @@ object SparkEntry {
         .select(col("l_orderkey").as("o_orderkey"))
       big.except(deep).orderBy("o_orderkey")
     }),
+
+    // C11-C15 money-parse library over a dirty-literal corpus (golden oracle).
+    "q13_clean_money" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.Money
+      Seq(
+        (1, "1,234.56"), (2, "(5,463.04)"), (3, "−1 171.37"),
+        (4, " 12.30 "), (5, "-"), (6, ""), (7, "1.234,56"),
+        (8, "1,234,56"), (9, "12,5"), (10, "98.7%"))
+        .toDF("id", "raw")
+        .select(col("id"), col("raw"),
+          Money.parseAmountRobust(col("raw")).as("amount_robust"),
+          Money.parseAmountMultiSep(col("raw")).as("amount_multisep"))
+        .orderBy("id")
+    }),
+
+    // C1-C10 Thai/flexible date parsing over a dirty-literal corpus.
+    "q14_clean_dates" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.ThaiDates
+      Seq(
+        (1, "01/07/2568"), (2, "2025-07-01"), (3, "7/1/25"),
+        (4, "2025-14-03"), (5, "15.03.2543"), (6, "31/02/2025"),
+        (7, "garbage"), (8, "2568-07-15"))
+        .toDF("id", "raw")
+        .select(col("id"), col("raw"),
+          ThaiDates.parseFlexibleDate(col("raw")).as("parsed"))
+        .orderBy("id")
+    }),
+
+    // C20/C37 string hygiene on real columns: token stats + id normalize.
+    "q15_string_ops" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.functions.TextClean
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(trim(col("p_name"))).as("name_upper"),
+          size(split(trim(col("p_name")), "\\s+")).as("n_tokens"),
+          regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+          TextClean.normalizeTaxId(col("p_partkey").cast("string")).as("as_tax_id"))
+        .where(col("p_partkey") <= 100)
+        .orderBy("p_partkey")
+    }),
+
+    // S10-family: JSON blob extraction (get_json_object) + agg.
+    "q16_events_json" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // Time-series bucketing: hourly tumbling counts (streaming-agg shape,
+    // epoch seconds so nanosecond-vs-microsecond precision cancels out).
+    "q17_events_hourly" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum2(col("value")).as("total_value"))
+        .orderBy("hour_epoch", "event_type")
+    }),
+
+    // As-of join (by arrival order): for each purchase, the user's most
+    // recent prior click. Implemented as one window pass over the union —
+    // no join, single shuffle on user_id (the classic Spark as-of trick).
+    "q18_asof_click_purchase" -> ((s0, d) => {
+      val s = prep(s0)
+      val e = Tables.events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("last_click_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Grouping sets / rollup (subtotal pivot family).
+    "q19_rollup_revenue" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // W2 forward-fill: carry each user's last purchase value forward.
+    "q20_ffill_purchase_value" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Reshape
+      Tables.events(s, d)
+        .where(col("user_id") <= 20)
+        .withColumn("purchase_value",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("carried_value",
+          Reshape.ffill(col("purchase_value"), Seq(col("user_id")), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("carried_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // F4 trailing-run trim: drop each customer's trailing run of pending
+    // ('P') orders, keep identical rows mid-sequence.
+    "q21_trailing_trim" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.RowFilters
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val df = Tables.orders(s, d).withColumn("rn", row_number().over(w))
+      RowFilters.trimTrailing(df, col("o_custkey"), col("rn"),
+          col("o_orderstatus") === "P")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // K6/J3 keyed upsert (MERGE): +1000.00 price correction for every 10th
+    // order, merged back over the base table.
+    "q22_merge_upsert" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Merge
+      val existing = Tables.orders(s, d)
+      val updates = existing.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      Merge.upsert(existing, updates, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // F6 validation split with reject taxonomy over a dirty-literal corpus.
+    "q23_validation_split" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.Validation
+      val df = Seq(
+        (1, "2025-01-31", "12.5"), (2, null, "3.0"), (3, "2025-02-30", "x"),
+        (4, "not-a-date", "7"), (5, "2025-12-01", null))
+        .toDF("id", "d", "amt")
+      val rules = Seq(Validation.notNull("d"), Validation.dateYmd("d"),
+        Validation.numeric("amt"))
+      val (valid, rejects) = Validation.split(df, rules)
+      valid.withColumn("failed", lit(""))
+        .unionByName(rejects.withColumn("failed",
+          concat_ws(",", col("_failed_rules"))).drop("_failed_rules"))
+        .orderBy("id")
+    }),
+
+    // J2 replace-all sync: the delete-set of a directors-style sync.
+    "q24_replace_all_sync" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Merge
+      val existing = Tables.supplier(s, d)
+      val incoming = existing.where(col("s_suppkey") <= 80)
+      val (_, deleted) = Merge.replaceAllSync(existing, incoming, Seq("s_suppkey"))
+      deleted.select(col("s_suppkey"), col("s_name")).orderBy("s_suppkey")
+    }),
+
+    // A4 group-into-dict: per-customer year→order-count JSON payload
+    // (the per-year pivoted financial view shape).
+    "q25_group_to_json" -> ((s0, d) => {
+      val s = prep(s0)
+      val byYear = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).cast("int").as("n"))
+      byYear.withColumn("__p", struct(col("yr"), struct(col("yr"), col("n")).as("v")))
+        .groupBy("o_custkey")
+        .agg(to_json(transform(array_sort(collect_list(col("__p"))),
+          x => x.getField("v"))).as("years_json"))
+        .where(col("o_custkey") <= 100)
+        .orderBy("o_custkey")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -321,5 +511,138 @@ object SparkEntry {
         |EXCEPT
         |SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_discount > 0.08
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q13_clean_money" ->
+      """SELECT * FROM (VALUES
+        | (1, '1,234.56',  CAST(1234.56 AS DOUBLE),  CAST(1234.56 AS DOUBLE)),
+        | (2, '(5,463.04)', CAST(-5463.04 AS DOUBLE), CAST(5463.04 AS DOUBLE)),
+        | (3, '−1 171.37', CAST(-1171.37 AS DOUBLE), CAST(1171.37 AS DOUBLE)),
+        | (4, ' 12.30 ',   CAST(12.3 AS DOUBLE),     CAST(12.3 AS DOUBLE)),
+        | (5, '-',         CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE)),
+        | (6, '',          CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE)),
+        | (7, '1.234,56',  CAST(1.23456 AS DOUBLE),  CAST(1234.56 AS DOUBLE)),
+        | (8, '1,234,56',  CAST(123456.0 AS DOUBLE), CAST(1234.56 AS DOUBLE)),
+        | (9, '12,5',      CAST(125.0 AS DOUBLE),    CAST(12.5 AS DOUBLE)),
+        | (10, '98.7%',    CAST(98.7 AS DOUBLE),     CAST(98.7 AS DOUBLE))
+        |) AS t(id, raw, amount_robust, amount_multisep)
+        |ORDER BY id""".stripMargin,
+
+    "q14_clean_dates" ->
+      """SELECT * FROM (VALUES
+        | (1, '01/07/2568', DATE '2025-07-01'),
+        | (2, '2025-07-01', DATE '2025-07-01'),
+        | (3, '7/1/25',     DATE '2025-01-07'),
+        | (4, '2025-14-03', DATE '2025-03-14'),
+        | (5, '15.03.2543', DATE '2000-03-15'),
+        | (6, '31/02/2025', CAST(NULL AS DATE)),
+        | (7, 'garbage',    CAST(NULL AS DATE)),
+        | (8, '2568-07-15', DATE '2025-07-15')
+        |) AS t(id, raw, parsed)
+        |ORDER BY id""".stripMargin,
+
+    "q15_string_ops" ->
+      """SELECT p_partkey,
+        | UPPER(TRIM(p_name)) AS name_upper,
+        | CAST(len(string_split_regex(TRIM(p_name), '\s+')) AS INT) AS n_tokens,
+        | CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+        | LPAD(CAST(p_partkey AS VARCHAR), 13, '0') AS as_tax_id
+        |FROM part
+        |WHERE p_partkey <= 100
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q16_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | ROUND(AVG(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q17_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q18_asof_click_purchase" ->
+      """SELECT user_id, event_id, last_click_id FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q19_rollup_revenue" ->
+      """SELECT n_name, c_mktsegment,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q20_ffill_purchase_value" ->
+      """SELECT user_id, event_id, event_type,
+        | LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+        |FROM events
+        |WHERE user_id <= 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q21_trailing_trim" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderstatus <> 'P' THEN rn END) AS mx
+        |  FROM t GROUP BY o_custkey)
+        |SELECT o_orderstatus, COUNT(*) AS n_kept
+        |FROM t JOIN m USING (o_custkey)
+        |WHERE t.rn <= m.mx
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q22_merge_upsert" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q23_validation_split" ->
+      """SELECT * FROM (VALUES
+        | (1, '2025-01-31', '12.5', ''),
+        | (2, CAST(NULL AS VARCHAR), '3.0', 'd_not_null'),
+        | (3, '2025-02-30', 'x', 'd_date,amt_numeric'),
+        | (4, 'not-a-date', '7', 'd_date'),
+        | (5, '2025-12-01', CAST(NULL AS VARCHAR), '')
+        |) AS t(id, d, amt, failed)
+        |ORDER BY id""".stripMargin,
+
+    "q24_replace_all_sync" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey > 80
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q25_group_to_json" ->
+      """SELECT o_custkey,
+        | CAST(to_json(list(json_object('yr', yr, 'n', n) ORDER BY yr)) AS VARCHAR) AS years_json
+        |FROM (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |             CAST(COUNT(*) AS INT) AS n
+        |      FROM orders GROUP BY 1, 2) t
+        |WHERE o_custkey <= 100
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -119,7 +119,9 @@ object ThaiDates {
     tryMakeDate(yr, mon, day)
   }
 
-  /** Null-on-invalid date construction (safe under ANSI mode). */
+  /** Null-on-invalid date construction. `make_date` returns null for
+    * invalid components when ANSI mode is off (graft sessions run non-ANSI —
+    * ETL parsers are total, SparkEntry.prep). */
   private def tryMakeDate(y: Column, m: Column, d: Column): Column =
-    call_function("try_make_date", y, m, d)
+    make_date(y, m, d)
 }
