@@ -393,6 +393,139 @@ object SparkEntry {
         .where(col("o_custkey") <= 100)
         .orderBy("o_custkey")
     }),
+
+    // Text analysis: token counting + content statistics per document.
+    "q26_docs_stats" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "the", "")))
+            / 3).cast("int").as("the_count"),
+          round(length(translate(col("text"), " ", "")).cast("double") /
+            TextAnalysis.tokenCount(col("text")), 4).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic + quality stats rolled up by labeled language.
+    "q27_docs_lang_quality" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      Tables.documents(s, d)
+        .withColumn("predicted", TextAnalysis.langIdMulti(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_pred_match"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    // Exact dedup at scale: digest-groupBy keeps one row per content hash
+    // (injected duplicate partition exercises the collapse).
+    "q28_docs_exact_dedup" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d).select("doc_id", "text", "source")
+      val dups = base.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.exactByDigest(base.unionByName(dups), "text", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // N-gram Jaccard near-dup detection, blocked by (source, lang) —
+    // injected mutants (one appended token) must pair with their originals.
+    "q29_ngram_jaccard_pairs" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d).select("doc_id", "text", "source", "lang")
+      val mutants = base.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+      val all = base.unionByName(mutants)
+        .withColumn("sh", Dedup.shingles(col("text"), 3))
+      val a = all.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = all.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source", "lang"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .where(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact brute-force cosine top-k: query set broadcast over the corpus.
+    "q30_cosine_topk" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 20), "vec_id", "embedding", 5)
+      topk.select(col("query_id"), col("rnk"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // ANN via multi-table hyperplane LSH (no SQL oracle — hash-bucketed;
+    // deterministic seeded hyperplanes make reruns identical).
+    "q31_ann_lsh_topk" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopK(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", 5, nTables = 8, nPlanes = 8)
+        .select(col("query_id"), col("rnk"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Multimodal plumbing: documents as binary payloads through the
+    // partition-batched feature extractor (decode step stubbed).
+    "q32_multimodal_features" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Multimodal
+      val feats = Multimodal.extractFeatures(
+        Multimodal.documentsAsMedia(Tables.documents(s, d)))
+      feats.toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("digest"),
+          (col("n_bytes") % 10).as("stub_label"))
+        .orderBy("media_id")
+    }),
+
+    // Structured Streaming: tumbling 5-minute windows over the events
+    // stream (AvailableNow through the incremental planner + state store).
+    "q33_stream_tumbling" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.tumblingCounts(s, d, 300)
+        .orderBy("win_start", "event_type")
+    }),
+
+    // SimHash near-dup pairs (no SQL oracle — hash-derived fingerprints).
+    "q34_simhash_pairs" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val mutants = base.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text", concat(col("text"), lit(" tail")))
+      Dedup.simhashNearDupPairs(base.unionByName(mutants), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Content fingerprinting: distinct-digest profile per language.
+    "q35_fingerprint_profile" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      Tables.documents(s, d)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy("lang")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -644,5 +777,121 @@ object SparkEntry {
         |WHERE o_custkey <= 100
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q26_docs_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(len(text) AS INT) AS n_chars_actual,
+        | CAST((len(text) - len(replace(text, 'the', ''))) / 3 AS INT) AS the_count,
+        | ROUND(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |       / len(string_split_regex(TRIM(text), '\s+')), 4) AS mean_word_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_docs_lang_quality" ->
+      """WITH scored AS (
+        |  SELECT lang, n_chars,
+        |    CASE
+        |      WHEN CAST(len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |           / greatest(len(text), 1) > 0.2 THEN 'zh'
+        |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |      WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |      WHEN s_es > 0 THEN 'es'
+        |      ELSE 'und' END AS predicted
+        |  FROM (
+        |    SELECT lang, n_chars, text,
+        |      len(list_filter(toks, x -> x IN ('the','of','is','that','it','with'))) AS s_en,
+        |      len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+        |      len(list_filter(toks, x -> x IN ('le','les','est','dans','que','pour'))) AS s_fr,
+        |      len(list_filter(toks, x -> x IN ('el','los','una','por','para','del'))) AS s_es
+        |    FROM (SELECT lang, n_chars, text,
+        |            string_split_regex(lower(TRIM(text)), '\s+') AS toks
+        |          FROM documents) t0) t1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_match,
+        |  ROUND(AVG(n_chars), 4) AS avg_chars
+        |FROM scored
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q28_docs_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |      PARTITION BY md5(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM all_docs) t
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q29_ngram_jaccard_pairs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' extra suffix token', source, lang
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+        |  FROM (SELECT doc_id, source, lang,
+        |          string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM all_docs) t0)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    list_sum(list_transform(list_zip(qe, ce),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(ce, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, corpus_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, corpus_id, ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q32_multimodal_features" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS kind,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | md5(text) AS digest,
+        | CAST(octet_length(encode(text)) % 10 AS INT) AS stub_label
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+
+    "q33_stream_tumbling" ->
+      """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q35_fingerprint_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(COUNT(DISTINCT md5(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_distinct_fp
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 }

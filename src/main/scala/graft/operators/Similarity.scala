@@ -63,17 +63,32 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN top-k via multi-table hyperplane LSH: candidates share a bucket in
-    * any of `nTables` tables; exact cosine re-ranks. Recall grows with
-    * `nTables`, bucket selectivity with `nPlanes`. */
+  /** ANN top-k via multi-table, multiprobe hyperplane LSH: the corpus is
+    * bucketed once per table; each query probes its own bucket plus every
+    * bucket at Hamming distance 1 (flip one sign bit). Exact cosine re-ranks
+    * the candidates.
+    *
+    * Tuning model (p = per-plane agreement prob for a target neighbor):
+    * per-table hit prob ≈ p^b + b·(1-p)·p^(b-1); recall = 1-(1-hit)^T.
+    * With b=8, T=4 on weakly-clustered data (top-1 cos ≈ 0.37 → p ≈ 0.62)
+    * this reaches ~50% recall while scanning ~15% of the corpus — the knob
+    * to raise recall at scale is T (more tables), not brute force. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nTables: Int = 4, nPlanes: Int = 8): DataFrame = {
-    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(v))
-        .withColumn("bucket", explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("t"), lshBucket(col(v), t, nPlanes).as("b"))): _*)))
-    val c = bucketed(corpus, "corpus_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
+    def buckets(v: String, probe: Boolean): Column = {
+      val per: Seq[Column] = (0 until nTables).flatMap { t =>
+        val b0 = lshBucket(col(v), t, nPlanes)
+        val exact = struct(lit(t).as("t"), b0.as("b"))
+        if (!probe) Seq(exact)
+        else exact +: (0 until nPlanes).map(i =>
+          struct(lit(t).as("t"), b0.bitwiseXOR(shiftleft(lit(1L), i)).as("b")))
+      }
+      explode(array(per: _*))
+    }
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", buckets("cv", probe = false))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", buckets("qv", probe = true))
     val cands = c.join(q, Seq("bucket"))
       .where(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id", "qv", "cv")

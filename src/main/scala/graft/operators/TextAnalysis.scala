@@ -63,6 +63,37 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Per-language stopword marker sets (small, mutually disjoint — overlap
+    * would make the argmax unstable). */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "is", "that", "it", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "est", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "una", "por", "para", "del"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+
+  /** Multi-language n-gram/stopword heuristic language ID:
+    * CJK char ratio > 0.2 → 'zh'; else argmax of per-language stopword hits
+    * with fixed precedence en > de > fr > es; no hits → 'und'.
+    * Pure expression — replicable in ANSI SQL for oracle checks. */
+  def langIdMulti(text: Column): Column = {
+    val n = greatest(length(text), lit(1))
+    val cjk = (n - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") / n
+    val toks = split(lower(trim(text)), "\\s+")
+    val en = stopwordHits(toks, langStopwords("en"))
+    val de = stopwordHits(toks, langStopwords("de"))
+    val fr = stopwordHits(toks, langStopwords("fr"))
+    val es = stopwordHits(toks, langStopwords("es"))
+    when(cjk > 0.2, lit("zh"))
+      .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
+      .when(de >= fr && de >= es && de > 0, lit("de"))
+      .when(fr >= es && fr > 0, lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("und"))
+  }
+
   /** Stable document fingerprint: md5 of case/whitespace-normalized text —
     * the exact-dedup key (content-defined; reorder-sensitive). */
   def fingerprint(text: Column): Column =

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- RowFilters
+
+  test("header/total/blank row predicates") {
+    val df = Seq(
+      ("Invoice No.", "Supplier Code", "Amount"),
+      ("IV001", "123", "10.5"),
+      ("", "", ""),
+      ("x", "GRAND TOTAL", "99")).toDF("a", "b", "c")
+    val cols = Seq(col("a"), col("b"), col("c"))
+    val labels = Seq("Invoice No.", "Supplier Code", "Amount")
+    assert(df.where(RowFilters.isHeaderRow(cols, labels)).count() == 1)
+    assert(df.where(RowFilters.isBlankRow(cols)).count() == 1)
+    assert(df.where(RowFilters.isTotalRow(cols)).count() == 1)
+  }
+
+  test("trimTrailing removes only the trailing junk run") {
+    val df = Seq(
+      ("f1", 1, false), ("f1", 2, true), ("f1", 3, false), ("f1", 4, true),
+      ("f1", 5, true), ("f2", 1, true)).toDF("file", "idx", "junk")
+    val kept = RowFilters.trimTrailing(df, col("file"), col("idx"), col("junk"))
+      .select("file", "idx").as[(String, Int)].collect().toSet
+    assert(kept == Set(("f1", 1), ("f1", 2), ("f1", 3)))
+  }
+
+  // ---- Reshape
+
+  test("melt → pivotFirst round-trips a wide matrix") {
+    val wide = Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "y2023", "y2024")
+    val long = Reshape.melt(wide, Seq("id"), Seq("y2023", "y2024"), "year", "v")
+    assert(long.count() == 4)
+    val back = Reshape.pivotFirst(long, Seq("id"), "year", "v", Seq("y2023", "y2024"))
+    val r = back.orderBy("id").collect()
+    assert(r(0).getDouble(1) == 10.0 && r(1).getDouble(2) == 40.0)
+  }
+
+  test("ffill carries last non-null forward within partition") {
+    val df = Seq((1, 1, Some(5.0)), (1, 2, None), (1, 3, None), (2, 1, None))
+      .toDF("k", "i", "v")
+    val got = df.select(col("k"), col("i"),
+        Reshape.ffill(col("v"), Seq(col("k")), col("i")).as("f"))
+      .orderBy("k", "i").collect().map(r => Option(r.get(2)))
+    assert(got.toSeq == Seq(Some(5.0), Some(5.0), Some(5.0), None))
+  }
+
+  test("groupToList orders payload by ord") {
+    val df = Seq((1, 2, "b"), (1, 1, "a"), (2, 1, "x")).toDF("k", "o", "v")
+    val got = Reshape.groupToList(df, Seq("k"), "o", col("v"))
+      .orderBy("k").collect()
+    assert(got(0).getSeq[String](1) == Seq("a", "b"))
+    assert(got(1).getSeq[String](1) == Seq("x"))
+  }
+
+  // ---- Merge / Validation
+
+  test("upsert: updates win, unmatched existing kept") {
+    val existing = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val updates  = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val got = Merge.upsert(existing, updates, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("replaceAllSync returns delete-set") {
+    val existing = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val incoming = Seq((2, "B")).toDF("k", "v")
+    val (synced, deleted) = Merge.replaceAllSync(existing, incoming, Seq("k"))
+    assert(synced.count() == 1 && deleted.as[(Int, String)].collect().toSeq == Seq((1, "a")))
+  }
+
+  test("validation split routes failures with rule names") {
+    val df = Seq((1, "2025-01-01"), (2, null)).toDF("id", "d")
+    val (valid, rejects) = Validation.split(df,
+      Seq(Validation.notNull("d"), Validation.dateYmd("d")))
+    assert(valid.count() == 1)
+    val rej = rejects.select("id", "_failed_rules").collect()(0)
+    assert(rej.getInt(0) == 2 && rej.getSeq[String](1) == Seq("d_not_null"))
+  }
+
+  // ---- Dedup
+
+  test("shingles builds distinct word n-grams") {
+    val got = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).collect()(0).getSeq[String](0)
+    assert(got.toSet == Set("a b c", "b c d"))
+  }
+
+  test("minhashNearDupPairs finds injected near-duplicates") {
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"token$i " + (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val nearDup = Seq((100L, docs(3)._2 + " extra"))
+    val df = (docs ++ nearDup).toDF("id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "id", "text", n = 3, k = 32,
+      bands = 8, threshold = 0.5).as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((3L, 100L)))
+    assert(pairs(0)._3 > 0.8)
+  }
+
+  test("simhash near-dup pairs catch small mutations") {
+    // one added token on a 40-token doc flips E[hamming] ≈ 64·P(vote sum=0)/2
+    // ≈ 4 bits, so the detection threshold must sit above that — while a
+    // random pair sits at E[hamming] = 32, far beyond it.
+    val base = (0 until 10).map(i =>
+      (i.toLong, (0 until 40).map(j => s"tok${i}_$j").mkString(" ")))
+    val mut = Seq((200L, base(5)._2 + " tail"))
+    val pairs = Dedup.simhashNearDupPairs((base ++ mut).toDF("id", "text"),
+      "id", "text", maxHamming = 10).as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((5L, 200L)))
+    assert(pairs.forall(p => !(p._1 < 5 && p._2 < 5))) // no false pairs among unrelated docs
+  }
+
+  // ---- Similarity
+
+  test("cosine matches hand computation") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(got - 0.6) < 1e-6)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+      "vec_id", "embedding", 2).orderBy("rnk")
+      .select("corpus_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  // ---- TextAnalysis
+
+  test("langIdMulti identifies real language samples") {
+    val got = Seq(
+      "the cat sat on the mat with it",
+      "der hund ist nicht in das haus und",
+      "le chat est dans la maison pour que",
+      "el perro corre por el parque para una",
+      "这是一个中文句子没有空格").toDF("t")
+      .select(TextAnalysis.langIdMulti(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "zh"))
+  }
+
+  test("token/subword counts and quality score bounds") {
+    val df = Seq("Hello world, this is a test of the quality scorer.").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.subwordCount(col("t")).as("sw"),
+      TextAnalysis.qualityScore(col("t")).as("q")).collect()(0)
+    assert(r.getInt(0) == 10 && r.getInt(1) >= 10)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  // ---- Multimodal
+
+  test("extractFeatures is deterministic with declared schema") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feats = Multimodal.extractFeatures(Multimodal.documentsAsMedia(docs))
+    val r1 = feats.orderBy("media_id").limit(3).collect()
+    val r2 = feats.orderBy("media_id").limit(3).collect()
+    assert(r1.map(_.digest).sameElements(r2.map(_.digest)))
+    assert(r1.forall(_.features.length == 8))
+    assert(feats.toDF().schema("features").dataType.typeName == "array")
+  }
+}
