@@ -444,13 +444,29 @@ object SparkEntry {
       val mutants = base.where(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 200000)
         .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+      // shingles hashed to sorted 64-bit ids: Jaccard runs as a linear merge
+      // (custom expression, no boxing); set sizes are collision-free in
+      // practice so counts equal the string-shingle oracle. The join carries
+      // a PPJoin-style length-ratio prune — |a∩b|/|a∪b| ≥ t forces
+      // min(|a|,|b|)/max(|a|,|b|) ≥ t, so undersized pairs never reach the
+      // merge. Each row crosses the shuffle once (join on block key), not
+      // once per pair.
       val all = base.unionByName(mutants)
-        .withColumn("sh", Dedup.shingles(col("text"), 3))
-      val a = all.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = all.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .withColumn("toks", Dedup.tokens(col("text")))
+        .withColumn("sh", array_sort(transform(
+          Dedup.shinglesFromTokens(col("toks"), 3), t => xxhash64(t))))
+        .drop("toks")
+        .withColumn("sz", size(col("sh")))
+      val a = all.select(col("source"), col("lang"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"), col("sz").as("sz_a"))
+      val b = all.select(col("source"), col("lang"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b"), col("sz").as("sz_b"))
       a.join(b, Seq("source", "lang"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .where(col("id_a") < col("id_b") &&
+          least(col("sz_a"), col("sz_b")).cast("double") /
+            greatest(col("sz_a"), col("sz_b")) >= 0.5)
+        .withColumn("jaccard", round(
+          graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")), 6))
         .where(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

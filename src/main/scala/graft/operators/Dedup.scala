@@ -38,9 +38,19 @@ object Dedup {
     firstPerKey(keyed, Seq("__digest"), idCol).drop("__digest")
   }
 
-  /** Word n-gram shingles of the normalized text, as a distinct array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+  /** Normalized word tokens of a text column. */
+  def tokens(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
+  /** Word n-gram shingles over a MATERIALIZED token-array column, as a
+    * distinct array.
+    *
+    * `toks` must be a column attribute (`withColumn("toks", tokens(...))`
+    * first), not an inline expression: higher-order functions substitute
+    * their argument into the lambda body, so an inline tokenizer would
+    * re-run once per shingle position — O(tokens²) per document (measured
+    * 7× on the sf0.1 bench before this split). */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val count = greatest(size(toks) - (n - 1), lit(0))
     array_distinct(transform(sequence(lit(1), count),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -83,7 +93,9 @@ object Dedup {
                           threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = k / bands
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), n))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shinglesFromTokens(col("toks"), n))
+      .drop("toks")
       .where(size(col("sh")) > 0)
       .withColumn("band", explode(lshBandKeys(
         minhashSignature(col("sh"), k), bands, rowsPerBand)))
@@ -97,20 +109,13 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset: per token, xxhash64; each of the
-    * 64 bits votes +1/-1; fingerprint bit = sign of the vote sum. Pure
-    * aggregate expressions over the token array. */
-  def simhash64(text: Column): Column = {
-    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    // For each bit position, sum(+1 if bit set else -1); set bit if sum > 0.
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  /** 64-bit SimHash of the token multiset: per token, xxhash64 (seed 42);
+    * each of the 64 bits votes +1/-1; fingerprint bit = sign of the vote
+    * sum. Runs as a custom Catalyst expression — one loop over the tokens
+    * instead of 64 interpreted array traversals. */
+  def simhash64(text: Column): Column =
+    graft.plans.VectorExpressions.simhash64(
+      split(lower(regexp_replace(trim(text), "\\s+", " ")), " "))
 
   /** SimHash near-dup pairs: block on 4×16-bit bands (any pair within
     * Hamming distance 3 shares at least one band), verify with popcount of

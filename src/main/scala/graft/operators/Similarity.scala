@@ -19,26 +19,33 @@ import org.apache.spark.sql.expressions.Window
   * [-1,1] — deterministic across runs/executors without shipping a matrix. */
 object Similarity {
 
+  import graft.plans.VectorExpressions.{dot => vdot}
+
   /** Cosine similarity of two float-array columns (null-safe, 0 when either
-    * norm is 0). Accumulates in double precision, left-to-right — stable. */
+    * norm is 0). The dot products run in a custom Catalyst expression — one
+    * tight JVM loop per row, accumulating in double left-to-right (bit-equal
+    * to a sequential SQL list_sum formulation, keeping oracles exact). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+    val d  = vdot(a, b)
+    val na = sqrt(vdot(a, a))
+    val nb = sqrt(vdot(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
   }
 
   /** Brute-force exact top-k: for each row of `queries`, the k nearest rows
     * of `corpus` by cosine. `queries` is broadcast — corpus partitions stream
     * once with no shuffle; the only exchange is the final per-query top-k
-    * (rank window over query id). Self-matches (same id) are excluded. */
+    * (rank window over query id). Self-matches (same id) are excluded.
+    * Norms are precomputed per side (once per row, not once per pair). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(vdot(col("cv"), col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(vdot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", when(col("qn") === 0.0 || col("cn") === 0.0, lit(0.0))
+        .otherwise(vdot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -46,22 +53,11 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
 
-  /** Deterministic random-hyperplane component for (table, plane, dim):
-    * xxhash64 → uniform double in [-1, 1]. */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (xxhash64(lit(table), lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
-
   /** Sign-bit LSH bucket id of a vector for one hash table: `nPlanes` dot
-    * products against pseudo-random hyperplanes, packed into a long. */
-  def lshBucket(vec: Column, table: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (v, i) => v.cast("double") * planeComponent(table, p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * products against hash-derived pseudo-random hyperplanes, packed into a
+    * long (custom expression — one loop, no plane matrix to broadcast). */
+  def lshBucket(vec: Column, table: Int, nPlanes: Int): Column =
+    graft.plans.VectorExpressions.hyperplaneBucket(vec, table, nPlanes)
 
   /** ANN top-k via multi-table, multiprobe hyperplane LSH: the corpus is
     * bucketed once per table; each query probes its own bucket plus every

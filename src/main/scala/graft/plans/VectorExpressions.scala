@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static kernels for the vector/sketch hot paths — called both from the
+  * interpreted `eval` path and from generated code (the expressions below
+  * emit a single static call in `doGenCode`, so they stay inside
+  * whole-stage codegen instead of breaking the stage with CodegenFallback).
+  *
+  * Numeric contract: elements are widened to double and accumulated
+  * left-to-right — bit-identical to an `aggregate(zip_with(...))`
+  * formulation and to a sequential SQL `list_sum(list_transform(...))`,
+  * which keeps DuckDB oracles exact. */
+object VectorOps {
+
+  /** Left-to-right double dot product of two float arrays (shorter wins). */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** As dotFloat, for double arrays. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** 64-bit SimHash of a string array (xxhash64 seed 42 per token, ±1 bit
+    * votes, fingerprint = sign vector). */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** Sign-bit LSH bucket against `nPlanes` hash-derived hyperplanes.
+    * Plane components come from chained xxhash64(table, plane, dim) — every
+    * executor derives identical planes, nothing is broadcast. */
+  def hyperplaneBucket(a: ArrayData, table: Int, nPlanes: Int, isFloat: Boolean): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        var h = XxHash64Function.hash(table, IntegerType, 42L)
+        h = XxHash64Function.hash(p, IntegerType, h)
+        h = XxHash64Function.hash(i, IntegerType, h)
+        dot += x * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Exact Jaccard of two SORTED, deduplicated long arrays via a linear
+    * merge walk — no hash set, no boxing. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na.toLong + nb.toLong - inter
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+}
+
+/** Catalyst expressions wrapping the VectorOps kernels; `doGenCode` emits a
+  * single static call so the surrounding stage keeps whole-stage codegen. */
+object VectorExpressions {
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  case class ArrayDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def useFloat = isFloatArray(left.dataType)
+    override def nullSafeEval(l: Any, r: Any): Any =
+      if (useFloat) VectorOps.dotFloat(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      else VectorOps.dotDouble(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (useFloat) "dotFloat" else "dotDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.VectorOps.$fn($a, $b);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      VectorOps.simhash64(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.VectorOps.simhash64($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class HyperplaneBucket(child: Expression, table: Int, nPlanes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    private def isFloat = isFloatArray(child.dataType)
+    override def nullSafeEval(v: Any): Any =
+      VectorOps.hyperplaneBucket(v.asInstanceOf[ArrayData], table, nPlanes, isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.VectorOps.hyperplaneBucket($a, $table, $nPlanes, $isFloat);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class JaccardSortedLongs(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorOps.jaccardSorted(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.VectorOps.jaccardSorted($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // ---- Column wrappers
+
+  import org.apache.spark.sql.graftglue.ColumnGlue.{column, expression}
+
+  def dot(a: Column, b: Column): Column =
+    column(ArrayDotProduct(expression(a), expression(b)))
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
+  def hyperplaneBucket(vec: Column, table: Int, nPlanes: Int): Column =
+    column(HyperplaneBucket(expression(vec), table, nPlanes))
+  def jaccardSorted(a: Column, b: Column): Column =
+    column(JaccardSortedLongs(expression(a), expression(b)))
+}

@@ -88,7 +88,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("shingles builds distinct word n-grams") {
     val got = Seq("a b c d").toDF("t")
-      .select(Dedup.shingles(col("t"), 3).as("s")).collect()(0).getSeq[String](0)
+      .withColumn("toks", Dedup.tokens(col("t")))
+      .select(Dedup.shinglesFromTokens(col("toks"), 3).as("s"))
+      .collect()(0).getSeq[String](0)
     assert(got.toSet == Set("a b c", "b c d"))
   }
 
