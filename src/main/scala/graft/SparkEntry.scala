@@ -25,6 +25,9 @@ object SparkEntry {
     s
   }
 
+  /** Pipeline fixtures (FIXTURES.md shapes) shipped with the repo. */
+  private val fixtures = "/root/repo/src/test/resources/fixtures"
+
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec6(c: Column): Column = c.cast(DecimalType(28, 6))
   private def sum2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
@@ -531,6 +534,122 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // §7.2 minimum slice: DBD financial pipeline — JSON pointer scan →
+    // tax-id normalize → TH→EN item map w/ fuzzy fallback → first-match
+    // pivot → keyed upsert over the existing table.
+    "q36_dbd_financial_pipeline" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val existing = Seq(
+        ("0105537086874", 2021, Some(900000.0), Some(500000.0), Some(100000.0)),
+        ("0105537086874", 2022, Some(1.0), Some(2.0), Some(3.0)))
+        .toDF("tax_id", "fiscal_year", "total_revenue", "cost_of_goods_sold", "net_profit")
+      graft.pipelines.Pipelines.dbdFinancial(s,
+          s"$fixtures/dbd_financial.json", existing)
+        .orderBy("tax_id", "fiscal_year")
+    }),
+
+    // Invoice-report import pipeline: rename → OCR/date/amount normalize →
+    // header filter → validation split with reject taxonomy.
+    "q37_invoice_pipeline" -> ((s0, d) => {
+      val s = prep(s0)
+      val (valid, rejects) = graft.pipelines.Pipelines.invoiceReport(s,
+        s"$fixtures/invoice_records.json")
+      valid.withColumn("failed", lit(""))
+        .unionByName(rejects.withColumn("failed",
+          concat_ws(",", col("_failed_rules"))).drop("_failed_rules"))
+        .orderBy("invoice_no")
+    }),
+
+    // A2 reconciliation: per-order lineitem revenue vs the order header
+    // total — count rows in/out of a 1% tolerance band.
+    "q38_reconcile_totals" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val sums = li.groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("line_total"))
+      o.join(sums, Seq("o_orderkey"))
+        .withColumn("within_1pct",
+          abs(col("line_total") - dec2(col("o_totalprice"))) <=
+            dec2(col("o_totalprice")) * 0.01)
+        .groupBy("within_1pct")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("within_1pct")
+    }),
+
+    // U4 order-preserving dedup + renumber (directors-style).
+    "q39_directors_renumber" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.TextClean
+      import graft.operators.Dedup
+      val raw = Seq((1, "นาย ก ข"), (2, "นาง ค ง"), (3, "นาย ก ข"),
+        (4, "นาย จ​ ฉ"), (5, "นาง ค ง")).toDF("idx", "name")
+      val cleaned = raw.withColumn("name",
+        TextClean.normWs(TextClean.stripInvisible(col("name"))))
+      val deduped = Dedup.firstPerKey(cleaned, Seq("name"), "idx")
+      deduped.withColumn("no", row_number().over(
+          Window.orderBy(col("idx"))).cast("int"))
+        .select("no", "name")
+        .orderBy("no")
+    }),
+
+    // Positional-grid PO pipeline: buyer B3, report dates D4/F4, header
+    // promotion w/ duplicate names, embedded-header drop, trailing trim,
+    // TIS-620 encoding fallback.
+    "q40_po_pipeline" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.pipelines.Pipelines.poCsv(s, s"$fixtures/po_report.csv")
+    }),
+
+    // Remittance OCR pipeline: line cascade, branch/docref repair, B.E.
+    // dates, cross-page dedup.
+    "q41_rm_pipeline" -> ((s0, d) => {
+      val s = prep(s0)
+      val (tx, _) = graft.pipelines.Pipelines.remittance(s, s"$fixtures/rm_pages.json")
+      tx.orderBy(col("วันที่"), col("เลขที่เอกสาร"))
+    }),
+
+    // A2 reconciliation against printed grand totals (pre-dedup sums).
+    "q42_rm_reconcile" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.pipelines.Pipelines.remittanceReconcile(s, s"$fixtures/rm_pages.json")
+    }),
+
+    // The HTTP query surface (§3.3): financial-all-years range scan +
+    // fixed projection over the pipeline's pivoted output.
+    "q43_company_financial" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.CompanyQueries
+      val existing = Seq(
+        ("0105537086874", 2021, Some(900000.0), Some(500000.0), Some(100000.0)),
+        ("0105537086874", 2022, Some(1.0), Some(2.0), Some(3.0)))
+        .toDF("tax_id", "fiscal_year", "total_revenue", "cost_of_goods_sold", "net_profit")
+      val table = graft.pipelines.Pipelines.dbdFinancial(s,
+        s"$fixtures/dbd_financial.json", existing)
+      val years = CompanyQueries.companyFinancialAllYears(table,
+        "0105537086874", from = Some(2022), to = Some(2023))
+      // onlyCols with a column absent from the table → emitted as null
+      // (P3 semantics, PublicApiController.php:870-882)
+      CompanyQueries.onlyCols(years,
+        Seq("total_revenue", "cost_of_goods_sold", "net_profit", "missing_metric"),
+        keep = Seq("fiscal_year"))
+    }),
+
+    // W4/W5 directors pagination: NULLS LAST + stable row_number pages.
+    "q44_directors_page" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.CompanyQueries
+      val directors = Seq(
+        (1L, Some(2), "B"), (2L, None, "E"), (3L, Some(1), "A"),
+        (4L, Some(3), "C"), (5L, None, "F"))
+        .toDF("id", "director_no", "name")
+      CompanyQueries.directorsPage(directors, page = 1, pageSize = 3)
+    }),
+
     // Content fingerprinting: distinct-digest profile per language.
     "q35_fingerprint_profile" -> ((s0, d) => {
       val s = prep(s0)
@@ -909,5 +1028,96 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q36_dbd_financial_pipeline" ->
+      """SELECT * FROM (VALUES
+        | ('0105537086874', 2021, CAST(900000.0 AS DOUBLE), CAST(500000.0 AS DOUBLE), CAST(100000.0 AS DOUBLE)),
+        | ('0105537086874', 2022, CAST(1000000.0 AS DOUBLE), CAST(600000.0 AS DOUBLE), CAST(150000.0 AS DOUBLE)),
+        | ('0105537086874', 2023, CAST(1200000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        | ('0994000158378', 2023, CAST(999.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |) AS t(tax_id, fiscal_year, total_revenue, cost_of_goods_sold, net_profit)
+        |ORDER BY tax_id, fiscal_year""".stripMargin,
+
+    "q37_invoice_pipeline" ->
+      """SELECT * FROM (VALUES
+        | ('BL12034', '72195', DATE '2025-07-01', TIMESTAMP '2025-03-14 10:22:00',
+        |  '1013090869', CAST(1234.56 AS DOUBLE), 'PAID', ''),
+        | ('IV516', '72196', DATE '2000-03-15', TIMESTAMP '2025-10-07 14:44:07',
+        |  CAST(NULL AS VARCHAR), CAST(-5463.04 AS DOUBLE), 'PENDING', ''),
+        | ('XX999', 'bad-code', CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
+        |  '12345678', CAST(-1171.37 AS DOUBLE), 'VOID', 'supplier_code_format,invoice_date_not_null')
+        |) AS t(invoice_no, supplier_code, invoice_date, invoice_received, po_no, amount, status, failed)
+        |ORDER BY invoice_no""".stripMargin,
+
+    "q38_reconcile_totals" ->
+      """WITH sums AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS line_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT within_1pct, COUNT(*) AS n_orders FROM (
+        |  SELECT abs(line_total - CAST(o_totalprice AS DECIMAL(18,2)))
+        |         <= CAST(o_totalprice AS DECIMAL(18,2)) * 0.01 AS within_1pct
+        |  FROM orders JOIN sums USING (o_orderkey)) t
+        |GROUP BY within_1pct
+        |ORDER BY within_1pct""".stripMargin,
+
+    "q39_directors_renumber" ->
+      """SELECT * FROM (VALUES
+        | (1, 'นาย ก ข'), (2, 'นาง ค ง'), (3, 'นาย จ ฉ')
+        |) AS t(no, name)
+        |ORDER BY no""".stripMargin,
+
+    "q40_po_pipeline" ->
+      """SELECT * FROM (VALUES
+        | ('1013090869', '72195', 'ผู้ขาย หนึ่ง', DATE '2025-07-01',
+        |  TIMESTAMP '2025-07-10 14:44:07', DATE '2025-07-15',
+        |  CAST(1234.56 AS DOUBLE), CAST(1300.0 AS DOUBLE),
+        |  '2050363000123', 'บริษัท เอซีเอ็มอี จำกัด', DATE '2025-07-10', DATE '2025-07-14'),
+        | ('1013090870', '72196', 'ผู้ขาย สอง', DATE '2025-07-02',
+        |  TIMESTAMP '2025-07-11 09:15:00', DATE '2025-07-16',
+        |  CAST(-500.0 AS DOUBLE), CAST(535.0 AS DOUBLE),
+        |  '2050363000123', 'บริษัท เอซีเอ็มอี จำกัด', DATE '2025-07-10', DATE '2025-07-14'),
+        | ('1013090871', '72197', 'ผู้ขาย สาม', DATE '2025-07-03',
+        |  TIMESTAMP '2025-07-12 10:00:00', DATE '2025-07-17',
+        |  CAST(2000.0 AS DOUBLE), CAST(2140.0 AS DOUBLE),
+        |  '2050363000123', 'บริษัท เอซีเอ็มอี จำกัด', DATE '2025-07-10', DATE '2025-07-14')
+        |) AS t(po_no, supplier_code, supplier_name, order_date, send_ts, delivery_date,
+        |       amount_incl_vat, amount_incl_vat_2, buyer_code, buyer_name, report_from, report_to)
+        |ORDER BY po_no""".stripMargin,
+
+    "q41_rm_pipeline" ->
+      """SELECT * FROM (VALUES
+        | (DATE '2025-09-15', DATE '2025-09-30', '72195', 'FC01', 'IV',
+        |  'CH012345', '1NV68071', CAST(1234.5 AS DOUBLE), CAST(1 AS BIGINT)),
+        | (DATE '2025-09-15', DATE '2025-09-30', '72195', '0000', 'CN',
+        |  'CN-001', 'CONSIGN-00', CAST(-500.0 AS DOUBLE), CAST(1 AS BIGINT)),
+        | (DATE '2025-09-16', DATE '2025-09-30', '72195', 'W123', 'IV',
+        |  'CH012346', 'IV68072', CAST(2000.0 AS DOUBLE), CAST(1 AS BIGINT)),
+        | (DATE '2025-09-17', DATE '2025-09-30', '72195', 'FC02', 'IV',
+        |  'CH012347', 'IV68073', CAST(750.25 AS DOUBLE), CAST(2 AS BIGINT))
+        |) AS t("วันที่", "วันที่จ่ายเงิน", "รหัสผู้ขาย", "รหัสสาขา", "ประเภทเอกสาร",
+        |       "เลขที่เอกสาร", "เลขที่เอกสารอ้างอิง", "จำนวน", "หน้า")
+        |ORDER BY "วันที่", "เลขที่เอกสาร"""".stripMargin,
+
+    "q42_rm_reconcile" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(2734.50 AS DECIMAL(38,2)), CAST(2734.50 AS DECIMAL(38,2)), CAST(0.00 AS DECIMAL(38,2))),
+        | (CAST(2 AS BIGINT), CAST(2750.25 AS DECIMAL(38,2)), CAST(2750.25 AS DECIMAL(38,2)), CAST(0.00 AS DECIMAL(38,2)))
+        |) AS t(page, tx_sum, grand_total, diff)
+        |ORDER BY page""".stripMargin,
+
+    "q43_company_financial" ->
+      """SELECT * FROM (VALUES
+        | (2022, CAST(1000000.0 AS DOUBLE), CAST(600000.0 AS DOUBLE), CAST(150000.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        | (2023, CAST(1200000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |) AS t(fiscal_year, total_revenue, cost_of_goods_sold, net_profit, missing_metric)
+        |ORDER BY fiscal_year""".stripMargin,
+
+    "q44_directors_page" ->
+      """SELECT * FROM (VALUES
+        | (CAST(3 AS BIGINT), 1, 'A'),
+        | (CAST(1 AS BIGINT), 2, 'B'),
+        | (CAST(4 AS BIGINT), 3, 'C')
+        |) AS t(id, director_no, name)""".stripMargin,
   )
 }

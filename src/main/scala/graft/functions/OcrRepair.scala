@@ -43,10 +43,12 @@ object OcrRepair {
     * else global look-alike repair. */
   def normalizeDocRef(c: Column): Column = {
     val s = upper(regexp_replace(trim(c.cast("string")), "\\s+", ""))
+    // global repair first (O→0, I→1), then restore the known IV prefix —
+    // a true "IV..." survives the round-trip, an OCR "1V..." is healed
+    val repaired = repairGlobalLookalikes(s)
     when(s.rlike("^C[O0]NS[I1]GN-?[O0]{2}$"), lit("CONSIGN-00"))
       .when(s.rlike("^C[O0]NS[I1]GN$"), lit("CONSIGN"))
-      .when(s.rlike("^1V"), regexp_replace(repairGlobalLookalikes(s), "^1V", "IV"))
-      .otherwise(repairGlobalLookalikes(s))
+      .otherwise(regexp_replace(repaired, "^1V", "IV"))
   }
 
   /** C27 best-token extraction (pdf_ocr_rm_to_json.py:200-217): among regex

@@ -87,6 +87,22 @@ object ThaiDates {
         d.cast("timestamp")).otherwise(lit(null).cast("timestamp")))
   }
 
+  /** US-order `M/d/yyyy` date — the PO report's D4/F4 cells are explicitly
+    * m/d/yyyy (read_po_csv_to_json.py:168-187 extract_mmddyyyy). */
+  def parseUsDate(raw: Column): Column =
+    try_to_timestamp(trim(raw), lit("M/d/yyyy")).cast("date")
+
+  /** US-order datetime with the C3 12/24h repair (`14:44:07 PM` → 24h). */
+  def parseUsTimestamp(raw: Column): Column = {
+    val c = regexp_replace(trim(raw), "\\s+", " ")
+    val hour = regexp_extract(c, " (\\d{1,2}):", 1).cast("int")
+    val fixed = when(hour >= 13, regexp_replace(c, "\\s*(AM|PM|am|pm)$", "")).otherwise(c)
+    coalesce(
+      try_to_timestamp(fixed, lit("M/d/yyyy H:mm:ss")),
+      try_to_timestamp(fixed, lit("M/d/yyyy h:mm:ss a")),
+      try_to_timestamp(fixed, lit("M/d/yyyy H:mm")))
+  }
+
   /** Excel serial day-number → date (epoch 1899-12-30).
     * Correct variant: read_rem_detail_to_json.py:53-57. The reference also
     * ships a buggy variant that subtracts 543 from the *result* year

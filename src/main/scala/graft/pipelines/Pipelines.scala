@@ -1,0 +1,232 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Money, OcrRepair, TextClean, ThaiDates}
+import graft.operators.{Dedup, Merge, Reshape, RowFilters, Validation}
+import graft.sources.Ingest
+
+/** End-to-end re-expressions of the reference's pipelines (SURVEY.md §7.1.5).
+  * Each wires ingest → cleanse → flow operators; fixtures under
+  * src/test/resources/fixtures mirror the data shapes in FIXTURES.md. */
+object Pipelines {
+
+  // ------------------------------------------------------------- C42 map
+
+  /** Item TH→EN dictionary + fuzzy fallback (C42):
+    * exact match → paren-stripped exact → substring-contains rules →
+    * `unknown` sentinel (script_read_dbd_income.py:109-172). */
+  val itemThEn: Map[String, String] = Map(
+    "รายได้รวม" -> "total_revenue",
+    "ต้นทุนขาย" -> "cost_of_goods_sold",
+    "กำไร(ขาดทุน)สุทธิ" -> "net_profit",
+    "สินทรัพย์รวม" -> "total_assets",
+    "หนี้สินรวม" -> "total_liabilities")
+
+  def mapItemTh(c: Column): Column = {
+    val cleaned = TextClean.normWs(TextClean.stripInvisible(c))
+    val noParen = regexp_replace(cleaned, "\\(.*?\\)", "")
+    val exact = itemThEn.foldLeft(lit(null).cast("string")) { case (acc, (th, en)) =>
+      when(cleaned === th, lit(en)).otherwise(acc)
+    }
+    val parenStripped = itemThEn.foldLeft(lit(null).cast("string")) { case (acc, (th, en)) =>
+      when(noParen === regexp_replace(lit(th), "\\(.*?\\)", ""), lit(en)).otherwise(acc)
+    }
+    val contains =
+      when(cleaned.contains("กำไร"), lit("net_profit"))
+        .when(cleaned.contains("รายได้"), lit("total_revenue"))
+        .when(cleaned.contains("ต้นทุน"), lit("cost_of_goods_sold"))
+    coalesce(exact, parenStripped, contains, lit("unknown"))
+  }
+
+  // ------------------------------------------- DbdFinancialPipeline (§7.2)
+
+  /** Minimum end-to-end slice: long-form (tax_id, year, item_th, amount)
+    * records → tax-id normalize (C37) → item map (C42) → amount parse with
+    * the income null-policy (C14) → first-match pivot to wide (A3) → keyed
+    * upsert into the existing table (K6, key = tax_id, fiscal_year). */
+  val financialItems: Seq[String] =
+    Seq("total_revenue", "cost_of_goods_sold", "net_profit")
+
+  def dbdFinancial(spark: SparkSession, jsonPath: String,
+                   existing: DataFrame): DataFrame = {
+    val raw = Ingest.jsonPointer(spark, jsonPath, "/records")
+    val tidy = raw.select(
+      TextClean.normalizeTaxId(col("tax_id")).as("tax_id"),
+      col("fiscal_year").cast("int").as("fiscal_year"),
+      mapItemTh(col("item_th")).as("item_en"),
+      Money.dashToZeroNullable(col("amount")).as("amount"))
+    val wide = Reshape.pivotFirst(tidy, Seq("tax_id", "fiscal_year"),
+      "item_en", "amount", financialItems)
+    Merge.upsert(existing, wide, Seq("tax_id", "fiscal_year"))
+  }
+
+  // --------------------------------------------------- InvoiceReportPipeline
+
+  /** S10 → rename-map (P2) → scalar normalize (C1/C2/C4/C12/C23/C30) →
+    * header-row filter (P4) → validation split (F5/F6). Returns
+    * (valid, rejects) — the bulk equivalent of per-row insert taxonomy. */
+  def invoiceReport(spark: SparkSession, jsonPath: String): (DataFrame, DataFrame) = {
+    val raw = Ingest.jsonPointer(spark, jsonPath, "/records")
+    val renamed = raw.select(
+      col("`Invoice No.`").as("invoice_no_raw"),
+      col("`Supplier Code`").as("supplier_code"),
+      col("`Invoice Date`").as("invoice_date_raw"),
+      col("`Invoice Received Date`").as("received_raw"),
+      col("`Related Document`").as("related_document"),
+      col("`Amount`").as("amount_raw"),
+      col("`Status`").as("status"))
+    val headerLabels = Seq("Invoice No.", "Supplier Code", "Invoice Date",
+      "Invoice Received Date", "Related Document", "Amount", "Status")
+    val noHeader = renamed.where(!RowFilters.isHeaderRow(
+      Seq(col("invoice_no_raw"), col("supplier_code"), col("status")),
+      headerLabels, minHits = 2))
+    val cleaned = noHeader.select(
+      OcrRepair.repairTailLookalikes(col("invoice_no_raw")).as("invoice_no"),
+      col("supplier_code"),
+      ThaiDates.parseFlexibleDate(col("invoice_date_raw")).as("invoice_date"),
+      ThaiDates.parseFlexibleTimestamp(col("received_raw")).as("invoice_received"),
+      TextClean.poTail(col("related_document")).as("po_no"),
+      Money.parseAmountRobust(col("amount_raw")).as("amount"),
+      col("status"))
+    Validation.split(cleaned, Seq(
+      Validation.matches("invoice_no", "^[A-Za-z]+\\d+$"),
+      Validation.matches("supplier_code", "^\\d+$"),
+      Validation.notNull("invoice_date")))
+  }
+
+  // ----------------------------------------------------- RemittancePipeline
+
+  /** OCR page text → line stream → per-page header capture (J4) →
+    * transaction regex cascade (C36: strict-with-branch → no-branch) →
+    * branch/doc-ref normalization (C25/C26) → robust amounts (C12) →
+    * B.E. dates (C1) → cross-page dedup keeping first (U2).
+    * Returns (transactions, grandTotals) — totals kept for reconciliation
+    * (A2), never summed into the data. */
+  /** Parse stage shared by `remittance` (deduped records) and
+    * `remittanceReconcile` (pre-dedup sums): returns (transactions with
+    * page/line order, per-page grand totals). */
+  def remittanceParsed(spark: SparkSession, jsonPath: String): (DataFrame, DataFrame) = {
+    val pages = spark.read.option("multiLine", "true").json(jsonPath)
+      .select(explode(col("pages")).as("p"))
+      .select(col("p.page_number").as("page"), col("p.text").as("text"))
+    val lines = pages.select(col("page"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("line", TextClean.normWs(col("line")))
+
+    val wPage = Window.partitionBy(col("page"))
+    val payDate = first(when(col("line").rlike("^วันที่จ่ายเงิน:"),
+      regexp_extract(col("line"), "(\\d{2}/\\d{2}/\\d{4})", 1)), ignoreNulls = true)
+    val vendor = first(when(col("line").rlike("^รหัสผู้ขาย:"),
+      regexp_extract(col("line"), "(\\d+)", 1)), ignoreNulls = true)
+    val withHdr = lines
+      .withColumn("pay_date_raw", payDate.over(wPage))
+      .withColumn("vendor_code", vendor.over(wPage))
+
+    val strict = "^(\\d{2}/\\d{2}/\\d{4}) (\\S+) (IV|CN) (\\S+) (\\S+) (\\(?[-0-9,.]+\\)?)$"
+    val noBranch = "^(\\d{2}/\\d{2}/\\d{4}) (IV|CN) (\\S+) (\\S+) (\\(?[-0-9,.]+\\)?)$"
+    val parsed = withHdr.withColumn("m", when(col("line").rlike(strict), struct(
+        regexp_extract(col("line"), strict, 1).as("d"),
+        regexp_extract(col("line"), strict, 2).as("br"),
+        regexp_extract(col("line"), strict, 3).as("ty"),
+        regexp_extract(col("line"), strict, 4).as("doc"),
+        regexp_extract(col("line"), strict, 5).as("ref"),
+        regexp_extract(col("line"), strict, 6).as("amt")))
+      .when(col("line").rlike(noBranch), struct(
+        regexp_extract(col("line"), noBranch, 1).as("d"),
+        lit("0000").as("br"),
+        regexp_extract(col("line"), noBranch, 2).as("ty"),
+        regexp_extract(col("line"), noBranch, 3).as("doc"),
+        regexp_extract(col("line"), noBranch, 4).as("ref"),
+        regexp_extract(col("line"), noBranch, 5).as("amt"))))
+
+    val tx0 = parsed.where(col("m").isNotNull).select(
+      ThaiDates.parseFlexibleDate(col("m.d")).as("วันที่"),
+      ThaiDates.parseFlexibleDate(col("pay_date_raw")).as("วันที่จ่ายเงิน"),
+      col("vendor_code").as("รหัสผู้ขาย"),
+      OcrRepair.normalizeBranchCode(col("m.br")).as("รหัสสาขา"),
+      col("m.ty").as("ประเภทเอกสาร"),
+      OcrRepair.normalizeDocRef(col("m.doc")).as("เลขที่เอกสาร"),
+      OcrRepair.normalizeDocRef(col("m.ref")).as("เลขที่เอกสารอ้างอิง"),
+      Money.parseAmountRobust(col("m.amt")).as("จำนวน"),
+      col("page").as("หน้า"), col("line_no"))
+
+    val totals = lines.where(col("line").rlike("^จำนวนเงินรวมทั้งสิ้น"))
+      .select(col("page"),
+        Money.parseAmountRobust(regexp_extract(col("line"),
+          "([0-9,.]+)$", 1)).as("grand_total"))
+    (tx0, totals)
+  }
+
+  /** Full remittance pipeline: parse cascade + cross-page dedup keeping the
+    * first occurrence in (page, line) order (U2). */
+  def remittance(spark: SparkSession, jsonPath: String): (DataFrame, DataFrame) = {
+    val (tx0, totals) = remittanceParsed(spark, jsonPath)
+    val tx = Dedup.firstPerKey(
+        tx0.withColumn("__ord", struct(col("หน้า"), col("line_no"))),
+        Seq("วันที่", "รหัสสาขา", "ประเภทเอกสาร", "เลขที่เอกสาร", "เลขที่เอกสารอ้างอิง", "จำนวน"),
+        "__ord")
+      .drop("__ord", "line_no")
+    (tx, totals)
+  }
+
+  /** A2 reconciliation: per-page transaction sums (pre-dedup — the printed
+    * totals cover every printed line) against the captured grand totals.
+    * The reference keeps these for a manual check
+    * (pdf_ocr_rm_to_json.py:286-289,311-315); here it's an assertable
+    * dataset: diff == 0 means OCR parsing lost nothing. */
+  def remittanceReconcile(spark: SparkSession, jsonPath: String): DataFrame = {
+    val (tx, totals) = remittanceParsed(spark, jsonPath)
+    val sums = tx.groupBy(col("หน้า").as("page"))
+      .agg(sum(col("จำนวน").cast("decimal(18,2)")).cast("decimal(38,2)").as("tx_sum"))
+    totals.join(sums, Seq("page"), "left")
+      .select(col("page"),
+        col("tx_sum"),
+        col("grand_total").cast("decimal(38,2)").as("grand_total"),
+        (col("tx_sum") - col("grand_total").cast("decimal(38,2)")).as("diff"))
+      .orderBy("page")
+  }
+
+  // ----------------------------------------------------------- PoCsvPipeline
+
+  /** Positional-grid PO report (read_po_csv_to_json.py): buyer cell B3
+    * (C32), report dates D4/F4 (m/d/yyyy), header at row index 4 with
+    * duplicate names (C40), embedded header re-detection (P4), trailing
+    * total/blank trim (F4), per-column normalize, file metadata stamped on
+    * every row (J4). */
+  def poCsv(spark: SparkSession, csvPath: String): DataFrame = {
+    val g = Ingest.grid(spark, csvPath)
+    val buyerCell = Ingest.cellAt(g, 1, 1)       // B2-in-fixture ("Buyer : ...")
+    val fromRaw = Ingest.cellAt(g, 3, 3)          // D4
+    val toRaw   = Ingest.cellAt(g, 3, 5)          // F4
+    val buyerCode = Option(buyerCell).map(
+      "\\((\\d{10,20})\\)".r.findFirstMatchIn(_).map(_.group(1)).orNull).orNull
+    val buyerName = Option(buyerCell).map(
+      _.replaceAll("^.*?\\(\\d{10,20}\\)", "").trim).orNull
+
+    val table = Ingest.promoteHeader(g, 4)
+    // quote: promoted header names contain dots/parens ("PO No.")
+    val cols = table.columns.filter(_ != "row_idx").map(n => col(s"`$n`"))
+    val headerLabels = Seq("PO No.", "Supplier Code", "Supplier Name")
+    val junk = RowFilters.isTotalRow(cols) || RowFilters.isBlankRow(cols)
+    val noEmbedded = table.where(!RowFilters.isHeaderRow(cols, headerLabels, minHits = 2))
+    val trimmed = RowFilters.trimTrailing(noEmbedded, lit(1), col("row_idx"), junk)
+
+    trimmed.select(
+      col("`PO No.`").as("po_no"),
+      col("`Supplier Code`").as("supplier_code"),
+      TextClean.normWs(col("`Supplier Name`")).as("supplier_name"),
+      ThaiDates.parseFlexibleDate(col("`Order Date`")).as("order_date"),
+      ThaiDates.parseUsTimestamp(col("`Send Date`")).as("send_ts"),
+      ThaiDates.parseFlexibleDate(col("`Delivery Date`")).as("delivery_date"),
+      Money.parseAmountRobust(col("`Amount (PO Include VAT)`")).as("amount_incl_vat"),
+      Money.parseAmountRobust(col("`Amount (PO Include VAT)_2`")).as("amount_incl_vat_2"),
+      lit(buyerCode).as("buyer_code"),
+      lit(buyerName).as("buyer_name"),
+      ThaiDates.parseUsDate(lit(fromRaw)).as("report_from"),
+      ThaiDates.parseUsDate(lit(toRaw)).as("report_to"))
+      .orderBy("po_no")
+  }
+}

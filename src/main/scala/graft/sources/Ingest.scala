@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion readers for hostile sources (SURVEY.md §2.1).
+  *
+  * All readers ingest permissively (every cell a string) and leave
+  * canonicalization to the cleanse layer — schemas are never inferred from
+  * dirty data (SURVEY §7.4.5). */
+object Ingest {
+
+  /** S1: CSV read with encoding fallback — try encodings in order until one
+    * round-trips without replacement characters
+    * (read_po_csv_to_json.py:38-44 tries utf-8-sig, utf-8, cp874, tis-620,
+    * latin1). Spark won't retry encodings natively, so the probe reads a
+    * sample of raw bytes per candidate on the driver (cheap — bytes stream
+    * once), then the winning encoding drives the distributed read. */
+  val defaultEncodings: Seq[String] = Seq("UTF-8", "x-windows-874", "TIS-620", "ISO-8859-1")
+
+  def detectEncoding(path: String, encodings: Seq[String] = defaultEncodings): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      path.stripPrefix("file:")))
+    val sample = java.util.Arrays.copyOf(bytes, math.min(bytes.length, 64 * 1024))
+    encodings.find { enc =>
+      try {
+        val cs = java.nio.charset.Charset.forName(enc)
+        val dec = cs.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        dec.decode(java.nio.ByteBuffer.wrap(sample))
+        true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+    }.getOrElse("ISO-8859-1") // latin1 accepts any byte sequence — last resort
+  }
+
+  /** Charsets Spark's CSV reader accepts natively; anything else (cp874,
+    * TIS-620, …) goes through the transcode path. */
+  private val sparkNativeCharsets =
+    Set("UTF-8", "US-ASCII", "ISO-8859-1", "UTF-16", "UTF-16BE", "UTF-16LE", "UTF-32")
+
+  /** Read a CSV with encoding fallback; all columns string, no header
+    * promotion (that happens grid-side).
+    *
+    * Thai charsets are outside Spark's CSV whitelist, so those files are
+    * decoded from raw bytes (`binaryFiles` — each file one task, parallel
+    * across files at scale) and parsed via `csv(Dataset[String])`. */
+  def csvWithEncodingFallback(spark: SparkSession, path: String,
+                              encodings: Seq[String] = defaultEncodings): DataFrame = {
+    val enc = detectEncoding(path, encodings)
+    if (sparkNativeCharsets(enc.toUpperCase)) {
+      spark.read
+        .option("header", "false")
+        .option("encoding", enc)
+        .option("inferSchema", "false")
+        .csv(path)
+    } else {
+      import spark.implicits._
+      val lines = spark.sparkContext.binaryFiles(path)
+        .flatMap { case (_, pds) =>
+          new String(pds.toArray(), java.nio.charset.Charset.forName(enc))
+            .split("\r?\n", -1).iterator
+        }
+      spark.read
+        .option("header", "false")
+        .option("inferSchema", "false")
+        .csv(spark.createDataset(lines))
+    }
+  }
+
+  /** S10: streaming JSON scan with a JSON-pointer-style sub-array
+    * (`/records`), as the importers do with JsonMachine
+    * (ImportInvoiceReport.php:70-79). Spark's multiLine JSON scan is already
+    * streaming/partitioned; the pointer becomes explode(records). */
+  def jsonPointer(spark: SparkSession, path: String, pointer: String): DataFrame = {
+    val field = pointer.stripPrefix("/")
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col(field)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Positional spreadsheet grid: the file as ordered rows of string cells,
+    * with a 0-based `row_idx` (spreadsheet semantics need real row numbers —
+    * buyer cell B3, dates at D4/F4, header at row 5:
+    * read_po_csv_to_json.py:70-98,168-238).
+    *
+    * Order contract: a single grid file is one partition (they are small —
+    * the 100 TB case is *many* files, parallel across files, each still
+    * one task), so zipWithIndex gives true file order. */
+  final case class GridRow(row_idx: Long, cells: Seq[String])
+
+  def grid(spark: SparkSession, path: String,
+           encodings: Seq[String] = defaultEncodings): DataFrame = {
+    val raw = csvWithEncodingFallback(spark, path, encodings).coalesce(1)
+    val n = raw.columns.length
+    val rdd = raw.rdd.zipWithIndex().map { case (row, idx) =>
+      Row(idx, (0 until n).map(i => Option(row.get(i)).map(_.toString).orNull))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("row_idx", LongType, nullable = false),
+      StructField("cells", ArrayType(StringType), nullable = false))))
+  }
+
+  /** Promote row `headerIdx` of a grid to column names (uniquified, C40) and
+    * return the data rows below it as columns. */
+  def promoteHeader(gridDf: DataFrame, headerIdx: Long): DataFrame = {
+    import graft.functions.TextClean
+    val header = gridDf.where(col("row_idx") === headerIdx)
+      .select("cells").collect()(0).getSeq[String](0)
+    val names = TextClean.uniquifyHeaders(
+      header.map(h => Option(h).map(_.trim).filter(_.nonEmpty).getOrElse("col")))
+    val data = gridDf.where(col("row_idx") > headerIdx)
+    names.zipWithIndex.foldLeft(data) { case (df, (name, i)) =>
+      df.withColumn(name, element_at(col("cells"), i + 1))
+    }.drop("cells")
+  }
+
+  /** Fetch a single cell (0-based row/col) — header metadata like buyer B3. */
+  def cellAt(gridDf: DataFrame, rowIdx: Long, colIdx: Int): String = {
+    val r = gridDf.where(col("row_idx") === rowIdx).select("cells").collect()
+    if (r.isEmpty) null
+    else {
+      val cells = r(0).getSeq[String](0)
+      if (colIdx < cells.length) cells(colIdx) else null
+    }
+  }
+}
