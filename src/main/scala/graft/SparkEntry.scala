@@ -650,6 +650,114 @@ object SparkEntry {
       CompanyQueries.directorsPage(directors, page = 1, pageSize = 3)
     }),
 
+    // W3 two-line record merge: a line opening with a 10-digit code but no
+    // date absorbs the following line (lead window + continuation filter).
+    "q45_two_line_merge" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val lines = Seq(
+        (1, 1, "1234567890 ACME CO"), (1, 2, "15/09/2568 1,000.00 PAID"),
+        (1, 3, "9876543210 OTHER LTD 16/09/2568 2,000.00 OK"),
+        (1, 4, "0005554443 THIRD SHOP"), (1, 5, "17/09/2568 300.00 HOLD"))
+        .toDF("page", "line_no", "text")
+      val w = Window.partitionBy(col("page")).orderBy(col("line_no"))
+      val needsMerge = col("text").rlike("^\\d{10}") &&
+        !col("text").rlike("\\d{2}/\\d{2}/\\d{4}")
+      val merged = lines
+        .withColumn("next_text", lead(col("text"), 1).over(w))
+        .withColumn("prev_needs", lag(needsMerge, 1, false).over(w))
+        .where(!col("prev_needs")) // drop absorbed continuation lines
+        .select(col("page"), col("line_no"),
+          when(needsMerge, concat_ws(" ", col("text"), col("next_text")))
+            .otherwise(col("text")).as("record"))
+      merged.orderBy("page", "line_no")
+    }),
+
+    // S2/U1 multi-sheet concat: per-sheet frames tagged with source_sheet,
+    // unioned by name with missing columns allowed.
+    "q46_multisheet_union" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val sheet1 = Seq(("A1", 10.0), ("A2", 20.0)).toDF("code", "amount")
+      val sheet2 = Seq(("B1", 30.0, "extra")).toDF("code", "amount", "note")
+      val tagged = Seq(("Sheet1", sheet1), ("Sheet2", sheet2)).map {
+        case (name, df) => df.withColumn("source_sheet", lit(name))
+      }
+      tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+        .orderBy("code")
+    }),
+
+    // J5/F12 file-stem → row key: supplier code from the file name stamped
+    // on every row, tax-id regex from path (input_file_name + regexp).
+    "q47_file_stem_keys" -> ((s0, d) => {
+      val s = prep(s0)
+      s.read.option("multiLine", "true")
+        .json(s"$fixtures/invoice_records.json")
+        .select(explode(col("records")).as("r"))
+        .select(
+          regexp_extract(input_file_name(), "([^/]+)\\.json$", 1).as("file_stem"),
+          col("r.`Supplier Code`").as("supplier_code"))
+        .where(col("supplier_code").rlike("^\\d+$"))
+        .orderBy("supplier_code")
+    }),
+
+    // C31 Thai honorific name split (นางสาว before นาง — order matters).
+    "q48_thai_name_split" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.TextClean
+      Seq((1, "นางสาวสมหญิง ใจดี"), (2, "นายสมชาย รักเรียน"),
+        (3, "Mr. John Smith"), (4, "มาลี สองนามสกุล ทดสอบ"))
+        .toDF("id", "full_name")
+        .withColumn("p", TextClean.splitThaiName(col("full_name")))
+        .select(col("id"), col("p.title").as("title"),
+          col("p.first_name").as("first_name"), col("p.last_name").as("last_name"))
+        .orderBy("id")
+    }),
+
+    // C45/C46/C47: DBD company-document state machine (typed mapGroups),
+    // director dedupe+renumber, title-card merge.
+    "q49_dbd_doc_parser" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.DbdDocParser
+      val lines = s.read.option("multiLine", "true")
+        .json(s"$fixtures/dbd_docs.json")
+        .select(explode(col("docs")).as("doc"))
+        .select(col("doc.doc_id").as("doc_id"), explode(col("doc.pages")).as("p"))
+        .select(col("doc_id"), col("p.page_number").cast("int").as("page"),
+          posexplode(split(col("p.text"), "\n")).as(Seq("line_no", "text")))
+        .as[DbdDocParser.DocLine]
+      val docs = DbdDocParser.parse(lines).toDF()
+      val cards = s.read.option("multiLine", "true")
+        .json(s"$fixtures/title_cards.json")
+        .select(explode(col("cards")).as("c")).select(col("c.*"))
+      DbdDocParser.mergeTitleCard(docs, cards)
+        .select(col("doc_id"), col("registration_no"), col("registered_date"),
+          col("capital"), to_json(col("directors")).as("directors_json"),
+          col("binding_rule"), col("address"))
+        .orderBy("doc_id")
+    }),
+
+    // Structured Streaming: sliding (overlapping) windows.
+    "q50_stream_sliding" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.slidingCounts(s, d, 600, 300)
+        .orderBy("win_start", "event_type")
+    }),
+
+    // Structured Streaming: stateful sessionization via
+    // flatMapGroupsWithState (30-min inactivity gap).
+    "q51_stream_sessions" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.sessionize(s, d, 1800)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          round(sum(col("total_value")), 2).as("total_value"))
+        .orderBy("user_id")
+    }),
+
     // Content fingerprinting: distinct-digest profile per language.
     "q35_fingerprint_profile" -> ((s0, d) => {
       val s = prep(s0)
@@ -1119,5 +1227,78 @@ object SparkEntry {
         | (CAST(1 AS BIGINT), 2, 'B'),
         | (CAST(4 AS BIGINT), 3, 'C')
         |) AS t(id, director_no, name)""".stripMargin,
+
+    "q45_two_line_merge" ->
+      """SELECT * FROM (VALUES
+        | (1, 1, '1234567890 ACME CO 15/09/2568 1,000.00 PAID'),
+        | (1, 3, '9876543210 OTHER LTD 16/09/2568 2,000.00 OK'),
+        | (1, 4, '0005554443 THIRD SHOP 17/09/2568 300.00 HOLD')
+        |) AS t(page, line_no, record)
+        |ORDER BY page, line_no""".stripMargin,
+
+    "q46_multisheet_union" ->
+      """SELECT * FROM (VALUES
+        | ('A1', CAST(10.0 AS DOUBLE), 'Sheet1', CAST(NULL AS VARCHAR)),
+        | ('A2', CAST(20.0 AS DOUBLE), 'Sheet1', CAST(NULL AS VARCHAR)),
+        | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
+        |) AS t(code, amount, source_sheet, note)
+        |ORDER BY code""".stripMargin,
+
+    "q47_file_stem_keys" ->
+      """SELECT * FROM (VALUES
+        | ('invoice_records', '72195'),
+        | ('invoice_records', '72196')
+        |) AS t(file_stem, supplier_code)
+        |ORDER BY supplier_code""".stripMargin,
+
+    "q48_thai_name_split" ->
+      """SELECT * FROM (VALUES
+        | (1, 'นางสาว', 'สมหญิง', 'ใจดี'),
+        | (2, 'นาย', 'สมชาย', 'รักเรียน'),
+        | (3, 'Mr.', 'John', 'Smith'),
+        | (4, CAST(NULL AS VARCHAR), 'มาลี', 'สองนามสกุล ทดสอบ')
+        |) AS t(id, title, first_name, last_name)
+        |ORDER BY id""".stripMargin,
+
+    "q50_stream_sliding" ->
+      """SELECT win_start, event_type, COUNT(*) AS n FROM (
+        |  SELECT (CAST(floor(epoch(ts)/300) AS BIGINT) - g.g) * 300 AS win_start,
+        |         event_type
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS g(g)) t
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q51_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, epoch, value,
+        |    CASE WHEN LAG(epoch) OVER w IS NULL
+        |           OR epoch - LAG(epoch) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch, value)),
+        |s AS (
+        |  SELECT user_id, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch, value
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id,
+        |  CAST(COUNT(DISTINCT sess) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM s
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q49_dbd_doc_parser" ->
+      """SELECT * FROM (VALUES
+        | ('0105537086874', '0105537086874', '15 มี.ค. 2543', '1,000,000 บาท',
+        |  '[{"no":1,"name":"นายสมชาย รักเรียน"},{"no":2,"name":"นางสาวสมหญิง ใจดี"}]',
+        |  'คือ กรรมการสองคน ลงลายมือชื่อร่วมกัน', 'เชียงใหม่'),
+        | ('0994000158378', '0994000158378', '2001-05-20', '500,000 บาท',
+        |  '[]', CAST(NULL AS VARCHAR), 'กรุงเทพมหานคร')
+        |) AS t(doc_id, registration_no, registered_date, capital,
+        |       directors_json, binding_rule, address)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.1 K-ops), re-expressed for a columnar lake.
+  *
+  * The reference's MySQL tables become partitioned parquet: the
+  * table-per-year scheme (gec_inv_2023/24/25) collapses into one table
+  * partitioned by year (SURVEY §4), so year predicates prune directories
+  * and a MERGE rewrites only affected partitions. */
+object Sinks {
+
+  /** K1: JSON record-array sink → JSON-lines (the scalable spelling of the
+    * reference's pretty-printed arrays; non-ASCII preserved — Spark writes
+    * UTF-8 without escaping by default). */
+  def writeJsonRecords(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K2: CSV sink with header (bs/ic combined matrix shape). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** K4/K5/K6 target: partitioned parquet table keyed by a year column.
+    * Dynamic partition overwrite = the bounded-rewrite MERGE target
+    * (only partitions present in `df` are replaced — the plain-Spark
+    * equivalent of upserting into the year tables). */
+  def writePartitionedByYear(df: DataFrame, path: String, yearCol: String): Unit =
+    df.sparkSession.conf.getOption("spark.sql.sources.partitionOverwriteMode") match {
+      case _ =>
+        df.write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(yearCol)
+          .parquet(path)
+    }
+
+  /** F6 reject channel: valid rows to the main table, rejects (with their
+    * rule names) to a side path — the bulk equivalent of the reference's
+    * per-row error taxonomy + `--dump-fail` files
+    * (ImportInvoiceReport.php:199-291). Returns (validCount, rejectCount)
+    * from a single pass each. */
+  def writeWithRejects(valid: DataFrame, rejects: DataFrame,
+                       mainPath: String, rejectPath: String): (Long, Long) = {
+    valid.write.mode(SaveMode.Overwrite).parquet(mainPath)
+    rejects.withColumn("_failed_rules",
+        concat_ws(",", col("_failed_rules")))
+      .write.mode(SaveMode.Overwrite).json(rejectPath)
+    (valid.sparkSession.read.parquet(mainPath).count(),
+      valid.sparkSession.read.json(rejectPath).count())
+  }
+}

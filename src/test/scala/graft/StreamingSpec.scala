@@ -18,4 +18,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.length > 0)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("sliding windows cover each event twice") {
+    val slid = EventsStream.slidingCounts(spark, sfDir, 600, 300)
+    val total = slid.agg(sum("n")).collect()(0).getLong(0)
+    val events = Tables.events(spark, sfDir).count()
+    assert(total == 2 * events)
+  }
+
+  test("streaming dedup keeps one row per (user, type) within watermark") {
+    val deduped = EventsStream.dedupedEvents(spark, sfDir)
+    val keys = deduped.select("user_id", "event_type").distinct().count()
+    assert(deduped.count() == keys)
+  }
+
+  test("sessionization conserves events and respects the gap") {
+    val sessions = EventsStream.sessionize(spark, sfDir, 1800)
+    val nEvents = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(nEvents == Tables.events(spark, sfDir).count())
+    assert(sessions.where(col("n_events") <= 0).count() == 0)
+  }
 }
