@@ -31,11 +31,15 @@ object OcrRepair {
     val fc1 = regexp_extract(s, "^FC\\D*(\\d)$", 1)
     val fc2 = regexp_extract(s, "^FC\\D*(\\d{2})$", 1)
     val w3  = regexp_extract(s, "^W\\D*(\\d{3})$", 1)
-    when(s.contains("0000"), lit("0000"))
+    // the "0000 anywhere" collapse tests the CLEANED string: stripping
+    // punctuation can create the 0000 run, and checking pre-cleanup would
+    // make the normalizer non-idempotent (PropertySpec caught this)
+    val cleaned = regexp_replace(s, "[^A-Z0-9]", "")
+    when(cleaned.contains("0000"), lit("0000"))
       .when(fc2 =!= "", concat(lit("FC"), fc2))
       .when(fc1 =!= "", concat(lit("FC0"), fc1))
       .when(w3 =!= "", concat(lit("W"), w3))
-      .otherwise(regexp_replace(s, "[^A-Z0-9]", ""))
+      .otherwise(cleaned)
   }
 
   /** C26 doc-ref normalizer + CONSIGN rule (pdf_ocr_rm_to_json.py:164-197):

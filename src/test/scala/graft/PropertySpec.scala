@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.{Money, TextClean, ThaiDates, OcrRepair}
+
+/** Parser-totality property tests (SURVEY.md §5): every cleansing function
+  * must be total — arbitrary garbage in, null-or-valid out, never a throw.
+  * Batched: generate a corpus of hostile strings, run each parser over the
+  * whole corpus in one Spark job, assert row-level invariants. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hostile: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf("ä", "−", "–", "​", " ", "(", ")", ",", ".", "-",
+      "๕", "ก", "/", ":", "%", "0", "1", "9", "O", "I", "l")).map(_.mkString),
+    Gen.numStr,
+    Gen.const(null: String))
+
+  private def corpus(n: Int): Seq[String] =
+    Gen.listOfN(n, hostile).sample.getOrElse(Seq.fill(n)("x"))
+
+  test("money parsers are total and emit finite doubles or null") {
+    val df = (corpus(500) :+ "1,2,3,4.5.6" :+ "((()))" :+ "--..")
+      .toDF("raw")
+      .select(
+        Money.parseAmount(col("raw")).as("a"),
+        Money.parseAmountRobust(col("raw")).as("b"),
+        Money.parseAmountMultiSep(col("raw")).as("c"),
+        Money.dashToZeroTotal(col("raw")).as("d"))
+    df.collect().foreach { r =>
+      Seq(0, 1, 2).foreach { i =>
+        if (!r.isNullAt(i)) assert(!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite)
+      }
+      assert(!r.isNullAt(3)) // zero-fill policy is never null
+    }
+  }
+
+  test("date parsers are total: null or a real date") {
+    val df = (corpus(500) :+ "99/99/9999" :+ "0/0/0" :+ "2568-99-99")
+      .toDF("raw")
+      .select(
+        ThaiDates.parseFlexibleDate(col("raw")).as("d"),
+        ThaiDates.parseFlexibleTimestamp(col("raw")).as("t"),
+        ThaiDates.parseUsDate(col("raw")).as("u"))
+    // collect forces evaluation; invalid components must surface as null,
+    // parseable ones as genuine dates — no exceptions either way
+    val rows = df.collect()
+    assert(rows.length == 503)
+  }
+
+  test("string repair is total and idempotent where it claims to be") {
+    val df = corpus(300).toDF("raw")
+      .select(col("raw"),
+        TextClean.normalizeTaxId(col("raw")).as("tax"),
+        OcrRepair.normalizeBranchCode(col("raw")).as("br"),
+        OcrRepair.normalizeDocRef(col("raw")).as("ref"))
+    df.collect().foreach { r =>
+      if (!r.isNullAt(1)) assert(r.getString(1).matches("\\d{13}"))
+    }
+    // idempotence of branch normalization: f(f(x)) == f(x)
+    val twice = corpus(300).toDF("raw")
+      .select(OcrRepair.normalizeBranchCode(col("raw")).as("once"))
+      .select(col("once"),
+        OcrRepair.normalizeBranchCode(col("once")).as("twice"))
+    twice.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+    }
+  }
+
+  test("jaccard stays in [0,1]; simhash is deterministic") {
+    val texts = corpus(100).filter(_ != null).filter(_.trim.nonEmpty)
+    if (texts.nonEmpty) {
+      val df = texts.toDF("t")
+      val fp1 = df.select(graft.operators.Dedup.simhash64(col("t"))).collect()
+      val fp2 = df.select(graft.operators.Dedup.simhash64(col("t"))).collect()
+      assert(fp1.map(_.getLong(0)).toSeq == fp2.map(_.getLong(0)).toSeq)
+    }
+    import graft.plans.VectorExpressions
+    val j = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 9L))).toDF("a", "b")
+      .select(VectorExpressions.jaccardSorted(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(j == 0.5)
+  }
+}
