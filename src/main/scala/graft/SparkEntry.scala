@@ -758,6 +758,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // C34/C35: remittance-advice tokenizer + full-record regex (glued PDF
+    // text re-spaced, name/branch split on last space, 12/24h repair).
+    "q52_rm_advice_parser" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val lines = Seq(
+        "1234567890 SHOP ONE CENTRAL 01/02/2568 03/02/2568 10:30:45 AM 1,234.50 PAID 1 X99 05/02/2568",
+        "9876543210COMPANY TWO NORTH01/02/2568 03/02/256814:54:26 PM2,000.00PENDING 2 Y88 06/02/2568",
+        "garbage line with no structure").toDF("line")
+      val (records, _) = graft.pipelines.Pipelines.remittanceAdvice(lines, "line")
+      records.orderBy("payee_code")
+    }),
+
+    // IVF ANN (the trained-codebook scale path; deterministic centroids
+    // here). No SQL oracle — candidate set is cluster-derived.
+    "q53_ivf_topk" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("rnk"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Content fingerprinting: distinct-digest profile per language.
     "q35_fingerprint_profile" -> ((s0, d) => {
       val s = prep(s0)
@@ -1259,6 +1285,16 @@ object SparkEntry {
         | (4, CAST(NULL AS VARCHAR), 'มาลี', 'สองนามสกุล ทดสอบ')
         |) AS t(id, title, first_name, last_name)
         |ORDER BY id""".stripMargin,
+
+    "q52_rm_advice_parser" ->
+      """SELECT * FROM (VALUES
+        | ('1234567890', 'SHOP ONE', 'CENTRAL', DATE '2025-02-01', DATE '2025-02-03',
+        |  '10:30:45', CAST(1234.5 AS DOUBLE), 'PAID', 1, 'X99', DATE '2025-02-05'),
+        | ('9876543210', 'COMPANY TWO', 'NORTH', DATE '2025-02-01', DATE '2025-02-03',
+        |  '14:54:26', CAST(2000.0 AS DOUBLE), 'PENDING', 2, 'Y88', DATE '2025-02-06')
+        |) AS t(payee_code, payee_name, branch, doc_date, transfer_date,
+        |       transfer_time, amount, status, seq, ref_code, pay_date)
+        |ORDER BY payee_code""".stripMargin,
 
     "q50_stream_sliding" ->
       """SELECT win_start, event_type, COUNT(*) AS n FROM (

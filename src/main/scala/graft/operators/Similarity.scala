@@ -96,4 +96,42 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
+
+  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
+    * clusters (centroids = the lowest-id vectors — deterministic, no
+    * training iteration; swap in k-means centroids when a trained codebook
+    * exists), assign each corpus vector to its nearest centroid once, and
+    * have each query probe its `nProbe` nearest centroids. Exact cosine
+    * re-ranks within probed clusters.
+    *
+    * Scale shape: assignment is one broadcast pass over the corpus
+    * (nCentroids dots per row); the probe join exchanges only
+    * (centroid_id, vector) pairs for the probed fraction —
+    * candidates/query ≈ corpus × nProbe / nCentroids. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cdot").desc, col("cid"))
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", cosine(col(v), col("cvec")))
+        .withColumn("crnk", row_number().over(w))
+        .where(col("crnk") <= keep)
+        .drop("cvec", "cdot", "crnk")
+    }
+    val assigned = assign(corpus, "corpus_id", "cv", 1)
+    val probes   = assign(queries, "query_id", "qv", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    assigned.join(probes, Seq("cid"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
+  }
 }

@@ -189,6 +189,57 @@ object Pipelines {
       .orderBy("page")
   }
 
+  // ------------------------------------------- Remittance-advice (rm_report)
+
+  /** C34: line tokenizer — re-insert spaces the PDF text layer drops around
+    * dates, times and amounts, then collapse runs
+    * (pdf_ocr_rm_report_to_json.py:34-55). */
+  def tokenizeRmLine(c: Column): Column = {
+    val d1 = regexp_replace(c, "(\\d{2}/\\d{2}/\\d{4})", " $1 ")
+    val t1 = regexp_replace(d1, "(\\d{1,2}:\\d{2}:\\d{2})", " $1 ")
+    val a1 = regexp_replace(t1, "([0-9][0-9,]*\\.\\d{2})(?![0-9])", " $1 ")
+    val h1 = regexp_replace(a1, "^(\\d{10})(?=\\S)", "$1 ")
+    TextClean.normWs(h1)
+  }
+
+  /** C35: the full remittance-advice record regex — 10-digit code,
+    * name+branch (branch = token after the LAST space), two dates, a time
+    * with the C3 12/24h repair, amount, status enum, sequence, code, pay
+    * date (pdf_ocr_rm_report_to_json.py:80-131). Non-matching lines fall
+    * into the `_unmatched` side output (reject channel, like C36). */
+  def remittanceAdvice(lines: DataFrame, lineCol: String): (DataFrame, DataFrame) = {
+    val tok = tokenizeRmLine(col(lineCol))
+    val pat = "^(\\d{10}) (.+?) (\\d{2}/\\d{2}/\\d{4}) (\\d{2}/\\d{2}/\\d{4}) " +
+      "(\\d{1,2}:\\d{2}:\\d{2}(?: ?(?:AM|PM))?) ([0-9,.]+) " +
+      "(PAID|PENDING|REJECTED) (\\d+) (\\S+) (\\d{2}/\\d{2}/\\d{4})$"
+    val tagged = lines.withColumn("__tok", tok)
+    val matched = tagged.where(col("__tok").rlike(pat))
+    val unmatched = tagged.where(!col("__tok").rlike(pat)).drop("__tok")
+
+    val nameBranch = regexp_extract(col("__tok"), pat, 2)
+    val timeRaw = regexp_extract(col("__tok"), pat, 5)
+    val hour = regexp_extract(timeRaw, "^(\\d{1,2}):", 1).cast("int")
+    val timeFixed = when(hour >= 13,
+      regexp_replace(timeRaw, "\\s*(AM|PM)$", "")).otherwise(timeRaw)
+    val t24 = coalesce(
+      try_to_timestamp(timeFixed, lit("H:mm:ss")),
+      try_to_timestamp(timeFixed, lit("h:mm:ss a")))
+
+    val records = matched.select(
+      regexp_extract(col("__tok"), pat, 1).as("payee_code"),
+      regexp_extract(nameBranch, "^(.*) (\\S+)$", 1).as("payee_name"),
+      regexp_extract(nameBranch, "^(.*) (\\S+)$", 2).as("branch"),
+      ThaiDates.parseFlexibleDate(regexp_extract(col("__tok"), pat, 3)).as("doc_date"),
+      ThaiDates.parseFlexibleDate(regexp_extract(col("__tok"), pat, 4)).as("transfer_date"),
+      date_format(t24, "HH:mm:ss").as("transfer_time"),
+      Money.parseAmountRobust(regexp_extract(col("__tok"), pat, 6)).as("amount"),
+      regexp_extract(col("__tok"), pat, 7).as("status"),
+      regexp_extract(col("__tok"), pat, 8).cast("int").as("seq"),
+      regexp_extract(col("__tok"), pat, 9).as("ref_code"),
+      ThaiDates.parseFlexibleDate(regexp_extract(col("__tok"), pat, 10)).as("pay_date"))
+    (records, unmatched)
+  }
+
   // ----------------------------------------------------------- PoCsvPipeline
 
   /** Positional-grid PO report (read_po_csv_to_json.py): buyer cell B3

@@ -137,6 +137,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L))
   }
 
+  test("saltedJoin equals the plain join result") {
+    val big = (1 to 200).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .as[(Int, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .select("k", "v", "name").as[(Int, Int, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("ivfTopK recalls a useful fraction of exact neighbors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   // ---- TextAnalysis
 
   test("langIdMulti identifies real language samples") {
