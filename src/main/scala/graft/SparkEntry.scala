@@ -784,6 +784,17 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Embedding-cosine near-dup pairs (exact baseline; the LSH-blocked
+    // variant is Dedup.embeddingNearDupPairsLSH for post-broadcast scale).
+    "q54_embedding_neardup" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Content fingerprinting: distinct-digest profile per language.
     "q35_fingerprint_profile" -> ((s0, d) => {
       val s = prep(s0)
@@ -1285,6 +1296,19 @@ object SparkEntry {
         | (4, CAST(NULL AS VARCHAR), 'มาลี', 'สองนามสกุล ทดสอบ')
         |) AS t(id, title, first_name, last_name)
         |ORDER BY id""".stripMargin,
+
+    "q54_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q52_rm_advice_parser" ->
       """SELECT * FROM (VALUES

@@ -45,6 +45,23 @@ object TextClean {
     when(hit === "", lit(null).cast("string")).otherwise(hit)
   }
 
+  /** C39: rejoin Thai combining marks split from their base character by a
+    * line break or stray space (OCR artifact): drop whitespace that sits
+    * immediately before a combining vowel/tone mark
+    * (pdf_ocr_dbd_to_json.py:89-94). */
+  def rejoinCombiningMarks(c: Column): Column =
+    regexp_replace(c.cast("string"),
+      "\\s+(?=[\\u0E31\\u0E33-\\u0E3A\\u0E47-\\u0E4E])", "")
+
+  /** C43: glued-number / embedded-total cell repair — take the FIRST number
+    * in a cell that contains prose or two run-together numbers
+    * (pdf_ocr_sale_invoice_to_json.py:112-120). */
+  def firstNumber(c: Column): Column = {
+    val hit = regexp_extract(c.cast("string"), "([0-9][0-9,]*(?:\\.\\d+)?)", 1)
+    when(hit === "", lit(null).cast("double"))
+      .otherwise(graft.functions.Money.parseAmountRobust(hit))
+  }
+
   /** C40 header uniquify — driver-side schema repair before `toDF(names)`:
     * duplicate header names become `name_2`, `name_3`, …
     * (read_po_csv_to_json.py:198-208). */

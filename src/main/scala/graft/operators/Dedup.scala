@@ -117,6 +117,45 @@ object Dedup {
     graft.plans.VectorExpressions.simhash64(
       split(lower(regexp_replace(trim(text), "\\s+", " ")), " "))
 
+  /** Embedding-cosine near-dup pairs, exact: all (id_a < id_b) pairs with
+    * cosine >= threshold. One broadcast pass — correct baseline; use the
+    * LSH variant below when the corpus no longer fits a broadcast. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    import graft.plans.VectorExpressions.{dot => vdot}
+    // norms once per row (not per pair): pair cost drops to a single dot
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", sqrt(vdot(col("va"), col("va"))))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", sqrt(vdot(col("vb"), col("vb"))))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+        .otherwise(vdot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH blocking: candidate
+    * pairs share a bucket in >=1 of `nTables` tables; exact cosine verifies.
+    * Shuffle volume O(rows × nTables); recall grows with nTables. */
+  def embeddingNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nTables: Int = 8,
+                               nPlanes: Int = 8): DataFrame = {
+    import graft.operators.Similarity
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.lshBucket(col("v"), t, nPlanes).as("b"))): _*)))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** SimHash near-dup pairs: block on 4×16-bit bands (any pair within
     * Hamming distance 3 shares at least one band), verify with popcount of
     * XOR. Returns (id_a, id_b, hamming). */

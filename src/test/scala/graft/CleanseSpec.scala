@@ -136,6 +136,15 @@ class CleanseSpec extends SparkSpec {
     assert(rep.toSeq == Seq("INV12345-A", "XYZ"))
   }
 
+  test("rejoinCombiningMarks re-attaches split Thai marks") {
+    assert(one[String](TextClean.rejoinCombiningMarks(lit("กา ้ว"))) == "กา้ว")
+  }
+
+  test("firstNumber extracts the first number from glued cells") {
+    assert(onDf(Seq("total 1,234.50 of 2", "12.5อะไร", "no digits"))(TextClean.firstNumber)
+      == Seq(1234.5, 12.5, null))
+  }
+
   test("canonicalizeCrossdock maps variants") {
     val got = Seq("CROSS DOCK", "other").toDF("raw")
       .select(OcrRepair.canonicalizeCrossdock(col("raw")).as("c"))

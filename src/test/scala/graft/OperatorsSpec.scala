@@ -160,6 +160,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("embedding near-dup: LSH candidates are a high-recall subset of exact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairsLSH(emb, "vec_id", "embedding", 0.35,
+      nTables = 8, nPlanes = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verify step guarantees no false positives
+    if (exact.nonEmpty)
+      assert((exact & lsh).size.toDouble / exact.size >= 0.3)
+  }
+
   // ---- TextAnalysis
 
   test("langIdMulti identifies real language samples") {
