@@ -795,6 +795,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // CUBE over two dimensions (grouping-sets family, §2.4 extension).
+    "q55_cube_status_priority" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // Content fingerprinting: distinct-digest profile per language.
     "q35_fingerprint_profile" -> ((s0, d) => {
       val s = prep(s0)
@@ -1296,6 +1306,13 @@ object SparkEntry {
         | (4, CAST(NULL AS VARCHAR), 'มาลี', 'สองนามสกุล ทดสอบ')
         |) AS t(id, title, first_name, last_name)
         |ORDER BY id""".stripMargin,
+
+    "q55_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q54_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),

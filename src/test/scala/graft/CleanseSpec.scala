@@ -136,6 +136,38 @@ class CleanseSpec extends SparkSpec {
     assert(rep.toSeq == Seq("INV12345-A", "XYZ"))
   }
 
+  test("two-digit-year policy B forces 20yy always") {
+    assert(one[Int](ThaiDates.expandYyAlways20(lit(68))) == 2068)
+    assert(one[Int](ThaiDates.expandYy(lit(68))) == 1968) // policy A differs
+  }
+
+  test("thaiMonthNum resolves full names and OCR abbreviations") {
+    assert(onDf(Seq("มกราคม", "ธ.ค.", "nonsense"))(ThaiDates.thaiMonthNum)
+      == Seq(1, 12, null))
+  }
+
+  test("money rounding: 2dp money, 3dp quantities") {
+    assert(one[Double](Money.money2(lit(1.2345))) == 1.23)
+    assert(one[Double](Money.qty3(lit(1.23456))) == 1.235)
+  }
+
+  test("coerceNumericZeroFill falls through cast → robust parse → 0") {
+    assert(onDf(Seq("12.5", "1,000", "junk"))(Money.coerceNumericZeroFill)
+      == Seq(12.5, 1000.0, 0.0))
+  }
+
+  test("stripDotZero removes trailing .0 runs only") {
+    assert(onDf(Seq("IV123.000", "IV123.5"))(TextClean.stripDotZero)
+      == Seq("IV123", "IV123.5"))
+  }
+
+  test("noise-label filter matches fixed set and prefixes") {
+    import graft.operators.RowFilters
+    val got = Seq("หน่วย : บาท", "หมายเหตุ something", "รายได้รวม")
+      .toDF("l").select(RowFilters.isNoiseLabel(col("l"))).collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, true, false))
+  }
+
   test("rejoinCombiningMarks re-attaches split Thai marks") {
     assert(one[String](TextClean.rejoinCombiningMarks(lit("กา ้ว"))) == "กา้ว")
   }
