@@ -117,6 +117,14 @@ object Dedup {
     graft.plans.VectorExpressions.simhash64(
       split(lower(regexp_replace(trim(text), "\\s+", " ")), " "))
 
+  /** Winnowing fingerprint of a text column (rolling k-gram hashes, window
+    * minima — Schleimer et al. '03): a sorted array of selected hashes per
+    * document. Overlap between two documents' fingerprints estimates shared
+    * content robustly to insertion/reordering; pairs compare with
+    * `VectorExpressions.jaccardSorted` directly (already sorted). */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.plans.VectorExpressions.winnow(tokens(text), k, w)
+
   /** Embedding-cosine near-dup pairs, exact: all (id_a < id_b) pairs with
     * cosine >= threshold. One broadcast pass — correct baseline; use the
     * LSH variant below when the corpus no longer fits a broadcast. */

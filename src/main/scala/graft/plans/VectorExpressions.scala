@@ -82,6 +82,46 @@ object VectorOps {
     bucket
   }
 
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD '03): hash every
+    * k-gram of the token array (xxhash64, seed 42), slide a window of `w`
+    * hashes, keep each window's minimum (rightmost on ties) — the standard
+    * position-robust document fingerprint for near-dup/overlap detection.
+    * Returns the distinct selected hashes, sorted. */
+  def winnow(arr: ArrayData, k: Int, w: Int): Array[Long] = {
+    val n = arr.numElements()
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return Array.emptyLongArray
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 42L
+      var j = 0
+      while (j < k) {
+        if (!arr.isNullAt(i + j))
+          h = XxHash64Function.hash(arr.getUTF8String(i + j), StringType, h)
+        j += 1
+      }
+      grams(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    if (nGrams <= w) { out += grams.min }
+    else {
+      var s = 0
+      while (s <= nGrams - w) {
+        var minIdx = s
+        var j = s
+        while (j < s + w) {
+          if (grams(j) <= grams(minIdx)) minIdx = j
+          j += 1
+        }
+        out += grams(minIdx)
+        s += 1
+      }
+    }
+    out.toArray
+  }
+
   /** Exact Jaccard of two SORTED, deduplicated long arrays via a linear
     * merge walk — no hash set, no boxing. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
@@ -149,6 +189,19 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class Winnow(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.winnow(v.asInstanceOf[ArrayData], k, w))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.winnow($a, $k, $w));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class JaccardSortedLongs(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -173,4 +226,6 @@ object VectorExpressions {
     column(HyperplaneBucket(expression(vec), table, nPlanes))
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSortedLongs(expression(a), expression(b)))
+  def winnow(tokens: Column, k: Int, w: Int): Column =
+    column(Winnow(expression(tokens), k, w))
 }

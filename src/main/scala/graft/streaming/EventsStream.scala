@@ -88,6 +88,40 @@ object EventsStream {
     runToTable(deduped, "append")
   }
 
+  /** The reference's import loop (S10 → F6 → K4) in streaming form:
+    * readStream → validate → foreachBatch MERGE into a parquet table keyed
+    * by event_id. Each micro-batch upserts idempotently — replaying a batch
+    * (at-least-once delivery) cannot duplicate rows, which is the
+    * exactly-once-by-key contract the reference's updateOrCreate gives. */
+  def streamingUpsert(spark: SparkSession, dir: String, targetPath: String): Unit = {
+    import graft.operators.Merge
+    val events = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: Throwable => batch.sparkSession.emptyDataFrame }
+        val merged =
+          if (existing.isEmpty) batch.toDF()
+          else Merge.upsert(existing, batch.toDF(), Seq("event_id"))
+        // write to a temp dir then swap — plain parquet has no transactional
+        // MERGE; at scale this is a partition-scoped rewrite (Sinks)
+        val tmp = targetPath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stateful sessionization: per-user session = events with < `gapSec`
     * between them (flatMapGroupsWithState with event-time timeout — custom
     * state beyond built-in windows, the KeyValueGroupedDataset path). */

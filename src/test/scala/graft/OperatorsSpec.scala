@@ -172,6 +172,31 @@ class OperatorsSpec extends SparkSpec {
       assert((exact & lsh).size.toDouble / exact.size >= 0.3)
   }
 
+  test("winnowing fingerprints overlap heavily for shifted documents") {
+    import graft.plans.VectorExpressions
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val shifted = "prefix other words " + base
+    val other = (100 until 160).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, shifted), (3L, other)).toDF("id", "text")
+      .withColumn("fp", Dedup.winnowFingerprint(col("text"), 5, 4))
+    val fps = df.orderBy("id").collect().map(_.getSeq[Long](2).toSet)
+    val simShift = (fps(0) & fps(1)).size.toDouble / (fps(0) | fps(1)).size
+    val simOther = (fps(0) & fps(2)).size.toDouble / (fps(0) | fps(2)).size
+    assert(simShift > 0.6, s"shifted sim $simShift")
+    assert(simOther == 0.0, s"unrelated sim $simOther")
+  }
+
+  test("validation observe() metrics report seen/invalid counts") {
+    val df = Seq((1, "7"), (2, "x"), (3, null)).toDF("id", "amt")
+    val obs = new org.apache.spark.sql.Observation("v")
+    val rules = Seq(Validation.notNull("amt"), Validation.numeric("amt"))
+    val anyFail = rules.map(r => !coalesce(r.pred, lit(false))).reduce(_ || _)
+    df.observe(obs, count(lit(1)).as("rows_seen"),
+        sum(when(anyFail, 1L).otherwise(0L)).as("rows_invalid"))
+      .collect()
+    assert(obs.get("rows_seen") == 3L && obs.get("rows_invalid") == 2L)
+  }
+
   // ---- TextAnalysis
 
   test("langIdMulti identifies real language samples") {

@@ -32,6 +32,16 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == keys)
   }
 
+  test("streaming upsert is idempotent by event_id") {
+    val target = java.nio.file.Files.createTempDirectory("graft_su").toString + "/t"
+    EventsStream.streamingUpsert(spark, sfDir, target)
+    val n1 = spark.read.parquet(target).count()
+    // replay the whole stream — the MERGE must not duplicate anything
+    EventsStream.streamingUpsert(spark, sfDir, target)
+    val n2 = spark.read.parquet(target).count()
+    assert(n1 == n2 && n1 == Tables.events(spark, sfDir).count())
+  }
+
   test("sessionization conserves events and respects the gap") {
     val sessions = EventsStream.sessionize(spark, sfDir, 1800)
     val nEvents = sessions.agg(sum("n_events")).collect()(0).getLong(0)
