@@ -80,9 +80,21 @@ object TextClean {
     * (BolApiController.php:490-506; the PublicApiController.php:719-735
     * variant has them reversed and thus never matches `นางสาว` — we keep the
     * correct order and note the variant). */
-  def splitThaiName(c: Column): Column = {
-    val honorifics = Seq("นางสาว", "นาย", "นาง", "ดร\\.", "ผศ\\.ดร\\.",
-      "Mr\\.", "Mrs\\.", "Ms\\.")
+  def splitThaiName(c: Column): Column =
+    splitThaiNameWith(c, Seq("นางสาว", "นาย", "นาง", "ดร\\.", "ผศ\\.ดร\\.",
+      "Mr\\.", "Mrs\\.", "Ms\\."))
+
+  /** C31 variant B — the PublicApiController.php:719-735 honorific order,
+    * where `นาง` precedes `นางสาว` in the alternation so `นางสาว` never
+    * matches as a unit (title = `นาง`, the `สาว` residue fuses into the
+    * first name). Preserved as a named variant per SURVEY §7.4.3: the
+    * survey's map is the contract; inconsistencies are replicated
+    * per-pipeline, not silently "fixed". */
+  def splitThaiNameControllerVariant(c: Column): Column =
+    splitThaiNameWith(c, Seq("นาย", "นาง", "นางสาว", "ดร\\.", "ผศ\\.ดร\\.",
+      "Mr\\.", "Mrs\\.", "Ms\\."))
+
+  private def splitThaiNameWith(c: Column, honorifics: Seq[String]): Column = {
     val s = normWs(stripInvisible(c))
     val pat = s"^(${honorifics.mkString("|")})\\s*(.*)$$"
     val title = regexp_extract(s, pat, 1)

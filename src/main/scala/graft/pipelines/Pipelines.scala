@@ -189,6 +189,26 @@ object Pipelines {
       .orderBy("page")
   }
 
+  /** SURVEY §7.4.3 named variants: the reference ships two Thai-key rename
+    * maps that SWAP `วันที่` / `วันที่เอกสาร` between importers
+    * (ImportRmReport.php:68-79 vs ImportRemAdvice.php:67-78). Both are
+    * preserved verbatim — callers pick the variant matching their source;
+    * neither is "the right one". */
+  val rmReportKeyMap: Map[String, String] = Map(
+    "วันที่" -> "doc_date", "วันที่เอกสาร" -> "transfer_date",
+    "วันที่จ่ายเงิน" -> "pay_date", "รหัสผู้ขาย" -> "vendor_code",
+    "รหัสสาขา" -> "branch", "ประเภทเอกสาร" -> "doc_type",
+    "เลขที่เอกสาร" -> "doc_no", "เลขที่เอกสารอ้างอิง" -> "ref_doc_no",
+    "จำนวน" -> "amount", "หน้า" -> "page")
+  val remAdviceKeyMap: Map[String, String] =
+    rmReportKeyMap ++ Map("วันที่" -> "transfer_date", "วันที่เอกสาร" -> "doc_date")
+
+  /** Apply one of the key-map variants to a Thai-keyed remittance frame. */
+  def renameRemittanceKeys(df: DataFrame, keyMap: Map[String, String]): DataFrame =
+    keyMap.foldLeft(df) { case (acc, (th, en)) =>
+      if (acc.columns.contains(th)) acc.withColumnRenamed(th, en) else acc
+    }
+
   // ------------------------------------------- Remittance-advice (rm_report)
 
   /** C34: line tokenizer — re-insert spaces the PDF text layer drops around

@@ -99,6 +99,27 @@ class CleanseSpec extends SparkSpec {
     assert(rows(1).getString(0) == "Mr." && rows(1).getString(1) == "John")
   }
 
+  test("C31 controller variant mis-handles นางสาว exactly like the reference") {
+    val df = Seq("นางสาวสมหญิง ใจดี").toDF("raw").select(
+      TextClean.splitThaiName(col("raw")).as("good"),
+      TextClean.splitThaiNameControllerVariant(col("raw")).as("buggy"))
+    val r = df.select("good.title", "buggy.title", "buggy.first_name").collect()(0)
+    assert(r.getString(0) == "นางสาว")
+    assert(r.getString(1) == "นาง")          // นาง matches first...
+    assert(r.getString(2) == "สาวสมหญิง")    // ...and สาว fuses into the name
+  }
+
+  test("rm key-map variants swap doc/transfer dates as the importers do") {
+    import graft.pipelines.Pipelines
+    assert(Pipelines.rmReportKeyMap("วันที่") == "doc_date")
+    assert(Pipelines.remAdviceKeyMap("วันที่") == "transfer_date")
+    val df = Seq(("2025-01-01", "2025-01-02")).toDF("วันที่", "วันที่เอกสาร")
+    assert(Pipelines.renameRemittanceKeys(df, Pipelines.rmReportKeyMap)
+      .columns.toSeq == Seq("doc_date", "transfer_date"))
+    assert(Pipelines.renameRemittanceKeys(df, Pipelines.remAdviceKeyMap)
+      .columns.toSeq == Seq("transfer_date", "doc_date"))
+  }
+
   test("poTail extracts 8-14 digit run") {
     assert(onDf(Seq("PO:1013090869", "no digits"))(TextClean.poTail)
       == Seq("1013090869", null))
