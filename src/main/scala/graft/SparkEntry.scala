@@ -805,6 +805,35 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Cleansing-DSL matrix: the remaining §2.7 scalar ops under the oracle
+    // gate — Excel serial (C8), Thai card date (C10), percent (C15), range
+    // split (C17), tail lookalikes (C23), branch code (C25), doc-ref (C26),
+    // best token (C27), crossdock (C29).
+    "q56_cleanse_matrix" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.{Money, OcrRepair, ThaiDates}
+      Seq(
+        (1, 45000, "15 มี.ค. 2543", "12.3%", "1.5 - 2.5", "FC 7", "C0NS1GN-00",
+          "เน xx 1NV68071 ab12", "bl12O3l", "CROSS DOCK"),
+        (2, 45658, "1 ม.ค. 2569", "0.5%", "10 - 20", "x0000y", "1V68071",
+          "short a9", "iv5l6", "regular"))
+        .toDF("id", "serial", "card", "pct", "rng", "branch", "docref",
+          "tokens", "inv", "xdock")
+        .select(col("id"),
+          ThaiDates.excelSerialToDate(col("serial")).as("serial_date"),
+          ThaiDates.parseThaiCardDate(col("card")).as("card_date"),
+          Money.percentValue(col("pct")).as("pct_value"),
+          Money.rangeSplit(col("rng")).getField("start").as("rng_start"),
+          Money.rangeSplit(col("rng")).getField("end").as("rng_end"),
+          OcrRepair.normalizeBranchCode(col("branch")).as("branch_norm"),
+          OcrRepair.normalizeDocRef(col("docref")).as("docref_norm"),
+          OcrRepair.bestToken(col("tokens")).as("best_token"),
+          OcrRepair.repairTailLookalikes(col("inv")).as("inv_norm"),
+          OcrRepair.canonicalizeCrossdock(col("xdock")).getField("label").as("xdock_label"))
+        .orderBy("id")
+    }),
+
     // Content fingerprinting: distinct-digest profile per language.
     "q35_fingerprint_profile" -> ((s0, d) => {
       val s = prep(s0)
@@ -1305,6 +1334,18 @@ object SparkEntry {
         | (3, 'Mr.', 'John', 'Smith'),
         | (4, CAST(NULL AS VARCHAR), 'มาลี', 'สองนามสกุล ทดสอบ')
         |) AS t(id, title, first_name, last_name)
+        |ORDER BY id""".stripMargin,
+
+    "q56_cleanse_matrix" ->
+      """SELECT * FROM (VALUES
+        | (1, DATE '2023-03-15', DATE '2000-03-15', CAST(12.3 AS DOUBLE),
+        |  CAST(1.5 AS DOUBLE), CAST(2.5 AS DOUBLE), 'FC07', 'CONSIGN-00',
+        |  '1NV68071', 'BL12031', 'Crossdock'),
+        | (2, DATE '2025-01-01', DATE '2026-01-01', CAST(0.5 AS DOUBLE),
+        |  CAST(10.0 AS DOUBLE), CAST(20.0 AS DOUBLE), '0000', 'IV68071',
+        |  'SH0RT', 'IV516', 'regular')
+        |) AS t(id, serial_date, card_date, pct_value, rng_start, rng_end,
+        |       branch_norm, docref_norm, best_token, inv_norm, xdock_label)
         |ORDER BY id""".stripMargin,
 
     "q55_cube_status_priority" ->
