@@ -834,6 +834,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Exact order statistics (analytic-aggregate family): median + IQR
+    // bounds per group. Exact percentile sorts within the agg — at 100 TB
+    // switch to approx_percentile and accept the sketch error; here the
+    // oracle gate wants bit-exact linear interpolation.
+    "q57_quantiles" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("median_qty"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Content fingerprinting: distinct-digest profile per language.
     "q35_fingerprint_profile" -> ((s0, d) => {
       val s = prep(s0)
@@ -1335,6 +1350,16 @@ object SparkEntry {
         | (4, CAST(NULL AS VARCHAR), 'มาลี', 'สองนามสกุล ทดสอบ')
         |) AS t(id, title, first_name, last_name)
         |ORDER BY id""".stripMargin,
+
+    "q57_quantiles" ->
+      """SELECT l_returnflag,
+        | median(l_quantity) AS median_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q56_cleanse_matrix" ->
       """SELECT * FROM (VALUES
