@@ -45,25 +45,13 @@ object ThaiDates {
     * on whichever side holds the year, two-digit-year expansion, and a
     * month>12/day<=12 swap fix (ImportInvoiceReport.php:372-473).
     * Returns a DateType column, null when unparseable — parser totality
-    * mirrors the reference's null-on-failure contract. */
-  def parseFlexibleDate(raw: Column): Column = {
-    val c  = norm(raw)
-    val m  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 0)
-    val a  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 1).cast("int")
-    val b  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 2).cast("int")
-    val d  = regexp_extract(c, "^(\\d{1,4})-(\\d{1,2})-(\\d{1,4})$", 3).cast("int")
-    // year position: 4-digit (or B.E.) leading token → y-m-d, else d-m-y
-    val yFirst = a >= 1000
-    val yearRaw  = when(yFirst, a).otherwise(d)
-    val year0 = when(yearRaw < 100, expandYy(yearRaw)).otherwise(beYear(yearRaw))
-    val mon0  = b
-    val day0  = when(yFirst, d).otherwise(a)
-    // swap repair: month slot > 12 but day slot <= 12 → swapped input
-    val swapped = mon0 > 12 && day0 <= 12
-    val mon  = when(swapped, day0).otherwise(mon0)
-    val day  = when(swapped, mon0).otherwise(day0)
-    when(m =!= "", tryMakeDate(year0, mon, day)).otherwise(lit(null).cast("date"))
-  }
+    * mirrors the reference's null-on-failure contract.
+    *
+    * Runs as a custom codegen'd expression (graft.plans.DateKernels): the
+    * equivalent Column cascade inlined itself ~6× per use and blew the
+    * 64KB generated-method limit on multi-date projections. */
+  def parseFlexibleDate(raw: Column): Column =
+    graft.plans.DateExpressions.parseFlexDate(raw.cast("string"))
 
   /** Strip a bogus AM/PM suffix when the hour is already 24h (`14:54:26 PM`),
     * then parse; 12h forms with a valid hour go through `h:mm:ss a`.
