@@ -11,10 +11,11 @@ import graft.core.Tables
   * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` (same column
   * names, same ordering, exact-match-safe numerics).
   *
-  * Numeric policy for oracle parity: big sums are computed over per-row
-  * DECIMAL casts (exact, engine-independent); small-magnitude statistics
-  * (avg, ratios) are rounded. Both sides order by a unique key so the
-  * row-stream hashes identically.
+  * Numeric policy for oracle parity: money sums are computed over per-row
+  * scaled-integer rounding (exact, engine- and reader-independent; see
+  * graft.functions.Numeric) and emitted as DOUBLE; small-magnitude
+  * statistics (avg, ratios) are rounded. Both sides order by a unique key
+  * so the row-stream hashes identically.
   */
 object SparkEntry {
 
@@ -28,10 +29,14 @@ object SparkEntry {
   /** Pipeline fixtures (FIXTURES.md shapes) shipped with the repo. */
   private val fixtures = "/root/repo/src/test/resources/fixtures"
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dec6(c: Column): Column = c.cast(DecimalType(28, 6))
-  private def sum2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
-  private def sum6(c: Column): Column = sum(dec6(c)).cast(DecimalType(38, 6))
+  // Money outputs stay DOUBLE end-to-end: quantize in the double domain,
+  // sum as exact scaled integers, convert back with one deterministic
+  // IEEE op per side — bit-identical across engines AND across readers
+  // (DECIMAL output columns render differently between readers; see
+  // graft.functions.Numeric).
+  private def dec2(c: Column): Column = graft.functions.Numeric.quantizeD(c, 2)
+  private def sum2(c: Column): Column = graft.functions.Numeric.sumExactD(c, 2)
+  private def sum6(c: Column): Column = graft.functions.Numeric.sumExactD(c, 6)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -867,10 +872,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS sum_disc_price,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS sum_charge,
         | ROUND(AVG(l_quantity), 4) AS avg_qty,
         | ROUND(AVG(l_extendedprice), 4) AS avg_price,
         | ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -882,7 +887,7 @@ object SparkEntry {
 
     "q02_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -894,7 +899,7 @@ object SparkEntry {
 
     "q03_top_orders" ->
       """SELECT o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
@@ -911,7 +916,7 @@ object SparkEntry {
 
     "q05_customers_without_orders" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        | CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100 AS total_acctbal
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -920,7 +925,7 @@ object SparkEntry {
 
     "q06_forecast_revenue" ->
       """SELECT
-        | CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
         | COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -931,7 +936,7 @@ object SparkEntry {
     "q07_top_orders_per_segment" ->
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        |    ROUND(o_totalprice*100)/100 AS o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders JOIN customer ON o_custkey = c_custkey) t
@@ -949,8 +954,8 @@ object SparkEntry {
 
     "q09_pivot_returnflag" ->
       """SELECT l_returnflag,
-        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "F",
-        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "O"
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS DOUBLE)/100 AS "F",
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(ROUND(l_quantity*100) AS BIGINT) END) AS DOUBLE)/100 AS "O"
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -1028,7 +1033,7 @@ object SparkEntry {
     "q17_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         | event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        | CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_epoch, event_type""".stripMargin,
@@ -1045,7 +1050,7 @@ object SparkEntry {
 
     "q19_rollup_revenue" ->
       """SELECT n_name, c_mktsegment,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS revenue,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -1081,8 +1086,8 @@ object SparkEntry {
 
     "q22_merge_upsert" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
-        |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | CAST(SUM(CAST(ROUND((CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |                    ELSE o_totalprice END)*100) AS BIGINT)) AS DOUBLE)/100 AS total
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -1216,7 +1221,7 @@ object SparkEntry {
     "q33_stream_tumbling" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start,
         | event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        | CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
@@ -1251,11 +1256,11 @@ object SparkEntry {
     "q38_reconcile_totals" ->
       """WITH sums AS (
         |  SELECT l_orderkey AS o_orderkey,
-        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS line_total
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS line_total
         |  FROM lineitem GROUP BY 1)
         |SELECT within_1pct, COUNT(*) AS n_orders FROM (
-        |  SELECT abs(line_total - CAST(o_totalprice AS DECIMAL(18,2)))
-        |         <= CAST(o_totalprice AS DECIMAL(18,2)) * 0.01 AS within_1pct
+        |  SELECT abs(line_total - ROUND(o_totalprice*100)/100)
+        |         <= ROUND(o_totalprice*100)/100 * 0.01 AS within_1pct
         |  FROM orders JOIN sums USING (o_orderkey)) t
         |GROUP BY within_1pct
         |ORDER BY within_1pct""".stripMargin,
@@ -1300,8 +1305,8 @@ object SparkEntry {
 
     "q42_rm_reconcile" ->
       """SELECT * FROM (VALUES
-        | (CAST(1 AS BIGINT), CAST(2734.50 AS DECIMAL(38,2)), CAST(2734.50 AS DECIMAL(38,2)), CAST(0.00 AS DECIMAL(38,2))),
-        | (CAST(2 AS BIGINT), CAST(2750.25 AS DECIMAL(38,2)), CAST(2750.25 AS DECIMAL(38,2)), CAST(0.00 AS DECIMAL(38,2)))
+        | (CAST(1 AS BIGINT), CAST(2734.50 AS DOUBLE), CAST(2734.50 AS DOUBLE), CAST(0.00 AS DOUBLE)),
+        | (CAST(2 AS BIGINT), CAST(2750.25 AS DOUBLE), CAST(2750.25 AS DOUBLE), CAST(0.00 AS DOUBLE))
         |) AS t(page, tx_sum, grand_total, diff)
         |ORDER BY page""".stripMargin,
 
@@ -1375,7 +1380,7 @@ object SparkEntry {
 
     "q55_cube_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,

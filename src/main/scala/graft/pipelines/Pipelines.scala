@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{Money, OcrRepair, TextClean, ThaiDates}
+import graft.functions.{Money, Numeric, OcrRepair, TextClean, ThaiDates}
 import graft.operators.{Dedup, Merge, Reshape, RowFilters, Validation}
 import graft.sources.Ingest
 
@@ -180,12 +180,13 @@ object Pipelines {
   def remittanceReconcile(spark: SparkSession, jsonPath: String): DataFrame = {
     val (tx, totals) = remittanceParsed(spark, jsonPath)
     val sums = tx.groupBy(col("หน้า").as("page"))
-      .agg(sum(col("จำนวน").cast("decimal(18,2)")).cast("decimal(38,2)").as("tx_sum"))
+      .agg(Numeric.sumExactD(col("จำนวน"), 2).as("tx_sum"))
+    val gt = Numeric.quantizeD(col("grand_total"), 2)
     totals.join(sums, Seq("page"), "left")
       .select(col("page"),
         col("tx_sum"),
-        col("grand_total").cast("decimal(38,2)").as("grand_total"),
-        (col("tx_sum") - col("grand_total").cast("decimal(38,2)")).as("diff"))
+        gt.as("grand_total"),
+        (col("tx_sum") - gt).as("diff"))
       .orderBy("page")
   }
 

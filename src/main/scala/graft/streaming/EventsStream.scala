@@ -31,7 +31,7 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        graft.functions.Numeric.sumExactD(col("value"), 2).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("total_value"))
 

@@ -13,7 +13,7 @@ class StreamingSpec extends SparkSpec {
       .groupBy((floor(unix_timestamp(col("ts")) / 300) * 300).as("win_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        graft.functions.Numeric.sumExactD(col("value"), 2).as("total_value"))
       .orderBy("win_start", "event_type").collect()
     assert(streamed.length == batch.length && streamed.length > 0)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
