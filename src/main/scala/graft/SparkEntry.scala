@@ -443,40 +443,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // N-gram Jaccard near-dup detection, blocked by (source, lang) —
-    // injected mutants (one appended token) must pair with their originals.
+    // N-gram Jaccard near-dup detection over the WHOLE corpus — injected
+    // mutants (one appended token) must pair with their originals. Blocking
+    // is prefix-filter (PPJoin-style inverted index over each doc's rarest
+    // shingles), which is COMPLETE — identical output to the all-pairs
+    // oracle — and scale-safe: bucket sizes are bounded by shingle document
+    // frequency, not by coarse metadata blocks like (source, lang) whose
+    // members explode into near-cartesian self-joins at 100 TB.
     "q29_ngram_jaccard_pairs" -> ((s0, d) => {
       val s = prep(s0)
       import graft.operators.Dedup
-      val base = Tables.documents(s, d).select("doc_id", "text", "source", "lang")
+      val base = Tables.documents(s, d).select("doc_id", "text")
       val mutants = base.where(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 200000)
         .withColumn("text", concat(col("text"), lit(" extra suffix token")))
-      // shingles hashed to sorted 64-bit ids: Jaccard runs as a linear merge
-      // (custom expression, no boxing); set sizes are collision-free in
-      // practice so counts equal the string-shingle oracle. The join carries
-      // a PPJoin-style length-ratio prune — |a∩b|/|a∪b| ≥ t forces
-      // min(|a|,|b|)/max(|a|,|b|) ≥ t, so undersized pairs never reach the
-      // merge. Each row crosses the shuffle once (join on block key), not
-      // once per pair.
-      val all = base.unionByName(mutants)
-        .withColumn("toks", Dedup.tokens(col("text")))
-        .withColumn("sh", array_sort(transform(
-          Dedup.shinglesFromTokens(col("toks"), 3), t => xxhash64(t))))
-        .drop("toks")
-        .withColumn("sz", size(col("sh")))
-      val a = all.select(col("source"), col("lang"), col("doc_id").as("id_a"),
-        col("sh").as("sh_a"), col("sz").as("sz_a"))
-      val b = all.select(col("source"), col("lang"), col("doc_id").as("id_b"),
-        col("sh").as("sh_b"), col("sz").as("sz_b"))
-      a.join(b, Seq("source", "lang"))
-        .where(col("id_a") < col("id_b") &&
-          least(col("sz_a"), col("sz_b")).cast("double") /
-            greatest(col("sz_a"), col("sz_b")) >= 0.5)
-        .withColumn("jaccard", round(
-          graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")), 6))
-        .where(col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
+      Dedup.jaccardPairsPrefixFilter(base.unionByName(mutants),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1185,8 +1168,7 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id) p
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 

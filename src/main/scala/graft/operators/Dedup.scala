@@ -101,10 +101,71 @@ object Dedup {
         minhashSignature(col("sh"), k), bands, rowsPerBand)))
     val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // Verify BEFORE the pair-dedup: the shingle arrays then cross exactly
+    // one exchange (the band join); the dedup shuffle carries only
+    // (id_a, id_b, jaccard). A pair sharing m bands pays m verifications —
+    // m is small (usually 1-2) while a post-join array shuffle is a full
+    // second exchange of every candidate's payload.
     a.join(b, Seq("band"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs over the WHOLE corpus via
+    * prefix-filter candidate generation (PPJoin family: Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW '08;
+    * Chaudhuri et al., ICDE '06).
+    *
+    * Unlike LSH banding this is COMPLETE — every pair with Jaccard >=
+    * `threshold` is found, no recall loss — yet still scale-safe: candidates
+    * come from an inverted index over each document's `prefLen` RAREST
+    * shingles (global document-frequency order), so bucket sizes are bounded
+    * by shingle frequency, never by coarse metadata blocks.
+    *
+    * Completeness: with every shingle set ordered by the same total order
+    * (df asc, hash asc) and suffix length |s_x| = |x| - prefLen(x) <
+    * t/(1+t)·|x| - 1 per side, a pair with J >= t has common overlap
+    * o >= t/(1+t)·(|a|+|b|) > |s_a| + |s_b|, so at least one common shingle
+    * sits in BOTH prefixes and the pair surfaces from that posting bucket.
+    *
+    * Shuffle accounting: postings/frequency/rank exchanges carry (hash, id,
+    * sz) triples only; the candidate dedup carries bare id pairs; the
+    * shingle arrays cross exactly two exchanges (one hash join per pair
+    * side) — never per-candidate, never per-band. */
+  def jaccardPairsPrefixFilter(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", array_sort(transform(
+        shinglesFromTokens(col("toks"), n), t => xxhash64(t))))
+      .select(col("id"), col("sh"), size(col("sh")).as("sz"))
+      .where(col("sz") > 0)
+    // rarest-first prefix: global df per shingle hash, rank within doc
+    val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefFrac = threshold / (1.0 + threshold)
+    val ranked = posting.join(freq, Seq("g"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .where(col("rk") <= col("sz") - floor(col("sz") * prefFrac) + 1)
+      .select(col("g"), col("id"), col("sz"))
+    val a = ranked.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = ranked.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, Seq("g"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) >= threshold)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // verify: re-join the sorted hash arrays by id, linear-merge Jaccard
+    val arrA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val arrB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(arrA, Seq("id_a")).join(arrB, Seq("id_b"))
+      .withColumn("jaccard",
+        graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -156,12 +217,14 @@ object Dedup {
           Similarity.lshBucket(col("v"), t, nPlanes).as("b"))): _*)))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    // verify before the pair-dedup so the vectors cross only the bucket
+    // join; the dedup shuffle carries (id_a, id_b, cos) scalars.
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs: block on 4×16-bit bands (any pair within
@@ -175,11 +238,13 @@ object Dedup {
           shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
     val a = withFp.select(col("band"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = withFp.select(col("band"), col("id").as("id_b"), col("fp").as("fp_b"))
+    // popcount-verify before the pair-dedup — the dedup shuffle then moves
+    // only surviving (id_a, id_b, hamming) rows.
     a.join(b, Seq("band"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b").dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 }

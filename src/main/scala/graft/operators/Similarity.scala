@@ -85,14 +85,16 @@ object Similarity {
       .withColumn("bucket", buckets("cv", probe = false))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", buckets("qv", probe = true))
+    // score before the pair-dedup: the vectors cross only the bucket join;
+    // the dedup + rank shuffles carry (query_id, corpus_id, cos) scalars.
     val cands = c.join(q, Seq("bucket"))
       .where(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "corpus_id", "qv", "cv")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select("query_id", "corpus_id", "cos")
       .dropDuplicates("query_id", "corpus_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
-    cands.withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w))
+    cands.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
@@ -126,9 +128,11 @@ object Similarity {
     val probes   = assign(queries, "query_id", "qv", nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
+    // no pair-dedup needed: each corpus row lives in exactly one cluster
+    // (keep=1) and a query probes distinct clusters, so the join yields each
+    // (query, corpus) pair at most once.
     assigned.join(probes, Seq("cid"))
       .where(col("corpus_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "corpus_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

@@ -105,6 +105,36 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs(0)._3 > 0.8)
   }
 
+  test("jaccardPairsPrefixFilter is complete: equals brute-force all-pairs") {
+    // real corpus slice + mutants with a spread of similarity levels; the
+    // prefix filter must return EXACTLY the brute-force result (it prunes
+    // candidates, never true pairs)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val m1 = docs.where(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000)
+      .withColumn("text", concat(col("text"), lit(" x y z")))
+    val m2 = docs.where(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000)
+      .withColumn("text", concat(lit("p q r s t u v w "), col("text")))
+    val all = docs.unionByName(m1).unionByName(m2)
+    val got = Dedup.jaccardPairsPrefixFilter(all, "doc_id", "text", 3, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same hashed-shingle arrays
+    val sh = all.withColumn("toks", Dedup.tokens(col("text")))
+      .select(col("doc_id"), array_sort(transform(
+        Dedup.shinglesFromTokens(col("toks"), 3), t => xxhash64(t))).as("sh"))
+      .where(size(col("sh")) > 0)
+    val want = sh.toDF("id_a", "sh_a")
+      .crossJoin(sh.toDF("id_b", "sh_b"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("j",
+        graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .where(col("j") >= 0.4)
+      .select("id_a", "id_b", "j").as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("simhash near-dup pairs catch small mutations") {
     // one added token on a 40-token doc flips E[hamming] ≈ 64·P(vote sum=0)/2
     // ≈ 4 bits, so the detection threshold must sit above that — while a
