@@ -89,33 +89,43 @@ object EventsStream {
   }
 
   /** The reference's import loop (S10 → F6 → K4) in streaming form:
-    * readStream → validate → foreachBatch MERGE into a parquet table keyed
-    * by event_id. Each micro-batch upserts idempotently — replaying a batch
-    * (at-least-once delivery) cannot duplicate rows, which is the
-    * exactly-once-by-key contract the reference's updateOrCreate gives. */
+    * readStream → foreachBatch MERGE into a parquet table keyed by event_id
+    * and PARTITIONED BY event_date. Each micro-batch:
+    *   1. prunes the target read to the batch's own dates (partition
+    *      pruning — untouched history is never scanned),
+    *   2. merges the batch over just those partitions,
+    *   3. writes with dynamic partition overwrite — only the affected date
+    *      directories are replaced, through Spark's file-commit protocol
+    *      (staged files + commit), not a full-table delete/rename whose
+    *      crash window loses the table.
+    * Replaying a batch (at-least-once delivery) cannot duplicate rows —
+    * the exactly-once-by-key contract of the reference's updateOrCreate —
+    * and per-batch work is O(batch dates), not O(table history). */
   def streamingUpsert(spark: SparkSession, dir: String, targetPath: String): Unit = {
     import graft.operators.Merge
     val events = eventsStream(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("event_date"))
     val q = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val existing =
-          try spark.read.parquet(targetPath)
-          catch { case _: Throwable => batch.sparkSession.emptyDataFrame }
-        val merged =
-          if (existing.isEmpty) batch.toDF()
-          else Merge.upsert(existing, batch.toDF(), Seq("event_id"))
-        // write to a temp dir then swap — plain parquet has no transactional
-        // MERGE; at scale this is a partition-scoped rewrite (Sinks)
-        val tmp = targetPath + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(targetPath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-        ()
+        val ss = batch.sparkSession
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val b = batch.toDF().persist()
+        try {
+          val dates = b.select("event_date").distinct().collect()
+            .map(_.getAs[java.sql.Date](0))
+          val existing =
+            try Some(ss.read.parquet(targetPath)
+              .where(col("event_date").isin(dates.toSeq: _*)))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          val merged = existing match {
+            case Some(e) => Merge.upsert(e, b, Seq("event_id"))
+            case None    => b
+          }
+          merged.write.mode("overwrite")
+            .partitionBy("event_date").parquet(targetPath)
+        } finally { b.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -127,43 +137,98 @@ object EventsStream {
     * state beyond built-in windows, the KeyValueGroupedDataset path). */
   final case class SessionRow(user_id: Long, session_start_epoch: Long,
                               n_events: Long, total_value: Double)
-  final case class Ev(user_id: Long, epoch: Long, value: Double)
+  final case class Ev(user_id: Long, epoch: Long, value: Double,
+                      ts: java.sql.Timestamp)
   final case class SessState(start: Long, last: Long, n: Long, total: Double)
 
+  /** Pure streaming sessionization transform — the live-stream-correct
+    * core. EventTimeTimeout: a closed session is emitted EXACTLY ONCE,
+    * either when a later event of the same user breaks the gap, or when
+    * the event-time watermark passes `last + gap` (timeout). Open sessions
+    * are never emitted early, so a multi-batch run cannot duplicate them.
+    * State per user is the single open session (constant size); each group
+    * call sorts only its own micro-batch slice, which a watermarked
+    * production source keeps bounded. */
+  def sessionizeStream(evs: org.apache.spark.sql.Dataset[Ev],
+                       gapSec: Int): org.apache.spark.sql.Dataset[SessionRow] = {
+    import evs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionRow(user, s.start, s.n, s.total))
+          } else {
+            val sorted = it.toArray.sortInPlaceBy(e => (e.epoch, e.value))
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.epoch - s.last <= gapSec =>
+                  open = Some(s.copy(last = e.epoch, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionRow(user, s.start, s.n, s.total)
+                  open = Some(SessState(e.epoch, e.epoch, 1, e.value))
+                case None =>
+                  open = Some(SessState(e.epoch, e.epoch, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout strictly after last+gap; never behind the current
+              // watermark (a session already past it times out next batch)
+              state.setTimeoutTimestamp(math.max(
+                (s.last + gapSec) * 1000L + 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Sentinel user id used by the drain wrapper below (never emitted). */
+  private val DrainUser = Long.MinValue
+
+  /** Stateful sessionization over the events directory with DRAIN
+    * semantics: a sentinel event past end-of-input advances the watermark
+    * (multipleWatermarkPolicy=max across the two sources) so every real
+    * session closes via its event-time timeout — the streaming equivalent
+    * of Flink's drain on stop. A live deployment omits the sentinel and
+    * sessions close as the watermark advances naturally. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Int = 1800): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    val wmDelaySec = 7200L
 
-    val evs = eventsStream(spark, dir)
-      .withWatermark("ts", "2 hours")
-      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"), col("value"))
+    // ts stays in the record: the watermarked column must survive the
+    // projection feeding flatMapGroupsWithState
+    val fileEvs = eventsStream(spark, dir)
+      .withWatermark("ts", s"$wmDelaySec seconds")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"),
+        col("value"), col("ts"))
       .as[Ev]
 
-    val sessions = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessState], SessionRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, it: Iterator[Ev], state: GroupState[List[SessState]]) =>
-          // AvailableNow drains the whole backlog in one group call; emit
-          // every closed session, keep the open one in state.
-          val sorted = it.toSeq.sortBy(e => (e.epoch, e.value))
-          var open = state.getOption.flatMap(_.headOption)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.epoch - s.last <= gapSec =>
-                open = Some(s.copy(last = e.epoch, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                closed += SessionRow(user, s.start, s.n, s.total)
-                open = Some(SessState(e.epoch, e.epoch, 1, e.value))
-              case None =>
-                open = Some(SessState(e.epoch, e.epoch, 1, e.value))
-            }
-          }
-          open.foreach(s => state.update(List(s)))
-          // flush the trailing open session too — AvailableNow ends input
-          val tail = open.map(s => SessionRow(user, s.start, s.n, s.total))
-          (closed ++ tail).iterator
-      }
+    // sentinel epoch: far enough that wm = sentinel - delay > max(last+gap)
+    val maxEpochSec = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000000000"))).first().getLong(0)
+    val sentinelEpoch = maxEpochSec + wmDelaySec + gapSec + 60
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    mem.addData(sentinelEpoch)
+    val sentinelEvs = mem.toDF().select(
+        lit(DrainUser).as("user_id"),
+        timestamp_seconds(col("value")).as("ts"),
+        lit(0.0).as("value"))
+      .withWatermark("ts", s"$wmDelaySec seconds")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"),
+        col("value"), col("ts"))
+      .as[Ev]
+
+    val sessions = sessionizeStream(fileEvs.unionByName(sentinelEvs), gapSec)
     runToTable(sessions.toDF(), "append")
+      .where(col("user_id") =!= DrainUser)
   }
 }

@@ -48,4 +48,74 @@ class StreamingSpec extends SparkSpec {
     assert(nEvents == Tables.events(spark, sfDir).count())
     assert(sessions.where(col("n_events") <= 0).count() == 0)
   }
+
+  test("streaming upsert rewrites only the affected date partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_su2").toString
+    val target = s"$base/t"
+    EventsStream.streamingUpsert(spark, sfDir, target)
+    def partFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(target)
+      root.listFiles().filter(_.getName.startsWith("event_date=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).toSet
+      }.toMap
+    }
+    val before = partFiles()
+    assert(before.size > 1, "need several date partitions for this test")
+    // second input: only the earliest day's events, as a single
+    // events.parquet file (the stream source globs that exact name)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val minDay = raw.agg(min(expr("ts div 86400000000000"))).first().getLong(0)
+    val inDir = s"$base/in"
+    raw.where(expr("ts div 86400000000000") === minDay)
+      .coalesce(1).write.parquet(s"$inDir.stage")
+    val part = new java.io.File(s"$inDir.stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$inDir/events.parquet"))
+    EventsStream.streamingUpsert(spark, inDir, target)
+    val after = partFiles()
+    val minDate = java.time.LocalDate.ofEpochDay(minDay).toString
+    // dynamic overwrite: the touched partition gets new file names, every
+    // other partition's files are bit-identical (same names, untouched)
+    assert(after(s"event_date=$minDate") != before(s"event_date=$minDate"))
+    before.filter(_._1 != s"event_date=$minDate").foreach { case (p, files) =>
+      assert(after(p) == files, s"partition $p was rewritten")
+    }
+    // and content is still exactly the full event set
+    assert(spark.read.parquet(target).count() ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("incremental sessionization emits each closed session exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val evs = mem.toDF().toDF("user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("epoch"), col("value"), col("ts"))
+      .as[EventsStream.Ev]
+    val name = s"inc_sess_${System.nanoTime()}"
+    val q = EventsStream.sessionizeStream(evs, gapSec = 100).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      mem.addData((1L, 1000L, 1.0), (1L, 1050L, 2.0)) // open session A
+      q.processAllAvailable()
+      mem.addData((1L, 3000L, 3.0)) // gap break: closes A, opens B
+      q.processAllAvailable()
+      mem.addData((2L, 10000L, 9.9)) // watermark pusher: times out B
+      q.processAllAvailable()
+      q.processAllAvailable() // drain the timeout-only batch
+      val rows = spark.table(name)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val user1 = rows.filter(_._1 == 1L)
+      // exactly two sessions, each exactly once, no open-session flushes
+      assert(user1.sorted == Seq((1L, 1000L, 2L, 3.0), (1L, 3000L, 1L, 3.0)))
+      // user 2's session is still open: never emitted early
+      assert(!rows.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
