@@ -848,6 +848,30 @@ object SparkEntry {
           countDistinct(col("fp")).as("n_distinct_fp"))
         .orderBy("lang")
     }),
+
+    // C33: sale-report header parse (topic / round period / vendor) over
+    // de-tabled OCR page text, incl. the dot-date → ISO B.E. conversion.
+    // Page 2 exercises the supplier-variant alternation + case-insensitive
+    // Vendor; page 3 the ""-on-absent defaults.
+    "q58_sale_report_header" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.SaleReports
+      val pages = Seq(
+        (1, "รายงานการขายสินค้า - แยกตาม Invoice\nรอบวันที่ 1 - 31 ธันวาคม 2567\n# Vendor 2040334 / ACME TRADING (2040334)"),
+        (2, "รายงานการขายสินค้า - แยกตามผู้ขาย รอบวันที่ 5 - 15 มีนาคม 2568 vendor 777 / บริษัท ทดสอบ จำกัด"),
+        (3, "no header content on this page"))
+        .toDF("page", "text")
+      pages.select(col("page"),
+          SaleReports.topic(col("text")).as("topic"),
+          SaleReports.startRoundDate(col("text")).as("start_round_date"),
+          SaleReports.endRoundDate(col("text")).as("end_round_date"),
+          SaleReports.dotDateToIso(SaleReports.startRoundDate(col("text"))).as("start_iso"),
+          SaleReports.dotDateToIso(SaleReports.endRoundDate(col("text"))).as("end_iso"),
+          SaleReports.supplierNum(col("text")).as("supplier_num"),
+          SaleReports.supplierName(col("text")).as("supplier_name"))
+        .orderBy("page")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1419,6 +1443,17 @@ object SparkEntry {
         |FROM s
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q58_sale_report_header" ->
+      """SELECT * FROM (VALUES
+        | (1, 'รายงานการขายสินค้า - แยกตาม Invoice', '01.12.2567', '31.12.2567',
+        |  '2024-12-01', '2024-12-31', '2040334', 'ACME TRADING'),
+        | (2, 'รายงานการขายสินค้า - แยกตามผู้ขาย', '05.03.2568', '15.03.2568',
+        |  '2025-03-05', '2025-03-15', '777', 'บริษัท ทดสอบ จำกัด'),
+        | (3, '', '', '', '', '', '', '')
+        |) AS t(page, topic, start_round_date, end_round_date, start_iso,
+        |       end_iso, supplier_num, supplier_name)
+        |ORDER BY page""".stripMargin,
 
     "q49_dbd_doc_parser" ->
       """SELECT * FROM (VALUES
