@@ -665,13 +665,12 @@ object SparkEntry {
     // unioned by name with missing columns allowed.
     "q46_multisheet_union" -> ((s0, d) => {
       val s = prep(s0)
-      import s.implicits._
-      val sheet1 = Seq(("A1", 10.0), ("A2", 20.0)).toDF("code", "amount")
-      val sheet2 = Seq(("B1", 30.0, "extra")).toDF("code", "amount", "note")
-      val tagged = Seq(("Sheet1", sheet1), ("Sheet2", sheet2)).map {
-        case (name, df) => df.withColumn("source_sheet", lit(name))
-      }
-      tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+      // real .xlsx file (zip + OOXML parsed with JDK built-ins): two data
+      // sheets with differing columns, one all-empty sheet that must drop
+      graft.sources.ExcelReader
+        .multiSheetUnion(s, s"$fixtures/supplier_sheets.xlsx")
+        .select(col("code"), col("amount").cast("double").as("amount"),
+          col("source_sheet"), col("note"))
         .orderBy("code")
     }),
 

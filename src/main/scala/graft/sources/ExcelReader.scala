@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S2/S4: real `.xlsx` ingestion with zero extra dependencies — a workbook
+  * is a zip of XML parts, parsed here with `java.util.zip` + StAX (both JDK
+  * built-ins). Reference behavior: parse every sheet, drop all-empty
+  * sheets, tag `source_sheet`, concat
+  * (services/supplier_processor.py:122-133, read_rem_detail_to_json.py:93-122).
+  *
+  * All cells come back as raw strings (permissive ingestion, SURVEY §7.4.5):
+  * numeric cells keep the stored lexical value (Excel serial dates stay
+  * serial numbers — `ThaiDates.excelSerialToDate` is the cleanse-side
+  * decoder), shared/inline strings are resolved, booleans stay "0"/"1".
+  *
+  * Scale shape: `parseWorkbook` is a pure function over the file bytes, so
+  * the distributed path runs it inside the `binaryFiles` task of each file —
+  * one task per workbook, parallel across the many-files 100 TB layout; no
+  * driver-side whole-file reads. Format sniffing/engine cascades (S3) stay
+  * out of scope per SURVEY §8. */
+object ExcelReader {
+
+  /** Column letters of a cell ref ("BC7" → 54, 0-based). -1 when absent. */
+  private def colIndex(cellRef: String): Int = {
+    var i = 0; var acc = 0
+    while (i < cellRef.length && cellRef.charAt(i).isLetter) {
+      acc = acc * 26 + (cellRef.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    acc - 1
+  }
+
+  private def collectText(r: XMLStreamReader, tag: String): String = {
+    // reader is ON the START_ELEMENT of `tag`; gather all descendant text
+    val sb = new StringBuilder
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          sb.append(r.getText)
+        case _ =>
+      }
+    }
+    sb.toString
+  }
+
+  private def newReader(bytes: Array[Byte]): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  /** xl/sharedStrings.xml → indexed strings (rich-text runs concatenated). */
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val r = newReader(bytes)
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "si")
+        out += collectSiText(r)
+    }
+    r.close()
+    out.result()
+  }
+
+  /** Inside an <si> or <is>: concatenate every <t> descendant's text. */
+  private def collectSiText(r: XMLStreamReader): String = {
+    val sb = new StringBuilder
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          if (r.getLocalName == "t") sb.append(collectText(r, "t"))
+          else depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    sb.toString
+  }
+
+  /** One worksheet XML → dense rows of string cells (sparse rows/cells gap-
+    * filled with "" so positional semantics — buyer cell B3 — hold). */
+  private def parseSheet(bytes: Array[Byte], shared: Vector[String]): Vector[Vector[String]] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    val r = newReader(bytes)
+    var curRow: scala.collection.mutable.ArrayBuffer[String] = null
+    var rowNum = 0        // 1-based row number of the current <row>
+    var colNum = -1       // 0-based index of the current <c>
+    var cellType = ""
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" =>
+            val rAttr = Option(r.getAttributeValue(null, "r"))
+            rowNum = rAttr.map(_.toInt).getOrElse(rowNum + 1)
+            while (rows.length < rowNum - 1) rows += Vector.empty // gap rows
+            curRow = scala.collection.mutable.ArrayBuffer.empty[String]
+            colNum = -1
+          case "c" if curRow != null =>
+            val ref = Option(r.getAttributeValue(null, "r"))
+            colNum = ref.map(colIndex).filter(_ >= 0).getOrElse(colNum + 1)
+            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            while (curRow.length < colNum) curRow += "" // gap cells
+          case "v" if curRow != null =>
+            val raw = collectText(r, "v")
+            val value = cellType match {
+              case "s" => raw.toIntOption.flatMap(shared.lift).getOrElse(raw)
+              case _   => raw
+            }
+            if (curRow.length == colNum) curRow += value else curRow.append(value)
+          case "is" if curRow != null => // inline string cell
+            val v = collectSiText(r)
+            if (curRow.length == colNum) curRow += v
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "row" && curRow != null =>
+          rows += curRow.toVector
+          curRow = null
+        case _ =>
+      }
+    }
+    r.close()
+    rows.toVector
+  }
+
+  /** Whole workbook bytes → ordered (sheetName, rows) for every sheet.
+    * Pure function — safe inside executor tasks. */
+  def parseWorkbook(bytes: Array[Byte]): Seq[(String, Vector[Vector[String]])] = {
+    // zip entries can arrive in any order; buffer the parts we need
+    val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var e = zin.getNextEntry
+    while (e != null) {
+      val name = e.getName
+      if (name == "xl/workbook.xml" || name == "xl/_rels/workbook.xml.rels" ||
+          name == "xl/sharedStrings.xml" || name.startsWith("xl/worksheets/"))
+        parts(name) = zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    zin.close()
+
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(Vector.empty)
+
+    // rId → worksheet part path
+    val rels = scala.collection.mutable.Map.empty[String, String]
+    parts.get("xl/_rels/workbook.xml.rels").foreach { b =>
+      val r = newReader(b)
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val target = r.getAttributeValue(null, "Target")
+          if (id != null && target != null)
+            rels(id) = "xl/" + target.stripPrefix("/xl/").stripPrefix("xl/")
+        }
+      }
+      r.close()
+    }
+
+    // workbook sheet list, in declared order
+    val sheets = Vector.newBuilder[(String, String)] // (name, rId)
+    parts.get("xl/workbook.xml").foreach { b =>
+      val r = newReader(b)
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          val name = r.getAttributeValue(null, "name")
+          // r:id is namespace-qualified; match by local name
+          val rid = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "id")
+            .map(r.getAttributeValue).orNull
+          if (name != null && rid != null) sheets += ((name, rid))
+        }
+      }
+      r.close()
+    }
+
+    sheets.result().flatMap { case (name, rid) =>
+      rels.get(rid).flatMap(parts.get).map { sheetBytes =>
+        name -> parseSheet(sheetBytes, shared)
+      }
+    }
+  }
+
+  private val gridSchema = StructType(Seq(
+    StructField("source_file", StringType, nullable = false),
+    StructField("source_sheet", StringType, nullable = false),
+    StructField("sheet_idx", IntegerType, nullable = false),
+    StructField("row_idx", LongType, nullable = false),
+    StructField("cells", ArrayType(StringType), nullable = false)))
+
+  /** S4: every sheet of every matching workbook as one tagged grid —
+    * (source_file, source_sheet, sheet_idx, row_idx, cells). One task per
+    * file (binaryFiles), rows in file order per sheet. */
+  def sheetsGrid(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+      parseWorkbook(pds.toArray()).zipWithIndex.flatMap {
+        case ((sheet, sheetRows), si) =>
+          sheetRows.zipWithIndex.map { case (cells, ri) =>
+            Row(file, sheet, si, ri.toLong, cells)
+          }
+      }
+    }
+    spark.createDataFrame(rows, gridSchema)
+  }
+
+  /** S2: multi-sheet concat with `source_sheet` tag — header promoted from
+    * each sheet's row `headerIdx`, all-empty sheets dropped
+    * (supplier_processor.py:122-133: parse every sheet, skip
+    * `isnull().all().all()`, tag, concat). Column sets may differ per sheet;
+    * the union aligns by name with missing columns null. Sheet headers are
+    * small driver-side metadata; the row data itself stays distributed. */
+  def multiSheetUnion(spark: SparkSession, path: String,
+                      headerIdx: Long = 0): DataFrame = {
+    import graft.functions.TextClean
+    val grid = sheetsGrid(spark, path).cache()
+    try {
+      val headers = grid.where(col("row_idx") === headerIdx)
+        .select("source_sheet", "cells").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val sheetDfs = headers.toSeq.sortBy(_._1).flatMap { case (sheet, header) =>
+        val names = TextClean.uniquifyHeaders(
+          header.map(h => Option(h).map(_.trim).filter(_.nonEmpty).getOrElse("col")))
+        val data = grid.where(col("source_sheet") === sheet &&
+          col("row_idx") > headerIdx)
+        // all-empty sheet: no data rows with any non-blank cell
+        val nonEmpty = data.where(exists(col("cells"),
+          c => c.isNotNull && trim(c) =!= "")).limit(1).count() > 0
+        if (!nonEmpty) None
+        else Some(names.zipWithIndex.foldLeft(data) { case (df, (name, i)) =>
+          df.withColumn(name, when(element_at(col("cells"), i + 1) === "",
+            lit(null)).otherwise(element_at(col("cells"), i + 1)))
+        }.drop("cells", "sheet_idx", "source_file"))
+      }
+      if (sheetDfs.isEmpty) spark.emptyDataFrame
+      else sheetDfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    } finally { grid.unpersist(); () }
+  }
+}
