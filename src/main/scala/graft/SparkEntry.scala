@@ -848,6 +848,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // J2 scoped replace-all sync: the sync payload for company C1 replaces
+    // C1's directors only — C2 is untouched (BolApiController.php:233-246
+    // deletes within one parent key, not globally).
+    "q59_scoped_replace_sync" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.Merge
+      val existing = Seq(
+        ("C1", 1, "Alice"), ("C1", 2, "Bob"), ("C1", 3, "Cara"),
+        ("C2", 1, "Dan"), ("C2", 2, "Eve"))
+        .toDF("company", "no", "name")
+      val incoming = Seq(("C1", 1, "Alice"), ("C1", 4, "Fay"))
+        .toDF("company", "no", "name")
+      val (synced, deleted) = Merge.replaceAllSyncScoped(existing, incoming,
+        scopeKeys = Seq("company"), keys = Seq("no", "name"))
+      synced.withColumn("state", lit("synced"))
+        .unionByName(deleted.withColumn("state", lit("deleted")))
+        .orderBy(col("state").desc, col("company"), col("no"))
+    }),
+
     // C33: sale-report header parse (topic / round period / vendor) over
     // de-tabled OCR page text, incl. the dot-date → ISO B.E. conversion.
     // Page 2 exercises the supplier-variant alternation + case-insensitive
@@ -1324,10 +1344,21 @@ object SparkEntry {
 
     "q44_directors_page" ->
       """SELECT * FROM (VALUES
-        | (CAST(3 AS BIGINT), 1, 'A'),
-        | (CAST(1 AS BIGINT), 2, 'B'),
-        | (CAST(4 AS BIGINT), 3, 'C')
-        |) AS t(id, director_no, name)""".stripMargin,
+        | (CAST(3 AS BIGINT), 1, 'A', CAST(5 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 2, 'B', CAST(5 AS BIGINT)),
+        | (CAST(4 AS BIGINT), 3, 'C', CAST(5 AS BIGINT))
+        |) AS t(id, director_no, name, total)""".stripMargin,
+
+    "q59_scoped_replace_sync" ->
+      """SELECT * FROM (VALUES
+        | ('C1', 1, 'Alice', 'synced'),
+        | ('C1', 4, 'Fay',   'synced'),
+        | ('C2', 1, 'Dan',   'synced'),
+        | ('C2', 2, 'Eve',   'synced'),
+        | ('C1', 2, 'Bob',   'deleted'),
+        | ('C1', 3, 'Cara',  'deleted')
+        |) AS t(company, no, name, state)
+        |ORDER BY state DESC, company, no""".stripMargin,
 
     "q45_two_line_merge" ->
       """SELECT * FROM (VALUES

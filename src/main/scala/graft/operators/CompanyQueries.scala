@@ -36,12 +36,19 @@ object CompanyQueries {
     base.where(lo && hi).orderBy("fiscal_year")
   }
 
-  /** W4/W5: directors listing — NULLS LAST on director_no, then id, paged
-    * (PublicApiController.php:751-776). Stable pagination via row_number. */
+  /** W4/W5: directors listing — NULLS LAST on director_no, then id, paged,
+    * with the full pre-page count as a `total` column (the reference's
+    * `paginate(50)` returns `total`, PublicApiController.php:757-776).
+    * Stable pagination via row_number; the count rides the SAME
+    * single-partition window pass (a paged listing is one company's
+    * filtered directors — inherently small; the big-data side is the
+    * upstream filter, not the page). */
   def directorsPage(directors: DataFrame, page: Int, pageSize: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("director_no").asc_nulls_last, col("id"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     directors.withColumn("__rn", row_number().over(w))
+      .withColumn("total", count(lit(1)).over(whole))
       .where(col("__rn") > (page - 1) * pageSize && col("__rn") <= page * pageSize)
       .drop("__rn")
   }

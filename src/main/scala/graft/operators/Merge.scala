@@ -37,4 +37,29 @@ object Merge {
       keys, "left_anti")
     (incoming, deleted)
   }
+
+  /** J2 scoped replace-all sync: deletes apply only WITHIN the parent keys
+    * present in `incoming` — the reference's actual shape: a sync payload
+    * for one company replaces that company's directors
+    * (BolApiController.php:233-246) or its fiscal years (:405-409) and
+    * leaves every other company untouched.
+    *
+    * Returns (synced, deleted): for in-scope parents the new state is
+    * exactly `incoming`; out-of-scope existing rows pass through; `deleted`
+    * is the in-scope drop-set. Scale: the scope semi/anti joins broadcast
+    * the (small) incoming parent-key set; with the table partitioned by a
+    * scope key only affected partitions rewrite. */
+  def replaceAllSyncScoped(existing: DataFrame, incoming: DataFrame,
+                           scopeKeys: Seq[String],
+                           keys: Seq[String]): (DataFrame, DataFrame) = {
+    val parents = incoming.select(scopeKeys.map(col): _*).distinct()
+    val inScope  = existing.join(parents, scopeKeys, "left_semi")
+    val outScope = existing.join(parents, scopeKeys, "left_anti")
+    val fullKeys = (scopeKeys ++ keys).distinct
+    val deleted = inScope.join(
+      incoming.select(fullKeys.map(col): _*).distinct(), fullKeys, "left_anti")
+    val synced = outScope.unionByName(
+      incoming.select(existing.columns.map(col): _*))
+    (synced, deleted)
+  }
 }

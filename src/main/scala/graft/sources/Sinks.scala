@@ -38,15 +38,20 @@ object Sinks {
   /** F6 reject channel: valid rows to the main table, rejects (with their
     * rule names) to a side path — the bulk equivalent of the reference's
     * per-row error taxonomy + `--dump-fail` files
-    * (ImportInvoiceReport.php:199-291). Returns (validCount, rejectCount)
-    * from a single pass each. */
+    * (ImportInvoiceReport.php:199-291). The (validCount, rejectCount)
+    * summary rides the write passes themselves via `observe` — no
+    * re-reading of either output, zero extra scans. */
   def writeWithRejects(valid: DataFrame, rejects: DataFrame,
                        mainPath: String, rejectPath: String): (Long, Long) = {
-    valid.write.mode(SaveMode.Overwrite).parquet(mainPath)
+    val obsValid  = org.apache.spark.sql.Observation()
+    val obsReject = org.apache.spark.sql.Observation()
+    valid.observe(obsValid, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(mainPath)
     rejects.withColumn("_failed_rules",
         concat_ws(",", col("_failed_rules")))
+      .observe(obsReject, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).json(rejectPath)
-    (valid.sparkSession.read.parquet(mainPath).count(),
-      valid.sparkSession.read.json(rejectPath).count())
+    (obsValid.get("n").asInstanceOf[Long],
+      obsReject.get("n").asInstanceOf[Long])
   }
 }

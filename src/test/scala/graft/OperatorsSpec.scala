@@ -75,6 +75,16 @@ class OperatorsSpec extends SparkSpec {
     assert(synced.count() == 1 && deleted.as[(Int, String)].collect().toSeq == Seq((1, "a")))
   }
 
+  test("replaceAllSyncScoped deletes only within incoming parent keys") {
+    val existing = Seq(("C1", 1), ("C1", 2), ("C2", 1)).toDF("company", "no")
+    val incoming = Seq(("C1", 1), ("C1", 9)).toDF("company", "no")
+    val (synced, deleted) = Merge.replaceAllSyncScoped(existing, incoming,
+      Seq("company"), Seq("no"))
+    assert(deleted.as[(String, Int)].collect().toSet == Set(("C1", 2)))
+    assert(synced.as[(String, Int)].collect().toSet ==
+      Set(("C1", 1), ("C1", 9), ("C2", 1)))
+  }
+
   test("validation split routes failures with rule names") {
     val df = Seq((1, "2025-01-01"), (2, null)).toDF("id", "d")
     val (valid, rejects) = Validation.split(df,
