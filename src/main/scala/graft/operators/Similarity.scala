@@ -99,37 +99,106 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
 
-  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
-    * clusters (centroids = the lowest-id vectors — deterministic, no
-    * training iteration; swap in k-means centroids when a trained codebook
-    * exists), assign each corpus vector to its nearest centroid once, and
-    * have each query probe its `nProbe` nearest centroids. Exact cosine
-    * re-ranks within probed clusters.
+  /** Deterministic spherical k-means training for the IVF codebook:
+    * Lloyd's iterations over a bounded, deterministically chosen sample
+    * (every m-th vector by id — seedless and rerun-stable). Assignment is
+    * by max cosine; the new centroid is the per-dimension mean of its
+    * members (scale is irrelevant to cosine assignment, so means are not
+    * re-normalized); an emptied cluster keeps its previous centroid.
     *
-    * Scale shape: assignment is one broadcast pass over the corpus
-    * (nCentroids dots per row); the probe join exchanges only
-    * (centroid_id, vector) pairs for the probed fraction —
-    * candidates/query ≈ corpus × nProbe / nCentroids. */
+    * Scale shape: the sample is constant-size regardless of corpus size
+    * (training cost does not grow with the data); each iteration is one
+    * argmax projection over the sample plus a (cid, dim)-keyed mean — the
+    * per-dimension posexplode shuffles sample×dim rows, bounded by
+    * `sampleSize`. The trained codebook (k×dim doubles) lives on the
+    * driver and is embedded as a literal in the assignment expression. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int, iters: Int = 3,
+                     sampleSize: Int = 2048): Array[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.max(nCentroids.toLong, math.min(n, sampleSize.toLong)))
+    val sample = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .where(pmod(col("id"), lit(stride)) === 0)
+      .persist()
+    try {
+      var cents: Array[Seq[Double]] = sample.orderBy("id").limit(nCentroids)
+        .select("v").collect().map(_.getSeq[Double](0))
+      require(cents.length == nCentroids,
+        s"corpus too small for $nCentroids centroids")
+      val dim = cents.head.length
+      for (_ <- 1 to iters) {
+        val assigned = sample.withColumn("cid", nearestCentroid(col("v"), cents))
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("cid", "d").agg(avg("x").as("m"))
+          .groupBy("cid").agg(map_from_arrays(
+            collect_list(col("d")), collect_list(col("m"))).as("dm"))
+          .collect().map { r =>
+            val dm = r.getMap[Int, Double](1)
+            r.getInt(0) -> (0 until dim).map(dm(_))
+          }.toMap
+        cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+      }
+      cents
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Index of the max-cosine centroid for a vector column — a pure
+    * projection (k dot products per row, no join, no shuffle), with the
+    * codebook embedded as literals. Ties break on the lower centroid id. */
+  private def nearestCentroid(v: Column, cents: Array[Seq[Double]]): Column =
+    element_at(nearestCentroids(v, cents, 1), 1)
+
+  /** The `nProbe` nearest centroid ids, best first, as an array column.
+    * `v` must be a DOUBLE array (the dot kernel dispatches on the left
+    * operand's element type) — callers materialize the widening cast once
+    * per row, not once per centroid. */
+  private def nearestCentroids(v: Column, cents: Array[Seq[Double]],
+                               nProbe: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, typedlit(c)).as("cdot"), lit(i).as("cid"))
+    }: _*)
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("cdot") > r.getField("cdot"), -1)
+        .when(l.getField("cdot") < r.getField("cdot"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0))
+    transform(slice(sorted, 1, nProbe), s => s.getField("cid"))
+  }
+
+  /** IVF (inverted-file) ANN with a trained codebook: spherical-k-means
+    * centroids ([[trainCentroids]]) partition the corpus; each corpus
+    * vector joins its single nearest cluster, each query probes its
+    * `nProbe` nearest clusters; exact cosine re-ranks within probed
+    * clusters.
+    *
+    * Scale shape: training cost is sample-bounded; assignment on both
+    * sides is a pure argmax projection (no join, no shuffle — the codebook
+    * rides the expression); the probe join exchanges only the probed
+    * fraction — candidates/query ≈ corpus × nProbe / nCentroids. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cdot").desc, col("cid"))
-      df.select(col(idCol).as(id), col(vecCol).as(v))
-        .crossJoin(broadcast(cents))
-        .withColumn("cdot", cosine(col(v), col("cvec")))
-        .withColumn("crnk", row_number().over(w))
-        .where(col("crnk") <= keep)
-        .drop("cvec", "cdot", "crnk")
-    }
-    val assigned = assign(corpus, "corpus_id", "cv", 1)
-    val probes   = assign(queries, "query_id", "qv", nProbe)
+              nProbe: Int = 4, trainIters: Int = 3): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+    val widen = (c: Column) => transform(c, x => x.cast("double"))
+    val assigned = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("__vd", widen(col("cv")))
+      .withColumn("cid", nearestCentroid(col("__vd"), cents))
+      .drop("__vd")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__vd", widen(col("qv")))
+      .withColumn("cid", explode(nearestCentroids(col("__vd"), cents, nProbe)))
+      .drop("__vd")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     // no pair-dedup needed: each corpus row lives in exactly one cluster
-    // (keep=1) and a query probes distinct clusters, so the join yields each
+    // and a query's probed clusters are distinct, so the join yields each
     // (query, corpus) pair at most once.
     assigned.join(probes, Seq("cid"))
       .where(col("corpus_id") =!= col("query_id"))

@@ -196,8 +196,12 @@ class OperatorsSpec extends SparkSpec {
       nCentroids = 8, nProbe = 3)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty)
+    // trained spherical-k-means centroids measure ≈0.92 here; the floor
+    // leaves margin for sampling drift (the lowest-id-centroid baseline
+    // this replaced could only promise ≈0.2)
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.2, s"recall $recall")
+    info(s"ivf recall with trained centroids: $recall")
+    assert(recall >= 0.6, s"recall $recall at nProbe=3/8")
   }
 
   test("embedding near-dup: LSH candidates are a high-recall subset of exact") {
