@@ -848,6 +848,29 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §3.3 three-table financial response: {balance:{year:{...}},
+    // income:{...}, ratios:{...}} over the three pivoted tables, fixed
+    // column lists, missing columns null (and kept in the JSON), years
+    // ascending, range filter applied (PublicApiController.php:884-985).
+    "q60_financial_response" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.CompanyQueries
+      val balance = Seq(
+        ("0105537086874", 2021, 1500000.0, 600000.5),
+        ("0105537086874", 2023, 9.0, 9.0), // outside the requested range
+        ("9999999999999", 2021, 7.0, 7.0)) // different company
+        .toDF("tax_id", "fiscal_year", "total_assets", "current_assets")
+      val income = Seq(
+        ("0105537086874", 2021, 900000.0, 100000.0),
+        ("0105537086874", 2022, 1.0, 3.0))
+        .toDF("tax_id", "fiscal_year", "total_revenue", "net_profit")
+      val ratios = Seq(("0105537086874", 2022, 12.5))
+        .toDF("tax_id", "fiscal_year", "return_on_assets_percent")
+      CompanyQueries.companyFinancialResponse(balance, income, ratios,
+        "0105537086874", from = Some(2021), to = Some(2022))
+    }),
+
     // J2 scoped replace-all sync: the sync payload for company C1 replaces
     // C1's directors only — C2 is untouched (BolApiController.php:233-246
     // deletes within one parent key, not globally).
@@ -1348,6 +1371,12 @@ object SparkEntry {
         | (CAST(1 AS BIGINT), 2, 'B', CAST(5 AS BIGINT)),
         | (CAST(4 AS BIGINT), 3, 'C', CAST(5 AS BIGINT))
         |) AS t(id, director_no, name, total)""".stripMargin,
+
+    "q60_financial_response" ->
+      ("""SELECT '0105537086874' AS tax_id,
+        | '{"2021":{"accounts_receivable_net":null,"inventories":null,"current_assets":600000.5,"property_plant_equipment":null,"non_current_assets":null,"total_assets":1500000.0,"current_liabilities":null,"non_current_liabilities":null,"total_liabilities":null,"shareholders_equity":null,"total_liabilities_and_shareholder_equity":null}}' AS balance,
+        | '{"2021":{"net_revenue":null,"total_revenue":900000.0,"cost_of_goods_sold":null,"gross_profit":null,"operating_expenses":null,"total_expenses":null,"interest_expenses":null,"profit_before_tax":null,"income_tax_expenses":null,"net_profit":100000.0},"2022":{"net_revenue":null,"total_revenue":1.0,"cost_of_goods_sold":null,"gross_profit":null,"operating_expenses":null,"total_expenses":null,"interest_expenses":null,"profit_before_tax":null,"income_tax_expenses":null,"net_profit":3.0}}' AS income,
+        | '{"2022":{"return_on_assets_percent":12.5,"return_on_equity_percent":null,"gross_profit_margin_percent":null,"operating_profit_margin_percent":null,"net_profit_margin_percent":null,"current_ratio_times":null,"accounts_receivable_turnover_times":null,"inventory_turnover_times":null,"accounts_payable_turnover_times":null,"total_asset_turnover_times":null,"operating_expense_ratio_percent":null,"total_assets_to_shareholders_equity_ratio_times":null,"total_liabilities_to_total_assets_ratio_times":null,"debt_to_equity_ratio_times":null,"debt_to_working_capital_ratio_times":null}}' AS ratios""").stripMargin,
 
     "q59_scoped_replace_sync" ->
       """SELECT * FROM (VALUES

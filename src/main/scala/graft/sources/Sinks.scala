@@ -35,6 +35,31 @@ object Sinks {
           .parquet(path)
     }
 
+  /** K3: HTTP POST sink — each partition posts its rows as JSON-array
+    * batches (the reference POSTs `to_json(orient="records")` payloads,
+    * main.py:31-76, send_dbd_company_supplier.py:85-144; server-side bulk
+    * insert chunks at 1000, PublicApiController.php:392-408).
+    *
+    * The transport is pluggable — `(url, jsonArrayBody) => status` — so the
+    * sink is unit-testable offline and a deployment passes a real
+    * java.net.http-based function. Rows stream per partition (no driver
+    * collect); returns (okRows, failedRows) via accumulators, counting a
+    * batch failed when the transport returns a non-2xx status. */
+  def postJsonBatches(df: DataFrame, url: String,
+                      transport: (String, String) => Int,
+                      batchSize: Int = 1000): (Long, Long) = {
+    val ok = df.sparkSession.sparkContext.longAccumulator("http_sink_ok")
+    val failed = df.sparkSession.sparkContext.longAccumulator("http_sink_failed")
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      it.grouped(batchSize).foreach { batch =>
+        val status = transport(url, batch.mkString("[", ",", "]"))
+        if (status >= 200 && status < 300) ok.add(batch.size.toLong)
+        else failed.add(batch.size.toLong)
+      }
+    }
+    (ok.value, failed.value)
+  }
+
   /** F6 reject channel: valid rows to the main table, rejects (with their
     * rule names) to a side path — the bulk equivalent of the reference's
     * per-row error taxonomy + `--dump-fail` files

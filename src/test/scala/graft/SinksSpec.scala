@@ -4,11 +4,41 @@ import org.apache.spark.sql.functions._
 import graft.sources.Sinks
 import graft.operators.Validation
 
+object SinksSpec {
+  // local-mode test transport: executors share the JVM, so a static sink
+  // collects what was "posted"
+  val posted = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  def okTransport(url: String, body: String): Int = { posted.add((url, body)); 200 }
+  def failTransport(url: String, body: String): Int = 503
+}
+
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_sink").toString
+
+  test("postJsonBatches posts every row in bounded JSON-array batches") {
+    SinksSpec.posted.clear()
+    val df = (1 to 25).map(i => (i, s"name_$i")).toDF("id", "name").repartition(2)
+    val (ok, failed) = Sinks.postJsonBatches(df, "http://x/api", SinksSpec.okTransport, batchSize = 10)
+    assert(ok == 25 && failed == 0)
+    val bodies = SinksSpec.posted.toArray.map(_.asInstanceOf[(String, String)])
+    assert(bodies.forall(_._1 == "http://x/api"))
+    // every body is a JSON array of at most batchSize records; union covers all ids
+    val ids = bodies.flatMap { case (_, b) =>
+      assert(b.startsWith("[") && b.endsWith("]"))
+      "\"id\":(\\d+)".r.findAllMatchIn(b).map(_.group(1).toInt)
+    }
+    assert(ids.sorted.toList == (1 to 25).toList)
+    assert(bodies.forall(_._2.count(_ == '{') <= 10))
+  }
+
+  test("postJsonBatches counts non-2xx batches as failed rows") {
+    val df = (1 to 7).map(i => (i, i * 2)).toDF("a", "b")
+    val (ok, failed) = Sinks.postJsonBatches(df, "http://x", SinksSpec.failTransport, batchSize = 3)
+    assert(ok == 0 && failed == 7)
+  }
 
   test("partitioned-by-year sink overwrites only touched partitions") {
     val path = s"${tmp()}/table"
