@@ -848,6 +848,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // C44 ragged pad/truncate with synthetic col_i headers + C9 strict
+    // dd/MM/yyyy gate (narrower than the flexible parser: no B.E. shift,
+    // start-anchored gate with the reference's trailing-text quirk).
+    "q61_grid_normalize_strict_dates" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.ThaiDates
+      val grid = Seq(
+        (0L, Seq("15/09/2568", "A")),
+        (1L, Seq("5/9/2025", "B", "extra")),
+        (2L, Seq("12/34/5678garbage")))
+        .toDF("row_idx", "cells")
+      val (names, normalized) = graft.sources.Ingest.padTruncate(grid, None)
+      val widened = names.zipWithIndex.foldLeft(normalized) {
+        case (df, (name, i)) =>
+          df.withColumn(name, element_at(col("cells"), i + 1))
+      }.drop("cells")
+      widened.select(col("row_idx"),
+          col("col_1"),
+          ThaiDates.strictDmySlash(col("col_1")).as("strict_iso"),
+          col("col_2"), col("col_3"))
+        .orderBy("row_idx")
+    }),
+
     // §3.3 three-table financial response: {balance:{year:{...}},
     // income:{...}, ratios:{...}} over the three pivoted tables, fixed
     // column lists, missing columns null (and kept in the JSON), years
@@ -1371,6 +1395,14 @@ object SparkEntry {
         | (CAST(1 AS BIGINT), 2, 'B', CAST(5 AS BIGINT)),
         | (CAST(4 AS BIGINT), 3, 'C', CAST(5 AS BIGINT))
         |) AS t(id, director_no, name, total)""".stripMargin,
+
+    "q61_grid_normalize_strict_dates" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), '15/09/2568', '2568-09-15', 'A', ''),
+        | (CAST(1 AS BIGINT), '5/9/2025', CAST(NULL AS VARCHAR), 'B', 'extra'),
+        | (CAST(2 AS BIGINT), '12/34/5678garbage', '5678garbage-34-12', '', '')
+        |) AS t(row_idx, col_1, strict_iso, col_2, col_3)
+        |ORDER BY row_idx""".stripMargin,
 
     "q60_financial_response" ->
       ("""SELECT '0105537086874' AS tax_id,

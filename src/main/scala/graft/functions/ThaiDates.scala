@@ -75,6 +75,24 @@ object ThaiDates {
         d.cast("timestamp")).otherwise(lit(null).cast("timestamp")))
   }
 
+  /** C9 strict `DD/MM/YYYY` → `YYYY-MM-DD` STRING gate
+    * (pdf_ocr_rm_report_to_json.py:23-29) — deliberately narrower than
+    * [[parseFlexibleDate]]: exactly two-digit day/month and four-digit year
+    * pass; no B.E. shift, no calendar validation, plain string rebuild.
+    * The reference's `re.match` anchors only the start, so trailing text
+    * after the year rides into the rebuilt string — preserved faithfully
+    * (`12/34/5678x` → `5678x-34-12`). Inputs whose slash-split is not
+    * exactly 3 parts return null (the reference raises there — totality is
+    * our deviation, SURVEY §7.4 parser-contract note). */
+  def strictDmySlash(raw: Column): Column = {
+    val s = trim(raw.cast("string"))
+    val parts = split(s, "/")
+    when(s.rlike("^\\d{2}/\\d{2}/\\d{4}") && size(parts) === 3,
+      concat_ws("-", element_at(parts, 3), element_at(parts, 2),
+        element_at(parts, 1)))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** US-order `M/d/yyyy` date — the PO report's D4/F4 cells are explicitly
     * m/d/yyyy (read_po_csv_to_json.py:168-187 extract_mmddyyyy). */
   def parseUsDate(raw: Column): Column =

@@ -19,10 +19,20 @@ object Ingest {
     * once), then the winning encoding drives the distributed read. */
   val defaultEncodings: Seq[String] = Seq("UTF-8", "x-windows-874", "TIS-620", "ISO-8859-1")
 
-  def detectEncoding(path: String, encodings: Seq[String] = defaultEncodings): String = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      path.stripPrefix("file:")))
-    val sample = java.util.Arrays.copyOf(bytes, math.min(bytes.length, 64 * 1024))
+  /** Drop a possibly-split trailing multi-byte char (UTF-8 continuations
+    * 10xxxxxx + their lead) from a truncated sample, so the cut itself
+    * can't fail the probe. */
+  private def trimSplitTail(buf: Array[Byte]): Array[Byte] = {
+    var end = buf.length
+    while (end > 0 && (buf(end - 1) & 0xC0) == 0x80) end -= 1
+    if (end > 0 && (buf(end - 1) & 0xC0) == 0xC0) end -= 1
+    java.util.Arrays.copyOf(buf, end)
+  }
+
+  /** Pick the first candidate that decodes `sample` cleanly. Shared by the
+    * driver-side single-file probe and the per-task many-files path. */
+  def detectEncodingFromBytes(sample: Array[Byte],
+                              encodings: Seq[String] = defaultEncodings): String =
     encodings.find { enc =>
       try {
         val cs = java.nio.charset.Charset.forName(enc)
@@ -33,6 +43,24 @@ object Ingest {
         true
       } catch { case _: java.nio.charset.CharacterCodingException => false }
     }.getOrElse("ISO-8859-1") // latin1 accepts any byte sequence — last resort
+
+  /** Probe a file's encoding from its FIRST 64 KB only, through the Hadoop
+    * filesystem API — a bounded seekable read that works for any supported
+    * scheme (file:, hdfs:, s3a:, …), never a whole-file driver read. */
+  def detectEncoding(path: String, encodings: Seq[String] = defaultEncodings,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen
+      val want = math.min(len, 64L * 1024).toInt
+      var buf = new Array[Byte](want)
+      in.readFully(0, buf)
+      if (want.toLong < len) buf = trimSplitTail(buf)
+      detectEncodingFromBytes(buf, encodings)
+    } finally in.close()
   }
 
   /** Charsets Spark's CSV reader accepts natively; anything else (cp874,
@@ -69,6 +97,31 @@ object Ingest {
     }
   }
 
+  /** S1 at scale — MANY files, each with its own unknown encoding: the
+    * probe and the decode both run inside the file's own `binaryFiles`
+    * task (first 64 KB picks the charset, the payload decodes in place) —
+    * no driver-side per-file work at all. Returns (source_file, encoding,
+    * line) so downstream keeps file lineage; feed the `line` column to
+    * `spark.read.csv(Dataset[String])` per the single-file reader. */
+  def csvLinesPerFileEncoding(spark: SparkSession, pathGlob: String,
+                              encodings: Seq[String] = defaultEncodings): DataFrame = {
+    val encs = encodings // avoid closing over `this`
+    val rows = spark.sparkContext.binaryFiles(pathGlob)
+      .flatMap { case (file, pds) =>
+        val bytes = pds.toArray()
+        val sample =
+          if (bytes.length <= 64 * 1024) bytes
+          else trimSplitTail(java.util.Arrays.copyOf(bytes, 64 * 1024))
+        val enc = detectEncodingFromBytes(sample, encs)
+        new String(bytes, java.nio.charset.Charset.forName(enc))
+          .split("\r?\n", -1).iterator.map(line => Row(file, enc, line))
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("source_file", StringType, nullable = false),
+      StructField("encoding", StringType, nullable = false),
+      StructField("line", StringType, nullable = true))))
+  }
+
   /** S10: streaming JSON scan with a JSON-pointer-style sub-array
     * (`/records`), as the importers do with JsonMachine
     * (ImportInvoiceReport.php:70-79). Spark's multiLine JSON scan is already
@@ -100,6 +153,28 @@ object Ingest {
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("row_idx", LongType, nullable = false),
       StructField("cells", ArrayType(StringType), nullable = false))))
+  }
+
+  /** C44 ragged-row pad/truncate (`normalize_columns`,
+    * pdf_ocr_sale_invoice_to_json.py:96-106): every row is brought to the
+    * common width = max(header length, widest row) — shorter rows pad with
+    * "", longer rows slice (the reference's truncate branch; unreachable
+    * for data rows since the width maximum covers them, live for headers).
+    * Absent headers become synthetic `col_1..col_n`. Width is one tiny
+    * aggregate; the normalization itself is a pure array projection.
+    * Returns (column names, normalized grid). */
+  def padTruncate(gridDf: DataFrame,
+                  header: Option[Seq[String]] = None): (Seq[String], DataFrame) = {
+    val widest = gridDf.agg(max(size(col("cells")))).first().getInt(0)
+    val width = math.max(header.map(_.length).getOrElse(0), widest)
+    val names = header match {
+      case Some(h) => h.padTo(width, "").take(width)
+      case None    => (1 to width).map(i => s"col_$i")
+    }
+    val normalized = gridDf.withColumn("cells",
+      slice(concat(col("cells"),
+        array_repeat(lit(""), lit(width))), 1, width))
+    (names, normalized)
   }
 
   /** Promote row `headerIdx` of a grid to column names (uniquified, C40) and

@@ -10,6 +10,21 @@ class PipelinesSpec extends SparkSpec {
 
   test("encoding detection picks TIS-620 for the Thai PO grid") {
     val enc = Ingest.detectEncoding(s"$fixtures/po_report.csv")
+    // per-file distributed variant: mixed encodings in one glob, each file
+    // probed and decoded inside its own task
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_enc")
+      val thai = "รหัส,จำนวน\nก,1"
+      java.nio.file.Files.write(dir.resolve("utf8.csv"),
+        thai.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("tis620.csv"),
+        thai.getBytes("x-windows-874"))
+      val lines = Ingest.csvLinesPerFileEncoding(spark, s"$dir/*.csv")
+      val byFile = lines.collect().groupBy(r => r.getString(0).split('/').last)
+      assert(byFile("utf8.csv").head.getString(1) == "UTF-8")
+      assert(byFile("tis620.csv").head.getString(1) != "UTF-8")
+      assert(byFile.values.forall(_.head.getString(2) == "รหัส,จำนวน"))
+    }
     assert(enc == "x-windows-874" || enc == "TIS-620")
   }
 
