@@ -138,12 +138,17 @@ object Dedup {
   def jaccardPairsPrefixFilter(df: DataFrame, idCol: String, textCol: String,
                                n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    // The shingle table feeds four consumers (postings, the df count, and
+    // both verify sides) — persist it so tokenization/shingling/hashing
+    // runs once, not once per consumer. MEMORY_AND_DISK: at corpus scale
+    // the hash arrays spill rather than evict-and-recompute.
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", array_sort(transform(
         shinglesFromTokens(col("toks"), n), t => xxhash64(t))))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .where(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rarest-first prefix: global df per shingle hash, rank within doc
     val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
@@ -152,6 +157,10 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
       .where(col("rk") <= col("sz") - floor(col("sz") * prefFrac) + 1)
+      // a shingle unique to one document can never form a candidate bucket;
+      // dropping df=1 postings shrinks the self-join input to just the
+      // shared-shingle tail (most of a natural corpus's shingles are unique)
+      .where(col("df") >= 2)
       .select(col("g"), col("id"), col("sz"))
     val a = ranked.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = ranked.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
