@@ -848,6 +848,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Many-files PO pipeline: per-file encodings (TIS-620 + UTF-8 in one
+    // glob), per-file header metadata via one aggregation (no driver cell
+    // reads), per-file positional column resolution, codegen CSV split.
+    "q62_po_many_files" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.pipelines.Pipelines.poCsvMany(s, s"$fixtures/po_many/*.csv")
+        .withColumn("source_file",
+          regexp_extract(col("source_file"), "([^/]+)\\.csv$", 1))
+        .orderBy("po_no")
+    }),
+
     // C44 ragged pad/truncate with synthetic col_i headers + C9 strict
     // dd/MM/yyyy gate (narrower than the flexible parser: no B.E. shift,
     // start-anchored gate with the reference's trailing-text quirk).
@@ -1395,6 +1406,33 @@ object SparkEntry {
         | (CAST(1 AS BIGINT), 2, 'B', CAST(5 AS BIGINT)),
         | (CAST(4 AS BIGINT), 3, 'C', CAST(5 AS BIGINT))
         |) AS t(id, director_no, name, total)""".stripMargin,
+
+    "q62_po_many_files" ->
+      """SELECT * FROM (VALUES
+        | ('po_report_a', '1013090869', '72195', 'ผู้ขาย หนึ่ง', DATE '2025-07-01',
+        |  TIMESTAMP '2025-07-10 14:44:07', DATE '2025-07-15',
+        |  CAST(1234.56 AS DOUBLE), CAST(1300.0 AS DOUBLE),
+        |  '2050363000123', 'บริษัท เอซีเอ็มอี จำกัด', DATE '2025-07-10', DATE '2025-07-14'),
+        | ('po_report_a', '1013090870', '72196', 'ผู้ขาย สอง', DATE '2025-07-02',
+        |  TIMESTAMP '2025-07-11 09:15:00', DATE '2025-07-16',
+        |  CAST(-500.0 AS DOUBLE), CAST(535.0 AS DOUBLE),
+        |  '2050363000123', 'บริษัท เอซีเอ็มอี จำกัด', DATE '2025-07-10', DATE '2025-07-14'),
+        | ('po_report_a', '1013090871', '72197', 'ผู้ขาย สาม', DATE '2025-07-03',
+        |  TIMESTAMP '2025-07-12 10:00:00', DATE '2025-07-17',
+        |  CAST(2000.0 AS DOUBLE), CAST(2140.0 AS DOUBLE),
+        |  '2050363000123', 'บริษัท เอซีเอ็มอี จำกัด', DATE '2025-07-10', DATE '2025-07-14'),
+        | ('po_report_b', '2013090001', '80001', 'ผู้ขาย บี', DATE '2025-08-05',
+        |  TIMESTAMP '2025-08-02 08:00:00', DATE '2025-08-10',
+        |  CAST(9999.99 AS DOUBLE), CAST(10500.0 AS DOUBLE),
+        |  '1111111111111', 'บริษัท บี จำกัด', DATE '2025-08-01', DATE '2025-08-05'),
+        | ('po_report_b', '2013090002', '80002', 'ผู้ขาย ซี', DATE '2025-08-06',
+        |  TIMESTAMP '2025-08-03 15:30:00', DATE '2025-08-11',
+        |  CAST(750.25 AS DOUBLE), CAST(800.0 AS DOUBLE),
+        |  '1111111111111', 'บริษัท บี จำกัด', DATE '2025-08-01', DATE '2025-08-05')
+        |) AS t(source_file, po_no, supplier_code, supplier_name, order_date,
+        |       send_ts, delivery_date, amount_incl_vat, amount_incl_vat_2,
+        |       buyer_code, buyer_name, report_from, report_to)
+        |ORDER BY po_no""".stripMargin,
 
     "q61_grid_normalize_strict_dates" ->
       """SELECT * FROM (VALUES

@@ -19,18 +19,27 @@ object RowFilters {
     size(array_intersect(vals, array(canon.map(lit): _*))) >= minHits
   }
 
+  private val totalPat =
+    "(?i)(grand\\s*total|sub\\s*total|\\btotal\\b|รวมทั้งสิ้น|ยอดรวม|รวม)"
+
   /** F2: printed total/summary rows — `total|grand total|sub total` plus Thai
     * `รวมทั้งสิ้น/ยอดรวม/รวม` anywhere in the row
     * (pdf_ocr_inv_to_json.py:178-190, read_po_csv_to_json.py:242-263). */
-  def isTotalRow(cols: Seq[Column]): Column = {
-    val pat = "(?i)(grand\\s*total|sub\\s*total|\\btotal\\b|รวมทั้งสิ้น|ยอดรวม|รวม)"
-    cols.map(c => coalesce(c.cast("string"), lit("")).rlike(pat))
+  def isTotalRow(cols: Seq[Column]): Column =
+    cols.map(c => coalesce(c.cast("string"), lit("")).rlike(totalPat))
       .reduce(_ || _)
-  }
+
+  /** F2 over an array-of-cells column (the many-files grid shape). */
+  def isTotalRowArr(cells: Column): Column =
+    exists(cells, c => coalesce(c.cast("string"), lit("")).rlike(totalPat))
 
   /** F3: all values null/blank (pdf_ocr_inv_to_json.py:181-182). */
   def isBlankRow(cols: Seq[Column]): Column =
     cols.map(c => trim(coalesce(c.cast("string"), lit(""))) === "").reduce(_ && _)
+
+  /** F3 over an array-of-cells column. */
+  def isBlankRowArr(cells: Column): Column =
+    forall(cells, c => trim(coalesce(c.cast("string"), lit(""))) === "")
 
   /** F7: noise-label rows (script_read_dbd_balance.py:42,226-229): label in a
     * fixed set or starting with `หน่วย|หมายเหตุ`. */

@@ -190,6 +190,73 @@ object Pipelines {
       .orderBy("page")
   }
 
+  /** The PO pipeline over MANY report files at once — the scale variant of
+    * [[poCsv]] (which mirrors the reference's one-file CLI and reads three
+    * metadata cells on the driver). Here nothing touches the driver
+    * per-file: encodings are detected inside each file's scan task, lines
+    * split with the codegen'd CSV kernel, per-file header metadata (buyer
+    * cell B2, report dates D4/F4, the header row itself) comes from ONE
+    * conditional aggregation, and each file's named columns are resolved
+    * positionally from its own header row — so files whose column order
+    * drifts still land correctly. One broadcast join stamps the metadata
+    * back onto that file's rows (J4). */
+  def poCsvMany(spark: SparkSession, glob: String): DataFrame = {
+    import graft.plans.CsvExpressions
+    val grid = Ingest.csvLinesPerFileEncoding(spark, glob)
+      .withColumn("cells", CsvExpressions.splitCsvLine(col("line")))
+      .select(col("source_file"), col("line_no").as("row_idx"), col("cells"))
+
+    val meta = grid.groupBy("source_file").agg(
+        max(when(col("row_idx") === 1, element_at(col("cells"), 2))).as("buyer_cell"),
+        max(when(col("row_idx") === 3, element_at(col("cells"), 4))).as("from_raw"),
+        max(when(col("row_idx") === 3, element_at(col("cells"), 6))).as("to_raw"),
+        max(when(col("row_idx") === 4, col("cells"))).as("hdr"))
+      .select(col("source_file"),
+        nullif(regexp_extract(col("buyer_cell"), "\\((\\d{10,20})\\)", 1), lit(""))
+          .as("buyer_code"),
+        trim(regexp_replace(col("buyer_cell"), "^.*?\\(\\d{10,20}\\)", ""))
+          .as("buyer_name"),
+        ThaiDates.parseUsDate(col("from_raw")).as("report_from"),
+        ThaiDates.parseUsDate(col("to_raw")).as("report_to"),
+        col("hdr"))
+
+    val data = grid.where(col("row_idx") > 4)
+      .join(broadcast(meta), Seq("source_file"))
+
+    // n-th occurrence of a named header in THIS file's header row → cell
+    def cellBy(name: String, n: Int = 1): Column = {
+      val positions = filter(
+        transform(col("hdr"), (c, i) => when(c === name, i + 1).otherwise(lit(0))),
+        p => p > 0)
+      val pos = element_at(positions, n)
+      when(pos.isNotNull, element_at(col("cells"), pos.cast("int")))
+    }
+
+    val headerEcho =
+      (when(cellBy("PO No.") === "PO No.", 1).otherwise(0) +
+        when(cellBy("Supplier Code") === "Supplier Code", 1).otherwise(0) +
+        when(cellBy("Supplier Name") === "Supplier Name", 1).otherwise(0)) >= 2
+    val junk = RowFilters.isTotalRowArr(col("cells")) ||
+      RowFilters.isBlankRowArr(col("cells"))
+
+    val trimmed = RowFilters.trimTrailing(
+      data.where(!headerEcho), col("source_file"), col("row_idx"), junk)
+
+    trimmed.select(
+      col("source_file"),
+      cellBy("PO No.").as("po_no"),
+      cellBy("Supplier Code").as("supplier_code"),
+      TextClean.normWs(cellBy("Supplier Name")).as("supplier_name"),
+      ThaiDates.parseFlexibleDate(cellBy("Order Date")).as("order_date"),
+      ThaiDates.parseUsTimestamp(cellBy("Send Date")).as("send_ts"),
+      ThaiDates.parseFlexibleDate(cellBy("Delivery Date")).as("delivery_date"),
+      Money.parseAmountRobust(cellBy("Amount (PO Include VAT)")).as("amount_incl_vat"),
+      Money.parseAmountRobust(cellBy("Amount (PO Include VAT)", 2)).as("amount_incl_vat_2"),
+      col("buyer_code"), col("buyer_name"),
+      col("report_from"), col("report_to"))
+      .orderBy("po_no")
+  }
+
   /** SURVEY §7.4.3 named variants: the reference ships two Thai-key rename
     * maps that SWAP `วันที่` / `วันที่เอกสาร` between importers
     * (ImportRmReport.php:68-79 vs ImportRemAdvice.php:67-78). Both are

@@ -114,11 +114,13 @@ object Ingest {
           else trimSplitTail(java.util.Arrays.copyOf(bytes, 64 * 1024))
         val enc = detectEncodingFromBytes(sample, encs)
         new String(bytes, java.nio.charset.Charset.forName(enc))
-          .split("\r?\n", -1).iterator.map(line => Row(file, enc, line))
+          .split("\r?\n", -1).iterator.zipWithIndex
+          .map { case (line, i) => Row(file, enc, i.toLong, line) }
       }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("source_file", StringType, nullable = false),
       StructField("encoding", StringType, nullable = false),
+      StructField("line_no", LongType, nullable = false),
       StructField("line", StringType, nullable = true))))
   }
 

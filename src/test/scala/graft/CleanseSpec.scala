@@ -205,4 +205,20 @@ class CleanseSpec extends SparkSpec {
     assert(got(0).getString(0) == "CROSS DOCK" && got(0).getString(1) == "Crossdock")
     assert(got(1).getString(0) == "other")
   }
+
+  test("splitCsvLine: quoted delimiters, escaped quotes, trailing empties") {
+    import graft.plans.CsvExpressions
+    val cases = Seq(
+      "a,\"1,234.56\",c"             -> Seq("a", "1,234.56", "c"),
+      "x,\"he said \"\"hi\"\"\",z"   -> Seq("x", "he said \"hi\"", "z"),
+      "a,,c,"                        -> Seq("a", "", "c", ""),
+      "plain"                        -> Seq("plain"),
+      "\"only\""                     -> Seq("only"))
+    val got = cases.map(_._1).toDF("line")
+      .select(CsvExpressions.splitCsvLine(col("line")).as("cells"))
+      .collect().map(_.getSeq[String](0).toList)
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want.toList, s"want $want got $g")
+    }
+  }
 }
