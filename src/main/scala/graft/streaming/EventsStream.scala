@@ -14,36 +14,31 @@ import org.apache.spark.sql.streaming.Trigger
   * code tails an arriving directory/Kafka topic. */
 object EventsStream {
 
-  /** Tumbling-window counts per event_type. Watermark bounds state: at
-    * 100 TB/day the state store only keeps windows newer than the watermark
-    * horizon, so state is O(active windows), not O(history). */
+  /** Tumbling-window counts per event_type, APPEND mode: a window row is
+    * emitted exactly once, when the watermark finalizes it — the live
+    * production shape (complete mode would re-emit the whole result table
+    * every micro-batch). Watermark bounds state: at 100 TB/day the state
+    * store only keeps windows newer than the watermark horizon, so state
+    * is O(active windows), not O(history). The drain sentinel finalizes
+    * the trailing windows on a finite run. */
   def tumblingCounts(spark: SparkSession, dir: String,
                      windowSec: Int = 300): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Streaming needs an explicit schema; take it from a batch peek
-    // (ts arrives as raw nanos long under nanosAsLong).
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-stream sources need a directory; narrow to the events file(s)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = events
-      .withWatermark("ts", "1 hour")
+    val wmDelaySec = 3600L
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(drainSentinel(spark, dir, wmDelaySec + windowSec + 60))
+      .withWatermark("ts", s"$wmDelaySec seconds")
+    val agg = evs
       .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.Numeric.sumExactD(col("value"), 2).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("total_value"))
-
-    val name = s"events_stream_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // drain filter OUTSIDE the streaming plan: inside it Catalyst pushes
+    // the predicate below the EventTimeWatermark node and the sentinel
+    // never reaches the watermark stats (its window also never finalizes,
+    // so this only guards the pathological case)
+    runToTable(agg, "append").where(col("event_type") =!= DrainType)
   }
 
   private def eventsStream(spark: SparkSession, dir: String) = {
@@ -62,18 +57,24 @@ object EventsStream {
     df.sparkSession.table(name)
   }
 
-  /** Sliding windows (overlapping) — each event lands in window/slide
-    * buckets; watermark bounds state exactly as in the tumbling case. */
+  /** Sliding windows (overlapping), APPEND mode — each event lands in
+    * window/slide buckets; a bucket emits once when finalized; watermark
+    * bounds state exactly as in the tumbling case. */
   def slidingCounts(spark: SparkSession, dir: String,
                     windowSec: Int = 600, slideSec: Int = 300): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
+    val wmDelaySec = 3600L
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(drainSentinel(spark, dir, wmDelaySec + windowSec + 60))
+      .withWatermark("ts", s"$wmDelaySec seconds")
+    val agg = evs
       .groupBy(window(col("ts"), s"$windowSec seconds", s"$slideSec seconds"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"))
-    runToTable(agg, "complete")
+    // drain filter outside the streaming plan — see tumblingCounts
+    runToTable(agg, "append").where(col("event_type") =!= DrainType)
   }
 
   /** Streaming exact dedup within the watermark horizon — the streaming
@@ -189,8 +190,31 @@ object EventsStream {
       }
   }
 
-  /** Sentinel user id used by the drain wrapper below (never emitted). */
+  /** Sentinel user id / event type used by the drain wrappers (filtered
+    * from every output). */
   private val DrainUser = Long.MinValue
+  private val DrainType = "__drain"
+
+  /** A one-row sentinel stream whose event time sits `aheadSec` past the
+    * directory's max event time. Union it with the file stream BEFORE
+    * `withWatermark`: the single watermark then advances past end-of-input
+    * on the final batch (the Flink drain-on-stop pattern), so append-mode
+    * windows finalize and event-time timeouts fire on a finite run. A live
+    * deployment simply omits the sentinel. */
+  private def drainSentinel(spark: SparkSession, dir: String,
+                            aheadSec: Long): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxEpochSec = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000000000"))).first().getLong(0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    mem.addData(maxEpochSec + aheadSec)
+    mem.toDF().select(
+      timestamp_seconds(col("value")).as("ts"),
+      lit(DrainType).as("event_type"),
+      lit(0.0).as("value"))
+  }
 
   /** Stateful sessionization over the events directory with DRAIN
     * semantics: a sentinel event past end-of-input advances the watermark
@@ -200,34 +224,22 @@ object EventsStream {
     * sessions close as the watermark advances naturally. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Int = 1800): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
     val wmDelaySec = 7200L
 
+    // sentinel far enough that wm = sentinel - delay > max(last + gap);
     // ts stays in the record: the watermarked column must survive the
     // projection feeding flatMapGroupsWithState
-    val fileEvs = eventsStream(spark, dir)
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+      .unionByName(
+        drainSentinel(spark, dir, wmDelaySec + gapSec + 60)
+          .withColumn("user_id", lit(DrainUser)))
       .withWatermark("ts", s"$wmDelaySec seconds")
       .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"),
         col("value"), col("ts"))
       .as[Ev]
 
-    // sentinel epoch: far enough that wm = sentinel - delay > max(last+gap)
-    val maxEpochSec = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000000000"))).first().getLong(0)
-    val sentinelEpoch = maxEpochSec + wmDelaySec + gapSec + 60
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
-    mem.addData(sentinelEpoch)
-    val sentinelEvs = mem.toDF().select(
-        lit(DrainUser).as("user_id"),
-        timestamp_seconds(col("value")).as("ts"),
-        lit(0.0).as("value"))
-      .withWatermark("ts", s"$wmDelaySec seconds")
-      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"),
-        col("value"), col("ts"))
-      .as[Ev]
-
-    val sessions = sessionizeStream(fileEvs.unionByName(sentinelEvs), gapSec)
+    val sessions = sessionizeStream(evs, gapSec)
     runToTable(sessions.toDF(), "append")
       .where(col("user_id") =!= DrainUser)
   }
