@@ -771,13 +771,15 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    // Embedding-cosine near-dup pairs (exact baseline; the LSH-blocked
-    // variant is Dedup.embeddingNearDupPairsLSH for post-broadcast scale).
+    // Embedding-cosine near-dup pairs — exact AND scale-safe: block-pair
+    // partitioned join (each task holds two hash buckets; no corpus
+    // broadcast). Same complete semantics as the brute-force oracle;
+    // Dedup.embeddingNearDupPairsLSH remains the approximate-recall path.
     "q54_embedding_neardup" -> ((s0, d) => {
       val s = prep(s0)
       import graft.operators.Dedup
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
-          "vec_id", "embedding", 0.4)
+      Dedup.embeddingNearDupPairsBlocked(Tables.embeddings(s, d),
+          "vec_id", "embedding", 0.4, nBlocks = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),

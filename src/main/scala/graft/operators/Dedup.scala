@@ -213,6 +213,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Embedding-cosine near-dup pairs via block-pair partitioning — the
+    * COMPLETE exact join without broadcasting the corpus (the broadcast
+    * variant above needs the whole corpus in every executor; this needs
+    * two buckets per task). Rows hash into `nBlocks` buckets; every bucket
+    * pair (i <= j) becomes one independent join task. Memory per task is
+    * O(2·corpus/nBlocks) vectors, shuffle volume O(corpus × nBlocks), and
+    * the inherent O(n²/2) dot products spread over nBlocks·(nBlocks+1)/2
+    * tasks. Raise nBlocks as the corpus grows; use the LSH variant below
+    * when approximate recall is acceptable. */
+  def embeddingNearDupPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double, nBlocks: Int = 8): DataFrame = {
+    import graft.plans.VectorExpressions.{dot => vdot}
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
+    // side A serves bucket pairs (blk, j >= blk); side B serves (i <= blk, blk)
+    val a = base.withColumn("k", explode(transform(
+        sequence(col("blk"), lit(nBlocks - 1)),
+        j => struct(col("blk").as("i"), j.as("j")))))
+      .select(col("k"), col("id").as("id_x"), col("v").as("vx"), col("nrm").as("nx"))
+    val b = base.withColumn("k", explode(transform(
+        sequence(lit(0), col("blk")),
+        i => struct(i.as("i"), col("blk").as("j")))))
+      .select(col("k"), col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"))
+    a.join(b, Seq("k"))
+      .where(col("id_x") =!= col("id_y") &&
+        (col("k.i") =!= col("k.j") || col("id_x") < col("id_y")))
+      .withColumn("cos", when(col("nx") === 0.0 || col("ny") === 0.0, lit(0.0))
+        .otherwise(vdot(col("vx"), col("vy")) / (col("nx") * col("ny"))))
+      .where(col("cos") >= threshold)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs via hyperplane LSH blocking: candidate
     * pairs share a bucket in >=1 of `nTables` tables; exact cosine verifies.
     * Shuffle volume O(rows × nTables); recall grows with nTables. */

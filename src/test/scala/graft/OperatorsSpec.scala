@@ -204,6 +204,16 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall at nProbe=3/8")
   }
 
+  test("blocked embedding near-dup equals the broadcast exact result") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.embeddingNearDupPairsBlocked(emb, "vec_id", "embedding",
+      0.35, nBlocks = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && blocked == exact)
+  }
+
   test("embedding near-dup: LSH candidates are a high-recall subset of exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
