@@ -82,4 +82,34 @@ class PropertySpec extends SparkSpec {
       .select(VectorExpressions.jaccardSorted(col("a"), col("b"))).collect()(0).getDouble(0)
     assert(j == 0.5)
   }
+
+  test("sumExactD equals the exact rational cent-sum, independent of partitioning") {
+    import graft.functions.Numeric
+    // random money-ish doubles; the exact expectation is the integer cent
+    // sum done in BigDecimal from the same double-domain rounding
+    val amounts = Gen.listOfN(400,
+      Gen.chooseNum(-99999999L, 99999999L).map(_ / 100.0 + 0.001))
+      .sample.getOrElse(Seq.fill(400)(1.23))
+    val wantCents = amounts.map(a => math.round(a * 100)).sum
+    Seq(1, 7, 32).foreach { parts =>
+      val got = amounts.toDF("v").repartition(parts)
+        .agg(Numeric.sumExactD(col("v"), 2).as("s"))
+        .collect()(0).getDouble(0)
+      assert(got == wantCents.toDouble / 100,
+        s"parts=$parts got=$got want=${wantCents.toDouble / 100}")
+    }
+  }
+
+  test("quantizeD is total and idempotent at its scale") {
+    import graft.functions.Numeric
+    val vals = Gen.listOfN(300, Gen.chooseNum(-1e9, 1e9)).sample
+      .getOrElse(Seq.fill(300)(0.0))
+    val rows = vals.toDF("v")
+      .select(Numeric.quantizeD(col("v"), 2).as("q1"))
+      .select(col("q1"), Numeric.quantizeD(col("q1"), 2).as("q2"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.getDouble(0).isNaN && r.getDouble(0) == r.getDouble(1))
+    }
+  }
 }
