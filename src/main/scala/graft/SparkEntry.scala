@@ -850,6 +850,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Multimodal frame sampling: one media row → many frame rows (the
+    // generator shape for video). Chunking is the stubbed codec; the
+    // per-frame byte accounting below is exactly SQL-checkable.
+    "q63_media_frames" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Multimodal
+      val media = Multimodal.documentsAsMedia(
+        Tables.documents(s, d).where(col("doc_id") < 5))
+      Multimodal.sampleFrames(media, frameBytes = 64).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("total_bytes"),
+          max(col("frame_idx")).cast("long").as("last_idx"),
+          min(struct(col("frame_idx"), length(col("frame")).cast("long").as("len")))
+            .getField("len").as("first_frame_len"),
+          max(struct(col("frame_idx"), length(col("frame")).cast("long").as("len")))
+            .getField("len").as("last_frame_len"))
+        .orderBy("media_id")
+    }),
+
     // Many-files PO pipeline: per-file encodings (TIS-620 + UTF-8 in one
     // glob), per-file header metadata via one aggregation (no driver cell
     // reads), per-file positional column resolution, codegen CSV split.
@@ -1408,6 +1428,19 @@ object SparkEntry {
         | (CAST(1 AS BIGINT), 2, 'B', CAST(5 AS BIGINT)),
         | (CAST(4 AS BIGINT), 3, 'C', CAST(5 AS BIGINT))
         |) AS t(id, director_no, name, total)""".stripMargin,
+
+    "q63_media_frames" ->
+      """SELECT doc_id AS media_id,
+        | CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) AS n_frames,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes,
+        | CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) - 1 AS last_idx,
+        | CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS first_frame_len,
+        | CAST(octet_length(encode(text))
+        |      - 64*(CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) - 1)
+        |   AS BIGINT) AS last_frame_len
+        |FROM documents
+        |WHERE doc_id < 5 AND octet_length(encode(text)) > 0
+        |ORDER BY media_id""".stripMargin,
 
     "q62_po_many_files" ->
       """SELECT * FROM (VALUES

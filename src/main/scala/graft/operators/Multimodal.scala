@@ -76,4 +76,57 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(media_id: Long, frame_idx: Int, ts_ms: Long,
+                              frame: Array[Byte])
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = true)))
+
+  /** Frame sampling — the one-row→many-rows generator (UDTF) shape a video
+    * pipeline needs. STUB: fixed-size byte windows stand in for decoded
+    * frames at a fixed sample interval; a real codec swaps in a
+    * keyframe-seeking reader without touching the flatMap plumbing,
+    * declared schema, or timestamps. Empty payloads yield no frames. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+                   everyMs: Long = 1000L): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      val n = (p.length + frameBytes - 1) / frameBytes
+      (0 until n).iterator.map { i =>
+        MediaFrame(r.media_id, i, i * everyMs,
+          java.util.Arrays.copyOfRange(p,
+            i * frameBytes, math.min(p.length, (i + 1) * frameBytes)))
+      }
+    }
+  }
+
+  /** Resize — STUB: nearest-neighbor byte-space subsample to a fixed target
+    * length (stands in for an image rescale to a fixed resolution; output
+    * size is always `targetLen` for non-empty payloads, up- or
+    * down-sampling as needed). */
+  def resizeStub(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty) return Array.empty[Byte]
+    val out = new Array[Byte](targetLen)
+    var i = 0
+    while (i < targetLen) {
+      out(i) = payload((i.toLong * payload.length / targetLen).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Batch resize over the media table (per-partition init point, as in
+    * [[extractFeatures]]). */
+  def resized(media: Dataset[MediaRow], targetLen: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(payload = resizeStub(r.payload, targetLen)))
+    }
+  }
 }

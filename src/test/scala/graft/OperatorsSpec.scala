@@ -276,6 +276,22 @@ class OperatorsSpec extends SparkSpec {
 
   // ---- Multimodal
 
+  test("frame sampling conserves bytes; resize hits the target length") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val media = Multimodal.documentsAsMedia(docs)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 50)
+    val back = frames.toDF().groupBy("media_id")
+      .agg(sum(length(col("frame"))).as("b")).orderBy("media_id")
+      .collect().map(_.getLong(1))
+    val orig = media.toDF().orderBy("media_id")
+      .select(length(col("payload"))).collect().map(_.getInt(0).toLong)
+    assert(back.toSeq == orig.toSeq) // every byte lands in exactly one frame
+    val sizes = Multimodal.resized(media, 48).toDF()
+      .select(length(col("payload"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(48))
+  }
+
   test("extractFeatures is deterministic with declared schema") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val feats = Multimodal.extractFeatures(Multimodal.documentsAsMedia(docs))
