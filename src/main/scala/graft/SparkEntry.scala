@@ -741,7 +741,9 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"),
-          round(sum(col("total_value")), 2).as("total_value"))
+          // session totals are cents-exact; re-summing via the exact policy
+          // keeps the user total order-independent too
+          graft.functions.Numeric.sumExactD(col("total_value"), 2).as("total_value"))
         .orderBy("user_id")
     }),
 
@@ -1603,7 +1605,7 @@ object SparkEntry {
         |SELECT user_id,
         |  CAST(COUNT(DISTINCT sess) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events,
-        |  ROUND(SUM(value), 2) AS total_value
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
         |FROM s
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,

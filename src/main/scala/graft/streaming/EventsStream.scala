@@ -140,7 +140,10 @@ object EventsStream {
                               n_events: Long, total_value: Double)
   final case class Ev(user_id: Long, epoch: Long, value: Double,
                       ts: java.sql.Timestamp)
-  final case class SessState(start: Long, last: Long, n: Long, total: Double)
+  // total accumulates as exact CENTS (graft.functions.Numeric money
+  // policy): a double accumulator's value would depend on fold order
+  // across batches and diverge from a sequential oracle
+  final case class SessState(start: Long, last: Long, n: Long, totalCents: Long)
 
   /** Pure streaming sessionization transform — the live-stream-correct
     * core. EventTimeTimeout: a closed session is emitted EXACTLY ONCE,
@@ -150,6 +153,14 @@ object EventsStream {
     * State per user is the single open session (constant size); each group
     * call sorts only its own micro-batch slice, which a watermarked
     * production source keeps bounded. */
+  /** Half-away-from-zero cent rounding — the same tie policy as SQL
+    * ROUND and graft.functions.Numeric (math.round is half-up toward
+    * +inf, which diverges on negative ties). */
+  private def roundCents(v: Double): Long = {
+    val x = v * 100
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+  }
+
   def sessionizeStream(evs: org.apache.spark.sql.Dataset[Ev],
                        gapSec: Int): org.apache.spark.sql.Dataset[SessionRow] = {
     import evs.sparkSession.implicits._
@@ -161,7 +172,7 @@ object EventsStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionRow(user, s.start, s.n, s.total))
+            Iterator.single(SessionRow(user, s.start, s.n, s.totalCents / 100.0))
           } else {
             val sorted = it.toArray.sortInPlaceBy(e => (e.epoch, e.value))
             var open = state.getOption
@@ -169,12 +180,13 @@ object EventsStream {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.epoch - s.last <= gapSec =>
-                  open = Some(s.copy(last = e.epoch, n = s.n + 1, total = s.total + e.value))
+                  open = Some(s.copy(last = e.epoch, n = s.n + 1,
+                    totalCents = s.totalCents + roundCents(e.value)))
                 case Some(s) =>
-                  closed += SessionRow(user, s.start, s.n, s.total)
-                  open = Some(SessState(e.epoch, e.epoch, 1, e.value))
+                  closed += SessionRow(user, s.start, s.n, s.totalCents / 100.0)
+                  open = Some(SessState(e.epoch, e.epoch, 1, roundCents(e.value)))
                 case None =>
-                  open = Some(SessState(e.epoch, e.epoch, 1, e.value))
+                  open = Some(SessState(e.epoch, e.epoch, 1, roundCents(e.value)))
               }
             }
             open.foreach { s =>
