@@ -852,6 +852,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Cleansing matrix 2: the remaining §2.2/§2.7 ops under the oracle
+    // gate — C16 numeric 0-fill, C18 derived excl-VAT, C19 2dp/3dp
+    // rounding, C38 .0 strip, C39 combining-mark rejoin, C43 glued-number
+    // repair, F7 noise-label predicate, F8 seq-presence predicate.
+    "q64_cleanse_matrix_2" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.{Money, TextClean}
+      import graft.operators.RowFilters
+      Seq(
+        (1, "12.5", Some(0.0), Some(107.0), Some(7.0), Some(12.3456),
+          Some(1.23456), "INV123.000", "ก\nำไร", "total 1,234.50 of 2",
+          "หน่วย : บาท", "1"),
+        (2, "x", Some(50.0), Some(107.0), Some(7.0), Some(7.891),
+          Some(2.0624), "A90", "ปกติ", "12.5อะไร", "รายได้รวม", ""),
+        (3, null, None, Some(10.0), Some(3.0), None, None,
+          "B7.0", "หมายเหตุ ท้าย", "no digits", "หมายเหตุ: อ่าน", null))
+        .toDF("id", "raw_num", "excl", "incl", "vat", "money", "qty",
+          "ref", "thai", "glued", "label", "seq")
+        .select(col("id"),
+          Money.coerceNumericZeroFill(col("raw_num")).as("num_filled"),
+          Money.deriveExclVat(col("excl"), col("incl"), col("vat")).as("excl_vat"),
+          Money.money2(col("money")).as("money_2dp"),
+          Money.qty3(col("qty")).as("qty_3dp"),
+          TextClean.stripDotZero(col("ref")).as("ref_clean"),
+          TextClean.rejoinCombiningMarks(col("thai")).as("thai_joined"),
+          TextClean.firstNumber(col("glued")).as("glued_num"),
+          RowFilters.isNoiseLabel(col("label")).as("is_noise"),
+          (trim(col("seq")) =!= "").as("has_seq"))
+        .orderBy("id")
+    }),
+
     // Multimodal frame sampling: one media row → many frame rows (the
     // generator shape for video). Chunking is the stubbed codec; the
     // per-frame byte accounting below is exactly SQL-checkable.
@@ -1430,6 +1462,21 @@ object SparkEntry {
         | (CAST(1 AS BIGINT), 2, 'B', CAST(5 AS BIGINT)),
         | (CAST(4 AS BIGINT), 3, 'C', CAST(5 AS BIGINT))
         |) AS t(id, director_no, name, total)""".stripMargin,
+
+    "q64_cleanse_matrix_2" ->
+      """SELECT * FROM (VALUES
+        | (1, CAST(12.5 AS DOUBLE), CAST(100.0 AS DOUBLE), CAST(12.35 AS DOUBLE),
+        |  CAST(1.235 AS DOUBLE), 'INV123', 'กำไร', CAST(1234.5 AS DOUBLE),
+        |  true, true),
+        | (2, CAST(0.0 AS DOUBLE), CAST(50.0 AS DOUBLE), CAST(7.89 AS DOUBLE),
+        |  CAST(2.062 AS DOUBLE), 'A90', 'ปกติ', CAST(12.5 AS DOUBLE),
+        |  false, false),
+        | (3, CAST(0.0 AS DOUBLE), CAST(7.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), 'B7', 'หมายเหตุ ท้าย', CAST(NULL AS DOUBLE),
+        |  true, CAST(NULL AS BOOLEAN))
+        |) AS t(id, num_filled, excl_vat, money_2dp, qty_3dp, ref_clean,
+        |       thai_joined, glued_num, is_noise, has_seq)
+        |ORDER BY id""".stripMargin,
 
     "q63_media_frames" ->
       """SELECT doc_id AS media_id,
