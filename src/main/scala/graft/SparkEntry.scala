@@ -852,6 +852,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // C28 common-prefix ref repair: doc wins when the shared prefix is >= 6
+    // chars or doc startsWith ref; otherwise ref stands.
+    "q65_ref_prefix_repair" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.functions.OcrRepair
+      Seq(
+        (1, "IV680711234", "IV68071"),    // doc startsWith ref → doc
+        (2, "IV680711234", "IV6807X99"),  // prefix 7 >= 6 → doc
+        (3, "IV680711234", "ZZ99"),       // unrelated → ref kept
+        (4, "ABCDE1", "ABCDE2"),          // prefix 5 < 6, no startsWith → ref
+        (5, null, "REF1"),                // null doc → ref
+        (6, "DOC99", null))               // null ref → null (ref stands)
+        .toDF("id", "doc", "ref")
+        .select(col("id"), col("doc"), col("ref"),
+          OcrRepair.repairRefByPrefix(col("doc"), col("ref")).as("repaired"))
+        .orderBy("id")
+    }),
+
     // Cleansing matrix 2: the remaining §2.2/§2.7 ops under the oracle
     // gate — C16 numeric 0-fill, C18 derived excl-VAT, C19 2dp/3dp
     // rounding, C38 .0 strip, C39 combining-mark rejoin, C43 glued-number
@@ -1462,6 +1481,17 @@ object SparkEntry {
         | (CAST(1 AS BIGINT), 2, 'B', CAST(5 AS BIGINT)),
         | (CAST(4 AS BIGINT), 3, 'C', CAST(5 AS BIGINT))
         |) AS t(id, director_no, name, total)""".stripMargin,
+
+    "q65_ref_prefix_repair" ->
+      """SELECT * FROM (VALUES
+        | (1, 'IV680711234', 'IV68071', 'IV680711234'),
+        | (2, 'IV680711234', 'IV6807X99', 'IV680711234'),
+        | (3, 'IV680711234', 'ZZ99', 'ZZ99'),
+        | (4, 'ABCDE1', 'ABCDE2', 'ABCDE2'),
+        | (5, CAST(NULL AS VARCHAR), 'REF1', 'REF1'),
+        | (6, 'DOC99', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+        |) AS t(id, doc, ref, repaired)
+        |ORDER BY id""".stripMargin,
 
     "q64_cleanse_matrix_2" ->
       """SELECT * FROM (VALUES
