@@ -20,13 +20,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // drop blocks a query persisted but never released (operators can't
+    // unpersist what they return lazily) — without this, cached shingle /
+    // embedding tables pile up across the suite and the GC pressure lands
+    // on whichever queries run AFTER the heavy ones, making their timings
+    // unattributable
+    def clearCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      clearCaches()
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      clearCaches()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -459,7 +459,7 @@ object SparkEntry {
         .withColumn("text", concat(col("text"), lit(" extra suffix token")))
       Dedup.jaccardPairsPrefixFilter(base.unionByName(mutants),
           "doc_id", "text", n = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 

@@ -172,9 +172,12 @@ object Dedup {
     // verify: re-join the sorted hash arrays by id, linear-merge Jaccard
     val arrA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val arrB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // round BEFORE the threshold filter (6dp, matching the SQL-oracle
+    // ROUND-then-filter order): a pair whose true jaccard sits within
+    // 5e-7 below the threshold must round up INTO the result set
     cand.join(arrA, Seq("id_a")).join(arrB, Seq("id_b"))
-      .withColumn("jaccard",
-        graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", round(
+        graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

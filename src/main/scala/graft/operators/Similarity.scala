@@ -100,50 +100,69 @@ object Similarity {
   }
 
   /** Deterministic spherical k-means training for the IVF codebook:
-    * Lloyd's iterations over a bounded, deterministically chosen sample
-    * (every m-th vector by id — seedless and rerun-stable). Assignment is
-    * by max cosine; the new centroid is the per-dimension mean of its
-    * members (scale is irrelevant to cosine assignment, so means are not
+    * Lloyd's iterations over a bounded, deterministically chosen sample —
+    * the `sampleSize` rows with the smallest `xxhash64(id)` (a seedless
+    * uniform pseudo-random sample that needs no up-front `count()`; the
+    * TakeOrdered top-k is ONE pass over the corpus). Assignment is by max
+    * cosine; the new centroid is the per-dimension mean of its members
+    * (scale is irrelevant to cosine assignment, so means are not
     * re-normalized); an emptied cluster keeps its previous centroid.
     *
-    * Scale shape: the sample is constant-size regardless of corpus size
-    * (training cost does not grow with the data); each iteration is one
-    * argmax projection over the sample plus a (cid, dim)-keyed mean — the
-    * per-dimension posexplode shuffles sample×dim rows, bounded by
-    * `sampleSize`. The trained codebook (k×dim doubles) lives on the
-    * driver and is embedded as a literal in the assignment expression. */
+    * Scale shape: the sample is constant-size regardless of corpus size,
+    * so training cost does not grow with the data — exactly ONE Spark job
+    * (sample + collect of sampleSize×dim doubles, ~1 MB at 2048×64); the
+    * Lloyd iterations then run driver-local over the collected sample
+    * (the FAISS/MiniBatch pattern: train in memory on a bounded sample,
+    * apply distributed). The trained codebook (k×dim doubles) is embedded
+    * as a literal in the distributed assignment expression. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nCentroids: Int, iters: Int = 3,
                      sampleSize: Int = 2048): Array[Seq[Double]] = {
-    val spark = corpus.sparkSession
-    val n = corpus.count()
-    val stride = math.max(1L, n / math.max(nCentroids.toLong, math.min(n, sampleSize.toLong)))
-    val sample = corpus
-      .select(col(idCol).as("id"),
+    val sample: Array[(Long, Array[Double])] = corpus
+      .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
-      .where(pmod(col("id"), lit(stride)) === 0)
-      .persist()
-    try {
-      var cents: Array[Seq[Double]] = sample.orderBy("id").limit(nCentroids)
-        .select("v").collect().map(_.getSeq[Double](0))
-      require(cents.length == nCentroids,
-        s"corpus too small for $nCentroids centroids")
-      val dim = cents.head.length
-      for (_ <- 1 to iters) {
-        val assigned = sample.withColumn("cid", nearestCentroid(col("v"), cents))
-        val means = assigned
-          .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy("cid", "d").agg(avg("x").as("m"))
-          .groupBy("cid").agg(map_from_arrays(
-            collect_list(col("d")), collect_list(col("m"))).as("dm"))
-          .collect().map { r =>
-            val dm = r.getMap[Int, Double](1)
-            r.getInt(0) -> (0 until dim).map(dm(_))
-          }.toMap
-        cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(math.max(sampleSize, nCentroids))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(sample.length >= nCentroids,
+      s"corpus too small for $nCentroids centroids")
+    // seeds: the nCentroids lowest ids of the sample (deterministic)
+    var cents: Array[Array[Double]] =
+      sample.sortBy(_._1).take(nCentroids).map(_._2.clone())
+    val dim = cents.head.length
+    val vecs = sample.map(_._2)
+    // precompute vector norms once (assignment is by cosine)
+    val vnorm = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    for (_ <- 1 to iters) {
+      val cnorm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](nCentroids)
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        // argmax cosine, ties to the lower cid (matches nearestCentroid)
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < nCentroids) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
+          val cos = if (vnorm(i) == 0.0 || cnorm(c) == 0.0) 0.0
+                    else d / (vnorm(i) * cnorm(c))
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
       }
-      cents
-    } finally { sample.unpersist(); () }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents.map(_.toSeq)
   }
 
   /** Index of the max-cosine centroid for a vector column — a pure

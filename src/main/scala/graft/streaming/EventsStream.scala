@@ -111,7 +111,9 @@ object EventsStream {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val ss = batch.sparkSession
-        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val savedMode = ss.conf.getOption(modeKey)
+        ss.conf.set(modeKey, "dynamic")
         val b = batch.toDF().persist()
         try {
           val dates = b.select("event_date").distinct().collect()
@@ -124,9 +126,21 @@ object EventsStream {
             case Some(e) => Merge.upsert(e, b, Seq("event_id"))
             case None    => b
           }
-          merged.write.mode("overwrite")
+          // materialize BEFORE the overwrite (cut lineage to the target's
+          // files): the merged plan reads targetPath lazily inside the job
+          // that rewrites it — safe under dynamic overwrite's deferred
+          // delete, but not worth betting the table on if the mode is ever
+          // overridden to static
+          val materialized = merged.localCheckpoint(eager = true)
+          materialized.write.mode("overwrite")
             .partitionBy("event_date").parquet(targetPath)
-        } finally { b.unpersist(); () }
+        } finally {
+          b.unpersist()
+          savedMode match {
+            case Some(m) => ss.conf.set(modeKey, m)
+            case None    => ss.conf.unset(modeKey)
+          }
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -180,7 +194,10 @@ object EventsStream {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.epoch - s.last <= gapSec =>
-                  open = Some(s.copy(last = e.epoch, n = s.n + 1,
+                  // max: a late-but-within-watermark event must never move
+                  // `last` backwards — that would shrink the timeout horizon
+                  // and mis-split the session on the next event
+                  open = Some(s.copy(last = math.max(s.last, e.epoch), n = s.n + 1,
                     totalCents = s.totalCents + roundCents(e.value)))
                 case Some(s) =>
                   closed += SessionRow(user, s.start, s.n, s.totalCents / 100.0)
@@ -217,8 +234,11 @@ object EventsStream {
                             aheadSec: Long): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxEpochSec = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000000000"))).first().getLong(0)
+    // empty input → max(ts) is NULL; fall back to epoch 0 so the drain
+    // wrappers return an empty result instead of throwing on .getLong
+    val maxEpochSec = Option(spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000000000"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     mem.addData(maxEpochSec + aheadSec)

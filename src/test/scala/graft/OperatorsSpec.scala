@@ -138,8 +138,8 @@ class OperatorsSpec extends SparkSpec {
     val want = sh.toDF("id_a", "sh_a")
       .crossJoin(sh.toDF("id_b", "sh_b"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("j",
-        graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .withColumn("j", round(
+        graft.plans.VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .where(col("j") >= 0.4)
       .select("id_a", "id_b", "j").as[(Long, Long, Double)].collect().toSet
     assert(want.nonEmpty && got == want)
