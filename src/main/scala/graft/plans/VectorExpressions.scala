@@ -122,6 +122,98 @@ object VectorOps {
     out.toArray
   }
 
+  private val SpaceSep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Sorted, deduplicated xxhash64 (seed 42) hashes of the word n-gram
+    * shingles of a token array — the one-pass kernel behind the exact
+    * Jaccard join. Bit-equal to the HOF formulation
+    * `array_sort(transform(array_distinct(n-grams), xxhash64))` (dedup on
+    * hashes == dedup on strings modulo 64-bit collisions, the accepted
+    * sketch contract), but evaluates the token array ONCE: the HOF version
+    * re-evaluates its lambda-captured token column per shingle position
+    * after projection collapse — O(tokens · regex) per document. */
+  def shingleHashes(arr: ArrayData, n: Int): Array[Long] = {
+    val sz = arr.numElements()
+    val grams = sz - (n - 1)
+    if (grams <= 0) return Array.emptyLongArray
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](sz)
+    var i = 0
+    while (i < sz) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val hs = new Array[Long](grams)
+    i = 0
+    while (i < grams) {
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      // concatWs skips nulls — same as SQL concat_ws
+      hs(i) = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(SpaceSep, parts: _*),
+        StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < grams) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == grams) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** MinHash LSH band keys straight from the token array: per shingle one
+    * string hash (seed 42), then k cheap int-seeded rehashes keep the
+    * running per-seed minimum; band key = chained xxhash64 over (band idx,
+    * band's minhashes). One kernel call per row replaces k string hashes
+    * per shingle PLUS the k·bands element_at references that would
+    * re-evaluate an inlined signature expression per reference. */
+  def minhashBandKeys(arr: ArrayData, n: Int, k: Int, bands: Int): Array[Long] = {
+    val sz = arr.numElements()
+    val grams = sz - (n - 1)
+    if (grams <= 0) return Array.emptyLongArray
+    val rowsPerBand = k / bands
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](sz)
+    var i = 0
+    while (i < sz) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    i = 0
+    while (i < grams) {
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      val hs = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(SpaceSep, parts: _*),
+        StringType, 42L)
+      var s = 0
+      while (s < k) {
+        val h = XxHash64Function.hash(s, IntegerType, hs)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b, IntegerType, 42L)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XxHash64Function.hash(mins(b * rowsPerBand + r), LongType, h)
+        r += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    keys
+  }
+
   /** Exact Jaccard of two SORTED, deduplicated long arrays via a linear
     * merge walk — no hash set, no boxing. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
@@ -202,6 +294,31 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.shingleHashes(v.asInstanceOf[ArrayData], n))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.shingleHashes($a, $n));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class MinhashBandKeys(child: Expression, n: Int, k: Int, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.minhashBandKeys(v.asInstanceOf[ArrayData], n, k, bands))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.minhashBandKeys($a, $n, $k, $bands));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class JaccardSortedLongs(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -228,4 +345,8 @@ object VectorExpressions {
     column(JaccardSortedLongs(expression(a), expression(b)))
   def winnow(tokens: Column, k: Int, w: Int): Column =
     column(Winnow(expression(tokens), k, w))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    column(ShingleHashes(expression(tokens), n))
+  def minhashBandKeys(tokens: Column, n: Int, k: Int, bands: Int): Column =
+    column(MinhashBandKeys(expression(tokens), n, k, bands))
 }
