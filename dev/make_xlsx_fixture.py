@@ -104,6 +104,39 @@ build(f"{FIX}/supplier_sheets.xlsx", [
     ("Empty",  [[]]),
 ], shared)
 
+# --- xlsx_many/: multi-workbook glob (q66) -------------------------------
+# Workbook A repeats the q46 shape. Workbook B also has a sheet named
+# "Sheet1" but with the column order REVERSED (amount, code) plus its own
+# extra sheet — per-(file, sheet) header keying is observable: rows must
+# land under the right names, never under workbook A's header.
+import os
+os.makedirs(f"{FIX}/xlsx_many", exist_ok=True)
+build(f"{FIX}/xlsx_many/supplier_a.xlsx", [
+    ("Sheet1", [[("s", 0), ("s", 1)],
+                [("s", 3), ("n", "10")],
+                [("s", 4), ("n", "20")]]),
+    ("Sheet2", [[("s", 0), ("s", 1), ("s", 2)],
+                [("s", 5), ("n", "30"), ("s", 6)]]),
+    ("Empty",  [[]]),
+], shared)
+shared_b = ["<si><t>amount</t></si>", "<si><t>code</t></si>",
+            "<si><t>C1</t></si>", "<si><t>C2</t></si>",
+            "<si><t>qty</t></si>", "<si><t>D1</t></si>"]
+build(f"{FIX}/xlsx_many/supplier_b.xlsx", [
+    ("Sheet1", [[("s", 0), ("s", 1)],          # amount, code — reversed!
+                [("n", "40"), ("s", 2)],
+                [("n", "50"), ("s", 3)]]),
+    ("Other",  [[("s", 1), ("s", 4)],          # code, qty
+                [("s", 5), ("n", "7")]]),
+], shared_b)
+
+# --- ole2_fake.xlsx: a lying extension (S3 magic-bytes sniff) ------------
+# OLE2 compound-file signature + padding: a legacy .xls renamed .xlsx must
+# land in the reject channel, not die in a zip stack trace.
+with open(f"{FIX}/ole2_fake.xlsx", "wb") as f:
+    f.write(bytes([0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1]))
+    f.write(b"\x00" * 504)
+
 # --- xlsx_edge.xlsx: parser edge cases -----------------------------------
 # sparse rows (row 2 missing), sparse cells (C before gap), inline string,
 # rich-text shared string split into runs

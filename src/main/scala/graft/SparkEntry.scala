@@ -934,6 +934,22 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // S2/S4 at scale: a GLOB of workbooks through one metadata aggregation.
+    // Workbook B's "Sheet1" reverses A's column order and ships its own
+    // extra sheet — per-(file, sheet) header keying is what lands every
+    // value under the right name.
+    "q66_xlsx_many_union" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.sources.ExcelReader
+        .multiSheetUnion(s, s"$fixtures/xlsx_many/*.xlsx")
+        .withColumn("source_file",
+          regexp_extract(col("source_file"), "([^/]+)\\.xlsx$", 1))
+        .select(col("source_file"), col("source_sheet"), col("code"),
+          col("amount").cast("double").as("amount"), col("note"),
+          col("qty").cast("int").as("qty"))
+        .orderBy("source_file", "source_sheet", "code")
+    }),
+
     // C44 ragged pad/truncate with synthetic col_i headers + C9 strict
     // dd/MM/yyyy gate (narrower than the flexible parser: no B.E. shift,
     // start-anchored gate with the reference's trailing-text quirk).
@@ -1588,6 +1604,17 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q66_xlsx_many_union" ->
+      """SELECT * FROM (VALUES
+        | ('supplier_a', 'Sheet1', 'A1', CAST(10.0 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)),
+        | ('supplier_a', 'Sheet1', 'A2', CAST(20.0 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)),
+        | ('supplier_a', 'Sheet2', 'B1', CAST(30.0 AS DOUBLE), 'extra', CAST(NULL AS INTEGER)),
+        | ('supplier_b', 'Other', 'D1', CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(7 AS INTEGER)),
+        | ('supplier_b', 'Sheet1', 'C1', CAST(40.0 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)),
+        | ('supplier_b', 'Sheet1', 'C2', CAST(50.0 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER))
+        |) AS t(source_file, source_sheet, code, amount, note, qty)
+        |ORDER BY source_file, source_sheet, code""".stripMargin,
 
     "q47_file_stem_keys" ->
       """SELECT * FROM (VALUES

@@ -335,37 +335,10 @@ object Pipelines {
     * duplicate names (C40), embedded header re-detection (P4), trailing
     * total/blank trim (F4), per-column normalize, file metadata stamped on
     * every row (J4). */
-  def poCsv(spark: SparkSession, csvPath: String): DataFrame = {
-    val g = Ingest.grid(spark, csvPath)
-    val buyerCell = Ingest.cellAt(g, 1, 1)       // B2-in-fixture ("Buyer : ...")
-    val fromRaw = Ingest.cellAt(g, 3, 3)          // D4
-    val toRaw   = Ingest.cellAt(g, 3, 5)          // F4
-    val buyerCode = Option(buyerCell).map(
-      "\\((\\d{10,20})\\)".r.findFirstMatchIn(_).map(_.group(1)).orNull).orNull
-    val buyerName = Option(buyerCell).map(
-      _.replaceAll("^.*?\\(\\d{10,20}\\)", "").trim).orNull
-
-    val table = Ingest.promoteHeader(g, 4)
-    // quote: promoted header names contain dots/parens ("PO No.")
-    val cols = table.columns.filter(_ != "row_idx").map(n => col(s"`$n`"))
-    val headerLabels = Seq("PO No.", "Supplier Code", "Supplier Name")
-    val junk = RowFilters.isTotalRow(cols) || RowFilters.isBlankRow(cols)
-    val noEmbedded = table.where(!RowFilters.isHeaderRow(cols, headerLabels, minHits = 2))
-    val trimmed = RowFilters.trimTrailing(noEmbedded, lit(1), col("row_idx"), junk)
-
-    trimmed.select(
-      col("`PO No.`").as("po_no"),
-      col("`Supplier Code`").as("supplier_code"),
-      TextClean.normWs(col("`Supplier Name`")).as("supplier_name"),
-      ThaiDates.parseFlexibleDate(col("`Order Date`")).as("order_date"),
-      ThaiDates.parseUsTimestamp(col("`Send Date`")).as("send_ts"),
-      ThaiDates.parseFlexibleDate(col("`Delivery Date`")).as("delivery_date"),
-      Money.parseAmountRobust(col("`Amount (PO Include VAT)`")).as("amount_incl_vat"),
-      Money.parseAmountRobust(col("`Amount (PO Include VAT)_2`")).as("amount_incl_vat_2"),
-      lit(buyerCode).as("buyer_code"),
-      lit(buyerName).as("buyer_name"),
-      ThaiDates.parseUsDate(lit(fromRaw)).as("report_from"),
-      ThaiDates.parseUsDate(lit(toRaw)).as("report_to"))
-      .orderBy("po_no")
-  }
+  def poCsv(spark: SparkSession, csvPath: String): DataFrame =
+    // the single-file CLI shape is the many-files kernel at glob size 1:
+    // same per-task encoding detect, same one-aggregation metadata, zero
+    // per-file driver jobs (`Ingest.grid`/`cellAt` stay available as
+    // positional utilities for ad-hoc grid work)
+    poCsvMany(spark, csvPath).drop("source_file")
 }

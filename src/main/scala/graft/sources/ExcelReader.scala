@@ -190,58 +190,129 @@ object ExcelReader {
     }
   }
 
+  /** S3's entry gate: magic-bytes format sniff, so a lying extension
+    * (an OLE2 `.xls` renamed `.xlsx`, or garbage) is REJECTED with a
+    * taxonomy reason instead of surfacing as a zip stack trace — the
+    * relational slice of the reference's engine cascade
+    * (script_read_dbd_income.py:177-263 sniffs the container before
+    * choosing an engine; the non-zip engines themselves stay out of
+    * scope per SURVEY §8). */
+  def detectFormat(bytes: Array[Byte]): String = {
+    def at(i: Int, v: Int) = i < bytes.length && (bytes(i) & 0xFF) == v
+    if (at(0, 0x50) && at(1, 0x4B) && at(2, 0x03) && at(3, 0x04)) "xlsx_zip"
+    else if (at(0, 0xD0) && at(1, 0xCF) && at(2, 0x11) && at(3, 0xE0)) "ole2"
+    else "unknown"
+  }
+
   private val gridSchema = StructType(Seq(
     StructField("source_file", StringType, nullable = false),
-    StructField("source_sheet", StringType, nullable = false),
-    StructField("sheet_idx", IntegerType, nullable = false),
-    StructField("row_idx", LongType, nullable = false),
-    StructField("cells", ArrayType(StringType), nullable = false)))
+    StructField("source_sheet", StringType, nullable = true),
+    StructField("sheet_idx", IntegerType, nullable = true),
+    StructField("row_idx", LongType, nullable = true),
+    StructField("cells", ArrayType(StringType), nullable = true),
+    StructField("reject_reason", StringType, nullable = true)))
 
-  /** S4: every sheet of every matching workbook as one tagged grid —
-    * (source_file, source_sheet, sheet_idx, row_idx, cells). One task per
-    * file (binaryFiles), rows in file order per sheet. */
-  def sheetsGrid(spark: SparkSession, path: String): DataFrame = {
+  /** Every sheet of every matching workbook as one tagged grid, plus one
+    * reject row (null cells, `reject_reason` set) per file that fails the
+    * magic-bytes sniff or zip/XML parse. One task per file (binaryFiles),
+    * rows in file order per sheet. */
+  def sheetsGridTagged(spark: SparkSession, path: String): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
-      parseWorkbook(pds.toArray()).zipWithIndex.flatMap {
-        case ((sheet, sheetRows), si) =>
-          sheetRows.zipWithIndex.map { case (cells, ri) =>
-            Row(file, sheet, si, ri.toLong, cells)
+      val bytes = pds.toArray()
+      def reject(reason: String) =
+        Seq(Row(file, null, null, null, null, reason))
+      detectFormat(bytes) match {
+        case "xlsx_zip" =>
+          try parseWorkbook(bytes).zipWithIndex.flatMap {
+            case ((sheet, sheetRows), si) =>
+              sheetRows.zipWithIndex.map { case (cells, ri) =>
+                Row(file, sheet, si, ri.toLong, cells, null)
+              }
+          } catch { case e: Exception =>
+            reject(s"xlsx_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
+        case "ole2" =>
+          reject("ole2_not_xlsx: legacy OLE2 workbook behind an .xlsx name; route to an xls engine")
+        case _ =>
+          reject("unknown_format: no zip (PK) signature")
       }
     }
     spark.createDataFrame(rows, gridSchema)
   }
 
-  /** S2: multi-sheet concat with `source_sheet` tag — header promoted from
-    * each sheet's row `headerIdx`, all-empty sheets dropped
+  /** S4 back-compat view: valid rows only (rejected files dropped). */
+  def sheetsGrid(spark: SparkSession, path: String): DataFrame =
+    sheetsGridTagged(spark, path)
+      .where(col("reject_reason").isNull).drop("reject_reason")
+
+  /** S2: multi-sheet concat with `source_file`/`source_sheet` tags — header
+    * promoted from each sheet's row `headerIdx`, all-empty sheets dropped
     * (supplier_processor.py:122-133: parse every sheet, skip
-    * `isnull().all().all()`, tag, concat). Column sets may differ per sheet;
-    * the union aligns by name with missing columns null. Sheet headers are
-    * small driver-side metadata; the row data itself stays distributed. */
+    * `isnull().all().all()`, tag, concat). Column sets may differ per sheet
+    * AND per workbook; the union aligns by name with missing columns null,
+    * and every sheet's columns resolve against ITS OWN file's header (two
+    * workbooks sharing a sheet name never cross-contaminate).
+    *
+    * Scale shape: per-sheet headers + emptiness come from ONE conditional
+    * aggregation over the grid (the `poCsvMany` pattern) — a single job
+    * for N workbooks × M sheets, not a driver job per sheet. */
   def multiSheetUnion(spark: SparkSession, path: String,
-                      headerIdx: Long = 0): DataFrame = {
+                      headerIdx: Long = 0): DataFrame =
+    multiSheetUnionWithRejects(spark, path, headerIdx)._1
+
+  /** [[multiSheetUnion]] plus the reject channel: (rows, rejects) where
+    * rejects = (source_file, reject_reason) for files failing the format
+    * sniff or parse. */
+  def multiSheetUnionWithRejects(spark: SparkSession, path: String,
+                                 headerIdx: Long = 0): (DataFrame, DataFrame) = {
     import graft.functions.TextClean
-    val grid = sheetsGrid(spark, path).cache()
-    try {
-      val headers = grid.where(col("row_idx") === headerIdx)
-        .select("source_sheet", "cells").collect()
-        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-      val sheetDfs = headers.toSeq.sortBy(_._1).flatMap { case (sheet, header) =>
-        val names = TextClean.uniquifyHeaders(
-          header.map(h => Option(h).map(_.trim).filter(_.nonEmpty).getOrElse("col")))
-        val data = grid.where(col("source_sheet") === sheet &&
-          col("row_idx") > headerIdx)
-        // all-empty sheet: no data rows with any non-blank cell
-        val nonEmpty = data.where(exists(col("cells"),
-          c => c.isNotNull && trim(c) =!= "")).limit(1).count() > 0
-        if (!nonEmpty) None
-        else Some(names.zipWithIndex.foldLeft(data) { case (df, (name, i)) =>
-          df.withColumn(name, when(element_at(col("cells"), i + 1) === "",
-            lit(null)).otherwise(element_at(col("cells"), i + 1)))
-        }.drop("cells", "sheet_idx", "source_file"))
+    val tagged = sheetsGridTagged(spark, path)
+    val rejects = tagged.where(col("reject_reason").isNotNull)
+      .select(col("source_file"), col("reject_reason"))
+    val grid = tagged.where(col("reject_reason").isNull)
+
+    // ONE job for all metadata: per (file, sheet), the header row and
+    // whether any data row has a non-blank cell
+    val meta = grid.groupBy("source_file", "source_sheet").agg(
+        max(when(col("row_idx") === headerIdx, col("cells"))).as("hdr"),
+        max(when(col("row_idx") > headerIdx &&
+          exists(col("cells"), c => c.isNotNull && trim(c) =!= ""), 1)
+          .otherwise(0)).as("has_data"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getSeq[String](2)), r.getInt(3) == 1))
+      .collect { case (file, sheet, Some(header), true) =>
+        (file, sheet, TextClean.uniquifyHeaders(header.map(h =>
+          Option(h).map(_.trim).filter(_.nonEmpty).getOrElse("col"))))
       }
-      if (sheetDfs.isEmpty) spark.emptyDataFrame
-      else sheetDfs.reduce(_.unionByName(_, allowMissingColumns = true))
-    } finally { grid.unpersist(); () }
+      .sortBy(m => (m._1, m._2))
+
+    if (meta.isEmpty) return (spark.emptyDataFrame, rejects)
+
+    // output columns: every name, first-seen order across (file, sheet)
+    val allNames = meta.flatMap(_._3).distinct.toSeq
+
+    // the rows come back in ONE scan: each row joins its own sheet's
+    // name→position map (broadcast — sheet metadata is small) and resolves
+    // every output column positionally against ITS OWN header, so files
+    // with drifted column order still land correctly (the poCsvMany trick)
+    import spark.implicits._
+    val metaDf = meta.toSeq
+      .map { case (f, sh, names) =>
+        (f, sh, names.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
+      }
+      .toDF("source_file", "source_sheet", "__pos")
+    val data = grid.where(col("row_idx") > headerIdx)
+      .join(broadcast(metaDf), Seq("source_file", "source_sheet"))
+    val projected = data.select(
+      col("source_file") +: col("source_sheet") +: col("row_idx") +:
+        allNames.map { n =>
+          // try_: a name absent from this sheet's header → null column
+          // (allowMissingColumns semantics), a ragged row shorter than its
+          // header → null cell — not an ANSI out-of-bounds error
+          val v = try_element_at(col("cells"), try_element_at(col("__pos"), lit(n)))
+          when(v === "", lit(null)).otherwise(v).as(n)
+        }: _*)
+    (projected, rejects)
   }
 }
