@@ -145,6 +145,40 @@ class OperatorsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("minhash near-dup: recall vs the exact prefix-filter join, candidate scan bounded") {
+    // recall floor pinned as DATA against the exact counterpart on a real
+    // corpus slice (the IVF spec pattern): near-dup injections at high J
+    // plus whatever natural near-dups the slice carries
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(150)
+    val m1 = docs.where(col("doc_id") % 4 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000)
+      .withColumn("text", concat(col("text"), lit(" tail tok")))
+    val all = docs.unionByName(m1)
+    val n = all.count()
+    val exact = Dedup.jaccardPairsPrefixFilter(all, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the verify step uses the same exact Jaccard: no false positives
+    assert(mh.subsetOf(exact))
+    val recall = if (exact.isEmpty) 1.0 else (exact & mh).size.toDouble / exact.size
+    // candidate-scan fraction: band-sharing pairs over all n(n-1)/2 pairs —
+    // the work an all-pairs join would do that LSH skips
+    val banded = all.withColumn("toks", Dedup.tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id").as("id"), explode(
+        graft.plans.VectorExpressions.minhashBandKeys(col("toks"), 3, 32, 8)).as("band"))
+    val cands = banded.as("x").join(banded.as("y"), "band")
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).distinct().count()
+    val frac = cands.toDouble / (n.toDouble * (n - 1) / 2)
+    info(f"minhash recall=$recall%.3f candidates=$cands scan-fraction=$frac%.4f")
+    assert(exact.nonEmpty && recall >= 0.7, s"recall $recall below 0.7 floor")
+    assert(frac <= 0.05, s"candidate scan fraction $frac above 0.05 — blocking is not pruning")
+  }
+
   test("simhash near-dup pairs catch small mutations") {
     // one added token on a 40-token doc flips E[hamming] ≈ 64·P(vote sum=0)/2
     // ≈ 4 bits, so the detection threshold must sit above that — while a
@@ -216,14 +250,27 @@ class OperatorsSpec extends SparkSpec {
 
   test("embedding near-dup: LSH candidates are a high-recall subset of exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embeddingNearDupPairsLSH(emb, "vec_id", "embedding", 0.35,
       nTables = 8, nPlanes = 6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact)) // verify step guarantees no false positives
-    if (exact.nonEmpty)
-      assert((exact & lsh).size.toDouble / exact.size >= 0.3)
+    // recall + candidate-scan fraction pinned as data (same-bucket pairs
+    // over all pairs — the dot products LSH actually pays vs brute force)
+    val bucketed = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .select(col("id"), explode(array((0 until 8).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.lshBucket(col("v"), t, 6).as("b"))): _*)).as("bucket"))
+    val cands = bucketed.as("x").join(bucketed.as("y"), "bucket")
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).distinct().count()
+    val frac = cands.toDouble / (n.toDouble * (n - 1) / 2)
+    val recall = if (exact.isEmpty) 1.0 else (exact & lsh).size.toDouble / exact.size
+    info(f"embedding-LSH recall=$recall%.3f candidates=$cands scan-fraction=$frac%.4f")
+    assert(exact.nonEmpty && recall >= 0.3, s"recall $recall below 0.3 floor")
+    assert(frac <= 0.5, s"candidate scan fraction $frac above 0.5 — blocking is not pruning")
   }
 
   test("winnowing fingerprints overlap heavily for shifted documents") {

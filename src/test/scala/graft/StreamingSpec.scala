@@ -88,6 +88,58 @@ class StreamingSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
+  test("per-batch incremental cost measured separately from setup (4-batch run)") {
+    // the bench lines for the streaming queries are dominated by
+    // AvailableNow setup (planning + state-store init + drain); what a
+    // live deployment pays per micro-batch is the per-trigger cost — this
+    // pins that the machinery actually runs incrementally and records the
+    // split, batch by batch
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bt").toString + "/in"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("ts", "event_type", "value")
+      .repartition(4).write.parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val progress =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progress.synchronized {
+          progress += ((e.progress.batchId, e.progress.numInputRows,
+            e.progress.durationMs.getOrDefault("triggerExecution", -1L)))
+        }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .withWatermark("ts", "3600 seconds")
+        .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"batch_timing_${System.nanoTime()}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      var waited = 0
+      while (progress.synchronized(progress.count(_._2 > 0)) < 4 && waited < 100) {
+        Thread.sleep(100); waited += 1
+      }
+    } finally spark.streams.removeListener(listener)
+    val snap = progress.synchronized(progress.toList).sortBy(_._1)
+    val dataBatches = snap.filter(_._2 > 0)
+    assert(dataBatches.size >= 4, s"expected 4 one-file batches, saw $snap")
+    val steady = dataBatches.tail.map(_._3)
+    info("per-batch ms (batchId, rows, triggerExecution): " + snap.mkString(", "))
+    info(s"setup+first batch ${dataBatches.head._3} ms; steady-state median " +
+      s"${steady.sorted.apply(steady.size / 2)} ms")
+    assert(steady.forall(_ >= 0))
+  }
+
   test("incremental sessionization emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
