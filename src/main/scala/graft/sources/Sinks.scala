@@ -60,6 +60,24 @@ object Sinks {
     (ok.value, failed.value)
   }
 
+  /** K6 relational spelling: JDBC batch insert — the reference's
+    * `updateOrCreate` loops become one batched `df.write.jdbc`
+    * (ImportInvoiceReport.php:199-257 inserts row-by-row inside a
+    * transaction; Spark executes per-partition prepared-statement batches
+    * of `batchSize`). MERGE-by-key against an existing table composes as
+    * `Merge.upsert` → `writeJdbc(SaveMode.Overwrite)`. Exercised offline
+    * against embedded Derby (SinksSpec round-trip) — the same wiring
+    * drives MySQL with the URL/driver swapped. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                driver: String, batchSize: Int = 1000,
+                mode: SaveMode = SaveMode.Append): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    df.write.mode(mode)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+  }
+
   /** F6 reject channel: valid rows to the main table, rejects (with their
     * rule names) to a side path — the bulk equivalent of the reference's
     * per-row error taxonomy + `--dump-fail` files
