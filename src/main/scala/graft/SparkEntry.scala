@@ -934,6 +934,38 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Skew-salted join, oracle-gated: salting must be a pure execution
+    // strategy — the result equals the plain join bit-for-bit (the spec
+    // checks set equality; this pins it against an independent engine).
+    "q67_salted_join_revenue" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Skew
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, supp, Seq("suppkey"), saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_nationkey")
+    }),
+
+    // K2 CSV sink oracle-gated end to end: write the table through the
+    // sink, read it back, match the source — quoting/escaping/null
+    // round-trip pinned against the DuckDB view of the same source rows.
+    "q68_csv_sink_roundtrip" -> ((s0, d) => {
+      val s = prep(s0)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q68_csv"
+      graft.sources.Sinks.writeCsv(
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"), out)
+      s.read.option("header", "true").csv(out)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // S2/S4 at scale: a GLOB of workbooks through one metadata aggregation.
     // Workbook B's "Sheet1" reverses A's column order and ships its own
     // extra sheet — per-(file, sheet) header keying is what lands every
@@ -1604,6 +1636,19 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q67_salted_join_revenue" ->
+      """SELECT s_nationkey,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+
+    "q68_csv_sink_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q66_xlsx_many_union" ->
       """SELECT * FROM (VALUES

@@ -68,16 +68,40 @@ object Ingest {
   private val sparkNativeCharsets =
     Set("UTF-8", "US-ASCII", "ISO-8859-1", "UTF-16", "UTF-16BE", "UTF-16LE", "UTF-32")
 
+  /** Excel-on-Windows writes UTF-8 CSVs with a BOM; the reference's first
+    * candidate is `utf-8-sig` (read_po_csv_to_json.py:39), whose whole
+    * point is stripping it. A kept BOM corrupts the first header cell
+    * (`"<BOM>PO No."` never matches a named-column lookup). */
+  def hasUtf8Bom(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+      (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF
+
+  private def stripBomChar(s: String): String =
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+
   /** Read a CSV with encoding fallback; all columns string, no header
     * promotion (that happens grid-side).
     *
     * Thai charsets are outside Spark's CSV whitelist, so those files are
     * decoded from raw bytes (`binaryFiles` — each file one task, parallel
-    * across files at scale) and parsed via `csv(Dataset[String])`. */
+    * across files at scale) and parsed via `csv(Dataset[String])`; a
+    * BOM-carrying UTF-8 file takes the same path so the BOM strips
+    * (the utf-8-sig semantics). */
   def csvWithEncodingFallback(spark: SparkSession, path: String,
                               encodings: Seq[String] = defaultEncodings): DataFrame = {
-    val enc = detectEncoding(path, encodings)
-    if (sparkNativeCharsets(enc.toUpperCase)) {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val sample = try {
+      val len = fs.getFileStatus(p).getLen
+      val want = math.min(len, 64L * 1024).toInt
+      var buf = new Array[Byte](want)
+      in.readFully(0, buf)
+      if (want.toLong < len) buf = trimSplitTail(buf)
+      buf
+    } finally in.close()
+    val enc = detectEncodingFromBytes(sample, encodings)
+    if (sparkNativeCharsets(enc.toUpperCase) && !hasUtf8Bom(sample)) {
       spark.read
         .option("header", "false")
         .option("encoding", enc)
@@ -87,7 +111,8 @@ object Ingest {
       import spark.implicits._
       val lines = spark.sparkContext.binaryFiles(path)
         .flatMap { case (_, pds) =>
-          new String(pds.toArray(), java.nio.charset.Charset.forName(enc))
+          stripBomChar(
+            new String(pds.toArray(), java.nio.charset.Charset.forName(enc)))
             .split("\r?\n", -1).iterator
         }
       spark.read
@@ -113,7 +138,10 @@ object Ingest {
           if (bytes.length <= 64 * 1024) bytes
           else trimSplitTail(java.util.Arrays.copyOf(bytes, 64 * 1024))
         val enc = detectEncodingFromBytes(sample, encs)
-        new String(bytes, java.nio.charset.Charset.forName(enc))
+        val text = new String(bytes, java.nio.charset.Charset.forName(enc))
+        // utf-8-sig semantics: a leading BOM never reaches the first cell
+        (if (text.nonEmpty && text.charAt(0) == '\uFEFF') text.substring(1)
+         else text)
           .split("\r?\n", -1).iterator.zipWithIndex
           .map { case (line, i) => Row(file, enc, i.toLong, line) }
       }

@@ -29,6 +29,22 @@ class PipelinesSpec extends SparkSpec {
     assert(enc == "x-windows-874" || enc == "TIS-620")
   }
 
+  test("utf-8-sig: a leading BOM never reaches the first cell (both read paths)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bom")
+    val content = "PO No.,จำนวน\nA1,10"
+    java.nio.file.Files.write(dir.resolve("bom.csv"),
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ content.getBytes("UTF-8"))
+    // many-files path: BOM stripped inside the task
+    val line0 = Ingest.csvLinesPerFileEncoding(spark, s"$dir/*.csv")
+      .where(col("line_no") === 0).collect()(0).getString(3)
+    assert(line0 == "PO No.,จำนวน", s"got <$line0>")
+    // single-file path: BOM-carrying UTF-8 routes through the transcode
+    // branch so the first header cell is clean
+    val first = Ingest.csvWithEncodingFallback(spark, s"$dir/bom.csv")
+      .collect()(0).getString(0)
+    assert(first == "PO No.", s"got <$first>")
+  }
+
   test("po pipeline: embedded header dropped, trailing junk trimmed, Thai decoded") {
     val df = Pipelines.poCsv(spark, s"$fixtures/po_report.csv")
     val rows = df.collect()
