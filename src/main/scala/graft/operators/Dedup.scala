@@ -52,8 +52,12 @@ object Dedup {
     * 7× on the sf0.1 bench before this split). */
   def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(1), count),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // guard the empty case: sequence(1, 0) is DESCENDING [1, 0] in Spark,
+    // and slice(toks, 0, n) throws — a document with < n tokens must
+    // yield an empty shingle set instead
+    when(count < 1, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
   /** k MinHash values over the shingle set: min over xxhash64(shingle, seed)
