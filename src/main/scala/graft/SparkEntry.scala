@@ -934,6 +934,33 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // The LLM training-data pipeline end to end: language-ID filter →
+    // quality gate → exact dedup (digest groupBy, injected duplicates
+    // collapse) → per-source corpus stats. Each stage is oracle-gated
+    // alone (q26–q28); this pins the COMPOSITION, including the first
+    // oracle gate on qualityScore. avg(quality) runs as an exact
+    // scaled-integer sum (the money policy) — a double avg would be
+    // fold-order-dependent and hash-diverge.
+    "q69_corpus_clean_pipeline" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Dedup, TextAnalysis}
+      val base = Tables.documents(s, d).select("doc_id", "text", "source")
+      val dups = base.where(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+      val scored = base.unionByName(dups)
+        .withColumn("predicted", TextAnalysis.langIdMulti(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      val kept = scored.where(col("predicted") === "en" && col("quality") >= 0.5)
+      Dedup.exactByDigest(kept, "text", "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          (sum(round(col("quality") * 10000).cast("long")).cast("double")
+            / 10000 / count(lit(1))).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     // Skew-salted join, oracle-gated: salting must be a pure execution
     // strategy — the result equals the plain join bit-for-bit (the spec
     // checks set equality; this pins it against an independent engine).
@@ -1636,6 +1663,53 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q69_corpus_clean_pipeline" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |feats AS (
+        |  SELECT doc_id, text, source,
+        |    string_split_regex(lower(TRIM(text)), '\s+') AS ltoks,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+        |    CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(len(text), 1) AS punct_ratio
+        |  FROM all_docs),
+        |scored AS (
+        |  SELECT doc_id, text, source, n_tokens,
+        |    CASE
+        |      WHEN CAST(len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |           / greatest(len(text), 1) > 0.2 THEN 'zh'
+        |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |      WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |      WHEN s_es > 0 THEN 'es'
+        |      ELSE 'und' END AS predicted,
+        |    ROUND((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+        |      + (1.0 - least(punct_ratio*5.0, 1.0))
+        |      + least(CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
+        |              / len(ltoks) * 4.0, 1.0)) / 3.0, 4) AS quality
+        |  FROM (SELECT *,
+        |      len(list_filter(ltoks, x -> x IN ('the','of','is','that','it','with'))) AS s_en,
+        |      len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+        |      len(list_filter(ltoks, x -> x IN ('le','les','est','dans','que','pour'))) AS s_fr,
+        |      len(list_filter(ltoks, x -> x IN ('el','los','una','por','para','del'))) AS s_es
+        |    FROM feats) t),
+        |deduped AS (
+        |  SELECT source, n_tokens, quality FROM (
+        |    SELECT source, n_tokens, quality, ROW_NUMBER() OVER (
+        |        PARTITION BY md5(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')))
+        |        ORDER BY doc_id) AS rn
+        |    FROM scored WHERE predicted = 'en' AND quality >= 0.5) t
+        |  WHERE rn = 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CAST(ROUND(quality*10000) AS BIGINT)) AS DOUBLE)/10000/COUNT(*) AS avg_quality
+        |FROM deduped
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q67_salted_join_revenue" ->
       """SELECT s_nationkey,
