@@ -230,15 +230,53 @@ object EventsStream {
     * on the final batch (the Flink drain-on-stop pattern), so append-mode
     * windows finalize and event-time timeouts fire on a finite run. A live
     * deployment simply omits the sentinel. */
+  /** Max `ts` (nanos) across the parquet footers — O(files) metadata
+    * reads, no row scan (the column statistics the writer already
+    * computed). Falls back to a scan if any footer lacks ts stats. */
+  private def maxTsNanosFromFooters(spark: SparkSession, dir: String): Option[Long] = try {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val files = (if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(root))).map(_.getPath)
+    if (files.isEmpty) return None
+    val maxes = files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val perBlock = r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == "ts")
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else st.genericGetMax match {
+                case l: java.lang.Long => Some(l.longValue())
+                case _ => None
+              }
+            }
+        }
+        if (perBlock.isEmpty) None else Some(perBlock.max)
+      } finally r.close()
+    }
+    if (maxes.exists(_.isEmpty)) None // a rowgroup without stats → scan
+    else maxes.flatten.reduceOption(_ max _)
+  } catch { case _: Exception => None } // unreadable footer → scan path
+
   private def drainSentinel(spark: SparkSession, dir: String,
                             aheadSec: Long): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // empty input → max(ts) is NULL; fall back to epoch 0 so the drain
     // wrappers return an empty result instead of throwing on .getLong
-    val maxEpochSec = Option(spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000000000"))).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxEpochSec = maxTsNanosFromFooters(spark, dir)
+      .map(_ / 1000000000L)
+      .orElse(Option(spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(expr("ts div 1000000000"))).first().get(0))
+        .map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     mem.addData(maxEpochSec + aheadSec)
