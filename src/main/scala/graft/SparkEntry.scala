@@ -934,6 +934,16 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // §2.8 stream-stream interval join: purchases × same-user clicks in
+    // the trailing 30 min — both sides watermarked, state bounded by the
+    // time condition, exactly-once append emission; a finite drained run
+    // equals the batch join bit-for-bit.
+    "q70_stream_interval_join" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.clickPurchaseIntervalJoin(s, d, 1800)
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     // The LLM training-data pipeline end to end: language-ID filter →
     // quality gate → exact dedup (digest groupBy, injected duplicates
     // collapse) → per-source corpus stats. Each stage is oracle-gated
@@ -1663,6 +1673,17 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q70_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.us AS purchase_us, c.us AS click_us
+        |FROM e p JOIN e c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.us >= p.us - 1800000000 AND c.us <= p.us
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
 
     "q69_corpus_clean_pipeline" ->
       """WITH all_docs AS (

@@ -286,6 +286,52 @@ object EventsStream {
       lit(0.0).as("value"))
   }
 
+  /** Stream-stream interval join (§2.8 extension): each purchase matched
+    * to the same user's clicks within the trailing `windowSec`. Both sides
+    * carry watermarks and the join condition is time-bounded, so each
+    * side's state is O(watermark + window horizon) — Spark drops a
+    * buffered click once the purchase-side watermark passes
+    * `click_ts + windowSec`; a matched pair emits exactly once in append
+    * mode. The drain sentinel rides BOTH sides (the global watermark is
+    * the MIN across watermark operators, so both must advance past
+    * end-of-input for the trailing matches to flush).
+    *
+    * Times join and emit as integer MICROSECONDS (`unix_micros`): the
+    * parquet source is nanos, truncated micros compare identically in any
+    * engine, and second-level rounding never reorders a boundary pair. */
+  def clickPurchaseIntervalJoin(spark: SparkSession, dir: String,
+                                windowSec: Int = 1800): DataFrame = {
+    val wmDelaySec = 3600L
+    val sent = drainSentinel(spark, dir, wmDelaySec + windowSec + 60)
+      .withColumn("user_id", lit(DrainUser))
+      .withColumn("event_id", lit(-1L))
+      .select("ts", "event_type", "user_id", "event_id")
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+      .unionByName(sent)
+    // the sentinel passes each side's filter (isin) — it must reach both
+    // watermark operators; the output filter below runs on the sink table
+    val clicks = evs
+      .where(col("event_type").isin("click", DrainType))
+      .select(col("ts").as("c_ts"), col("user_id").as("c_user"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", s"$wmDelaySec seconds")
+    val purchases = evs
+      .where(col("event_type").isin("purchase", DrainType))
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", s"$wmDelaySec seconds")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+    runToTable(joined, "append")
+      .where(col("p_user") =!= DrainUser)
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("c_ts")).as("click_us"))
+  }
+
   /** Stateful sessionization over the events directory with DRAIN
     * semantics: a sentinel event past end-of-input advances the watermark
     * (multipleWatermarkPolicy=max across the two sources) so every real

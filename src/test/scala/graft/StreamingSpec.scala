@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
+  test("stream-stream interval join equals the batch join on a drained run") {
+    val streamed = EventsStream.clickPurchaseIntervalJoin(spark, sfDir, 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val batch = e.as("p").filter(col("p.event_type") === "purchase")
+      .join(e.as("c").filter(col("c.event_type") === "click"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.us") >= col("p.us") - 1800000000L && col("c.us") <= col("p.us"))
+      .select(col("p.user_id"), col("p.event_id"), col("c.event_id"),
+        col("p.us"), col("c.us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("per-batch incremental cost measured separately from setup (4-batch run)") {
     // the bench lines for the streaming queries are dominated by
     // AvailableNow setup (planning + state-store init + drain); what a
