@@ -934,6 +934,27 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Multimodal: REAL image-dimension sniff from container headers (PNG
+    // IHDR / GIF screen descriptor / BMP info header / JPEG SOF scan) —
+    // pure byte parsing, the resolution/format filter a media pipeline
+    // applies before ever decoding pixels. Payloads are hand-built headers.
+    "q71_image_dims_sniff" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.Multimodal
+      val rows = Seq(
+        (1L, "89504E470D0A1A0A0000000D4948445200000002000000030806000000"),
+        (2L, "47494638396104000500000000"),
+        (3L, "424D000000000000000000000000280000000600000007000000"),
+        (4L, "FFD8FFE000104A46494600000000000000000000FFC000110800090008030000000000000000"),
+        (5L, "DEADBEEF00000000000000"))
+        .toDF("media_id", "hex")
+        .select(col("media_id"), lit("image").as("kind"),
+          unhex(col("hex")).as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.imageDims(rows).toDF().orderBy("media_id")
+    }),
+
     // §2.8 stream-stream interval join: purchases × same-user clicks in
     // the trailing 30 min — both sides watermarked, state bounded by the
     // time condition, exactly-once append emission; a finite drained run
@@ -1673,6 +1694,16 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q71_image_dims_sniff" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 'png',  CAST(2 AS INTEGER), CAST(3 AS INTEGER)),
+        | (CAST(2 AS BIGINT), 'gif',  CAST(4 AS INTEGER), CAST(5 AS INTEGER)),
+        | (CAST(3 AS BIGINT), 'bmp',  CAST(6 AS INTEGER), CAST(7 AS INTEGER)),
+        | (CAST(4 AS BIGINT), 'jpeg', CAST(8 AS INTEGER), CAST(9 AS INTEGER)),
+        | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER))
+        |) AS t(media_id, format, width, height)
+        |ORDER BY media_id""".stripMargin,
 
     "q70_stream_interval_join" ->
       """WITH e AS (

@@ -77,6 +77,56 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Image dimensions, REAL (not stubbed): container headers are plain
+    * bytes, no codec needed — PNG IHDR, GIF logical screen descriptor,
+    * BMP info header, JPEG SOF marker scan. The pipeline filters by
+    * resolution/format long before it decodes pixels; this is the
+    * operator that makes that filter pushdown-cheap. Unknown/truncated
+    * payloads → (null, -1, -1), never an exception. */
+  final case class MediaDims(media_id: Long, format: String, width: Int, height: Int)
+
+  def sniffImageDims(p: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int) = p(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    try {
+      if (p == null || p.length < 10) (null, -1, -1)
+      else if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+               p.length >= 24 && new String(p, 12, 4, "US-ASCII") == "IHDR")
+        ("png", be32(16), be32(20))
+      else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+               (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+        ("gif", le16(6), le16(8))
+      else if (u8(0) == 'B' && u8(1) == 'M' && p.length >= 26)
+        ("bmp", le32(18), math.abs(le32(22))) // height may be negative (top-down)
+      else if (u8(0) == 0xFF && u8(1) == 0xD8) {
+        // JPEG: walk markers to the first start-of-frame (C0–CF minus
+        // C4/C8/CC, which are tables, not frames)
+        var i = 2
+        while (i + 9 < p.length) {
+          if (u8(i) != 0xFF) return (null, -1, -1)
+          val m = u8(i + 1)
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+            return ("jpeg", be16(i + 7), be16(i + 5))
+          i += 2 + be16(i + 2) // skip this segment (length includes itself)
+        }
+        (null, -1, -1)
+      } else (null, -1, -1)
+    } catch { case _: IndexOutOfBoundsException => (null, -1, -1) }
+  }
+
+  /** Batch dimension sniff over the media table (mapPartitions, declared
+    * result type — same shape as [[extractFeatures]]). */
+  def imageDims(media: Dataset[MediaRow]): Dataset[MediaDims] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (f, w, h) = sniffImageDims(r.payload)
+      MediaDims(r.media_id, f, w, h)
+    })
+  }
+
   /** One sampled frame of a media payload. */
   final case class MediaFrame(media_id: Long, frame_idx: Int, ts_ms: Long,
                               frame: Array[Byte])

@@ -339,6 +339,28 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.toSeq == Seq(48))
   }
 
+  test("sniffImageDims parses real container headers, never throws on junk") {
+    import graft.operators.Multimodal.sniffImageDims
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(sniffImageDims(hex(
+      "89504E470D0A1A0A0000000D4948445200000280000001E00806000000")) ==
+      ("png", 640, 480))
+    assert(sniffImageDims(hex("47494638376140000F0000000000")) == ("gif", 64, 15))
+    // top-down BMP: negative height normalizes
+    assert(sniffImageDims(hex(
+      "424D00000000000000000000000028000000200000" + "00E0FFFFFF")) == ("bmp", 32, 32))
+    assert(sniffImageDims(hex(
+      "FFD8FFE000104A46494600000000000000000000FFC0001108012C019003000000000000000000")) ==
+      ("jpeg", 400, 300))
+    // junk, truncated, empty, null — all (null, -1, -1), no exceptions
+    assert(sniffImageDims(hex("DEADBEEF00000000000000")) == (null, -1, -1))
+    assert(sniffImageDims(hex("89504E47")) == (null, -1, -1))
+    assert(sniffImageDims(hex("FFD8FFE000")) == (null, -1, -1))
+    assert(sniffImageDims(Array.emptyByteArray) == (null, -1, -1))
+    assert(sniffImageDims(null) == (null, -1, -1))
+  }
+
   test("extractFeatures is deterministic with declared schema") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val feats = Multimodal.extractFeatures(Multimodal.documentsAsMedia(docs))
