@@ -934,6 +934,21 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Sequence packing for training shards: contiguous token-budget bins
+    // via two-phase distributed prefix sums (NO single-task global
+    // window), oracle-checked against the windowed spelling.
+    "q72_token_pack_bins" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Packing, TextAnalysis}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packBins(docs, "doc_id", "n_tokens", budget = 4096L)
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("bin_id")
+    }),
+
     // Multimodal: REAL image-dimension sniff from container headers (PNG
     // IHDR / GIF screen descriptor / BMP info header / JPEG SOF scan) —
     // pure byte parsing, the resolution/format filter a media pipeline
@@ -1694,6 +1709,20 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q72_token_pack_bins" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS bin_id
+        |  FROM c)
+        |SELECT CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin,
 
     "q71_image_dims_sniff" ->
       """SELECT * FROM (VALUES

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators._
 
 class OperatorsSpec extends SparkSpec {
@@ -337,6 +338,25 @@ class OperatorsSpec extends SparkSpec {
     val sizes = Multimodal.resized(media, 48).toDF()
       .select(length(col("payload"))).distinct().collect().map(_.getInt(0))
     assert(sizes.toSeq == Seq(48))
+  }
+
+  test("packBins equals the global-window pack, independent of partitioning") {
+    import graft.operators.Packing
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = docs
+      .withColumn("bin_id", floor(coalesce(sum("t").over(w), lit(0L)) / 2048L))
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toSet
+    assert(expected.map(_._2).size > 1, "need multiple bins for a real test")
+    for (nPart <- Seq(1, 3, 8)) {
+      val got = Packing.packBins(docs, "doc_id", "t", budget = 2048L,
+        numPartitions = nPart)
+        .select("doc_id", "bin_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"mismatch at numPartitions=$nPart")
+    }
   }
 
   test("sniffImageDims parses real container headers, never throws on junk") {
