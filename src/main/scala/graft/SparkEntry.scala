@@ -934,6 +934,19 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // RAG/pretraining chunker: overlapping 32-token windows every 24
+    // tokens, final window clipped — one kernel pass + posexplode.
+    "q73_doc_chunks" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      TextAnalysis.chunkText(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          TextAnalysis.tokenCount(col("chunk")).as("n_chunk_tokens"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Sequence packing for training shards: contiguous token-budget bins
     // via two-phase distributed prefix sums (NO single-task global
     // window), oracle-checked against the windowed spelling.
@@ -1709,6 +1722,25 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q73_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) AS kmax
+        |  FROM t),
+        |ix AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, kmax + 1)) AS i FROM k),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(toks[i*24 + 1 : least(i*24 + 32, n)], ' ') AS chunk
+        |  FROM ix)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(string_split_regex(chunk, '\s+')) AS INT) AS n_chunk_tokens,
+        |  chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q72_token_pack_bins" ->
       """WITH c AS (

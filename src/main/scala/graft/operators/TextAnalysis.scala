@@ -103,4 +103,21 @@ object TextAnalysis {
     * cheaper join key than the md5 hex string (8 bytes vs 32). */
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Overlapping token-window chunking — the RAG/pretraining chunker: each
+    * document becomes (chunk_idx, chunk) rows of `chunkSize` whitespace
+    * tokens starting every `chunkSize - overlap`, the final window clipped
+    * at the document end (a short document yields one chunk). The window
+    * generation runs in a one-pass codegen kernel
+    * (`VectorExpressions.tokenChunks`); the explode is the one-row→many
+    * generator shape, so chunk rows parallelize downstream like any table. */
+  def chunkText(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap $overlap must be in [0, chunkSize=$chunkSize)")
+    df.select(col(idCol), posexplode(
+        graft.plans.VectorExpressions.tokenChunks(
+          split(trim(col(textCol)), "\\s+"), chunkSize, chunkSize - overlap))
+      .as(Seq("chunk_idx", "chunk")))
+  }
 }

@@ -214,6 +214,32 @@ object VectorOps {
     keys
   }
 
+  /** Overlapping token-window chunks (the RAG/pretraining chunker):
+    * windows of `size` tokens starting every `step` tokens, the last
+    * window clipped at the end; a document shorter than `size` yields one
+    * chunk. One pass, one join per chunk — the HOF spelling would
+    * re-evaluate the captured token column per chunk (see shingleHashes). */
+  def tokenChunks(arr: ArrayData, size: Int, step: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val n = arr.numElements()
+    if (n <= 0) return Array.empty
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+    var start = 0
+    var done = false
+    while (!done) {
+      val end = math.min(start + size, n)
+      out += org.apache.spark.unsafe.types.UTF8String.concatWs(
+        SpaceSep, java.util.Arrays.copyOfRange(toks, start, end): _*)
+      if (start + size >= n) done = true else start += step
+    }
+    out.toArray
+  }
+
   /** Exact Jaccard of two SORTED, deduplicated long arrays via a linear
     * merge walk — no hash set, no boxing. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
@@ -319,6 +345,21 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class TokenChunks(child: Expression, size: Int, step: Int)
+      extends UnaryExpression {
+    require(size > 0 && step > 0, s"size $size / step $step must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.tokenChunks(v.asInstanceOf[ArrayData], size, step)
+          .asInstanceOf[Array[Any]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.tokenChunks($a, $size, $step));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class JaccardSortedLongs(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -349,4 +390,6 @@ object VectorExpressions {
     column(ShingleHashes(expression(tokens), n))
   def minhashBandKeys(tokens: Column, n: Int, k: Int, bands: Int): Column =
     column(MinhashBandKeys(expression(tokens), n, k, bands))
+  def tokenChunks(tokens: Column, size: Int, step: Int): Column =
+    column(TokenChunks(expression(tokens), size, step))
 }

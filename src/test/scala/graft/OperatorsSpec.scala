@@ -340,6 +340,23 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.toSeq == Seq(48))
   }
 
+  test("chunkText windows overlap correctly and clip at the end") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: [1..4],[4..7],[7..10]
+      (2L, "a b"),                                     // short: one chunk
+      (3L, "x")).toDF("id", "text")
+    val got = TextAnalysis.chunkText(df, "id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toList == List(
+      (1L, 0, "t1 t2 t3 t4"), (1L, 1, "t4 t5 t6 t7"), (1L, 2, "t7 t8 t9 t10"),
+      (2L, 0, "a b"), (3L, 0, "x")))
+    // every token appears; consecutive chunks share `overlap` tokens
+    val c1 = got.filter(_._1 == 1L).map(_._3.split(" ").toList).toList
+    assert(c1.flatten.distinct.size == 10)
+    assert(c1.sliding(2).forall { case List(a, b) => a.takeRight(1) == b.take(1) })
+  }
+
   test("packBins equals the global-window pack, independent of partitioning") {
     import graft.operators.Packing
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
