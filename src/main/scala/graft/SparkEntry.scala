@@ -1043,7 +1043,9 @@ object SparkEntry {
     // round-trip pinned against the DuckDB view of the same source rows.
     "q68_csv_sink_roundtrip" -> ((s0, d) => {
       val s = prep(s0)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q68_csv"
+      // per-invocation path: a shared fixed path would let two concurrent
+      // runs clobber each other mid-overwrite
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q68_csv_${System.nanoTime()}"
       graft.sources.Sinks.writeCsv(
         Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"), out)
       s.read.option("header", "true").csv(out)
@@ -1738,14 +1740,18 @@ object SparkEntry {
         |    array_to_string(toks[i*24 + 1 : least(i*24 + 32, n)], ' ') AS chunk
         |  FROM ix)
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-        |  CAST(len(string_split_regex(chunk, '\s+')) AS INT) AS n_chunk_tokens,
+        |  CASE WHEN chunk = '' THEN 0
+        |    ELSE CAST(len(string_split_regex(chunk, '\s+')) AS INT)
+        |  END AS n_chunk_tokens,
         |  chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q72_token_pack_bins" ->
       """WITH c AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS t
+        |    CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+        |      ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+        |    END AS t
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, t,

@@ -10,10 +10,11 @@ import org.apache.spark.sql.expressions.Window
   * Design:
   *  - exact: hash-groupBy on a content digest — one shuffle on a 128-bit key,
   *    never on the document text itself (bytes moved = keys + ids, not docs).
-  *  - MinHash+LSH: shingle → k minhashes (xxhash64 with k seeds, computed in
-  *    one pass via higher-order array functions — no UDF, stays codegen'd) →
-  *    band → explode (docs × bands rows, each tiny) → self-join on band
-  *    signature. Candidate pairs only are verified with exact Jaccard.
+  *  - MinHash+LSH: shingle → k minhashes → band keys, all inside ONE
+  *    codegen kernel pass over the token array
+  *    (`plans/VectorExpressions.minhashBandKeys`) → explode (docs × bands
+  *    rows, each tiny) → self-join on band key. Candidate pairs only are
+  *    verified with exact Jaccard over the sorted shingle-hash arrays.
   *    Shuffle volume is O(docs × bands × 16 bytes), independent of text size.
   *  - SimHash: 64-bit fingerprint via per-token hash bit-voting, banded into
   *    4×16-bit keys for Hamming-distance≤3 blocking.
@@ -58,30 +59,6 @@ object Dedup {
     when(count < 1, array().cast("array<string>")).otherwise(
       array_distinct(transform(sequence(lit(1), count),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
-
-  /** k MinHash values over the shingle set: min over xxhash64(shingle, seed)
-    * per seed. Computed entirely with array expressions — one projection,
-    * no shuffle, codegen-friendly. */
-  def minhashSignature(shing: Column, k: Int = 32): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shing, s => xxhash64(s, lit(seed))))
-    }: _*)
-
-  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
-    * each group hashed to one 64-bit band key. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r =>
-          element_at(sig, b * rowsPerBand + r + 1)): _*))
-    }: _*)
-
-  /** Exact Jaccard similarity of two shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni   = size(array_union(a, b)).cast("double")
-    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
   /** MinHash+LSH near-duplicate pairs: returns (id_a, id_b, jaccard) for

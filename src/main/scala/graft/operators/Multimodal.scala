@@ -103,14 +103,18 @@ object Multimodal {
         ("bmp", le32(18), math.abs(le32(22))) // height may be negative (top-down)
       else if (u8(0) == 0xFF && u8(1) == 0xD8) {
         // JPEG: walk markers to the first start-of-frame (C0–CF minus
-        // C4/C8/CC, which are tables, not frames)
+        // C4/C8/CC, which are tables, not frames). Spec-legal fill bytes
+        // (0xFF runs before a marker, ITU T.81 §B.1.1.2) are skipped, and
+        // standalone markers (TEM, RSTn — no length segment) advance by 2.
         var i = 2
         while (i + 9 < p.length) {
           if (u8(i) != 0xFF) return (null, -1, -1)
+          while (i + 9 < p.length && u8(i + 1) == 0xFF) i += 1 // fill bytes
           val m = u8(i + 1)
           if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
             return ("jpeg", be16(i + 7), be16(i + 5))
-          i += 2 + be16(i + 2) // skip this segment (length includes itself)
+          if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone
+          else i += 2 + be16(i + 2) // skip segment (length includes itself)
         }
         (null, -1, -1)
       } else (null, -1, -1)

@@ -28,11 +28,15 @@ object Packing {
     val spark = df.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // no persist: both passes hang off the SAME RDD lineage, so the range
+    // shuffle's map side materializes once and the second job reads the
+    // existing shuffle files (a skipped stage) — caching here would pin a
+    // full copy of the input per call with no way to unpersist before the
+    // lazy result is consumed
     val ranged = df
       .withColumn("__t", coalesce(col(tokensCol).cast("long"), lit(0L)))
       .repartitionByRange(nPart, col(idCol))
       .sortWithinPartitions(idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val tIdx = ranged.schema.fieldIndex("__t")
     // phase 1: per-partition token totals, in partition order

@@ -44,12 +44,12 @@ object Ingest {
       } catch { case _: java.nio.charset.CharacterCodingException => false }
     }.getOrElse("ISO-8859-1") // latin1 accepts any byte sequence — last resort
 
-  /** Probe a file's encoding from its FIRST 64 KB only, through the Hadoop
-    * filesystem API — a bounded seekable read that works for any supported
-    * scheme (file:, hdfs:, s3a:, …), never a whole-file driver read. */
-  def detectEncoding(path: String, encodings: Seq[String] = defaultEncodings,
-                     conf: org.apache.hadoop.conf.Configuration =
-                       new org.apache.hadoop.conf.Configuration()): String = {
+  /** First 64 KB of a file through the Hadoop filesystem API — a bounded
+    * seekable read for any supported scheme (file:, hdfs:, s3a:, …), never
+    * a whole-file driver read; a split trailing multi-byte char is trimmed
+    * so the cut itself can't fail an encoding probe. */
+  def sampleBytes(path: String,
+                  conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -59,9 +59,15 @@ object Ingest {
       var buf = new Array[Byte](want)
       in.readFully(0, buf)
       if (want.toLong < len) buf = trimSplitTail(buf)
-      detectEncodingFromBytes(buf, encodings)
+      buf
     } finally in.close()
   }
+
+  /** Probe a file's encoding from its first 64 KB only. */
+  def detectEncoding(path: String, encodings: Seq[String] = defaultEncodings,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): String =
+    detectEncodingFromBytes(sampleBytes(path, conf), encodings)
 
   /** Charsets Spark's CSV reader accepts natively; anything else (cp874,
     * TIS-620, …) goes through the transcode path. */
@@ -89,17 +95,8 @@ object Ingest {
     * (the utf-8-sig semantics). */
   def csvWithEncodingFallback(spark: SparkSession, path: String,
                               encodings: Seq[String] = defaultEncodings): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    val sample = try {
-      val len = fs.getFileStatus(p).getLen
-      val want = math.min(len, 64L * 1024).toInt
-      var buf = new Array[Byte](want)
-      in.readFully(0, buf)
-      if (want.toLong < len) buf = trimSplitTail(buf)
-      buf
-    } finally in.close()
+    // session hadoop conf: credentials/settings for s3a/hdfs reach the probe
+    val sample = sampleBytes(path, spark.sparkContext.hadoopConfiguration)
     val enc = detectEncodingFromBytes(sample, encodings)
     if (sparkNativeCharsets(enc.toUpperCase) && !hasUtf8Bom(sample)) {
       spark.read

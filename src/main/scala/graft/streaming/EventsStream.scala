@@ -188,33 +188,36 @@ object EventsStream {
             state.remove()
             Iterator.single(SessionRow(user, s.start, s.n, s.totalCents / 100.0))
           } else {
+            // interval merge, not a forward-only fold: a late-but-within-
+            // watermark event may precede the OPEN session entirely (its
+            // own earlier session), fall inside it, or extend it backwards
+            // — sorting the open interval together with the batch's event
+            // points and coalescing on the gap rule handles all three
+            // (the old `e.epoch - s.last <= gapSec` guard was vacuously
+            // true for any late event and silently absorbed them)
             val sorted = it.toArray.sortInPlaceBy(e => (e.epoch, e.value))
-            var open = state.getOption
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.epoch - s.last <= gapSec =>
-                  // max: a late-but-within-watermark event must never move
-                  // `last` backwards — that would shrink the timeout horizon
-                  // and mis-split the session on the next event
-                  open = Some(s.copy(last = math.max(s.last, e.epoch), n = s.n + 1,
-                    totalCents = s.totalCents + roundCents(e.value)))
-                case Some(s) =>
-                  closed += SessionRow(user, s.start, s.n, s.totalCents / 100.0)
-                  open = Some(SessState(e.epoch, e.epoch, 1, roundCents(e.value)))
-                case None =>
-                  open = Some(SessState(e.epoch, e.epoch, 1, roundCents(e.value)))
+            val intervals = (state.getOption.toArray ++ sorted.map(e =>
+              SessState(e.epoch, e.epoch, 1, roundCents(e.value))))
+              .sortBy(s => (s.start, s.last))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
+            intervals.foreach { s =>
+              merged.lastOption match {
+                case Some(p) if s.start - p.last <= gapSec =>
+                  merged(merged.length - 1) = SessState(
+                    math.min(p.start, s.start), math.max(p.last, s.last),
+                    p.n + s.n, p.totalCents + s.totalCents)
+                case _ => merged += s
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              // timeout strictly after last+gap; never behind the current
-              // watermark (a session already past it times out next batch)
-              state.setTimeoutTimestamp(math.max(
-                (s.last + gapSec) * 1000L + 1000L,
-                state.getCurrentWatermarkMs() + 1000L))
-            }
-            closed.iterator
+            val open = merged.last
+            state.update(open)
+            // timeout strictly after last+gap; never behind the current
+            // watermark (a session already past it times out next batch)
+            state.setTimeoutTimestamp(math.max(
+              (open.last + gapSec) * 1000L + 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
+            merged.init.iterator.map(s =>
+              SessionRow(user, s.start, s.n, s.totalCents / 100.0))
           }
       }
   }

@@ -390,6 +390,9 @@ class OperatorsSpec extends SparkSpec {
     assert(sniffImageDims(hex(
       "FFD8FFE000104A46494600000000000000000000FFC0001108012C019003000000000000000000")) ==
       ("jpeg", 400, 300))
+    // spec-legal fill byte (0xFF run) before a marker must not desync the walk
+    assert(sniffImageDims(hex(
+      "FFD8FFFFDB00040000FFC00011080064003203000000000000")) == ("jpeg", 50, 100))
     // junk, truncated, empty, null — all (null, -1, -1), no exceptions
     assert(sniffImageDims(hex("DEADBEEF00000000000000")) == (null, -1, -1))
     assert(sniffImageDims(hex("89504E47")) == (null, -1, -1))

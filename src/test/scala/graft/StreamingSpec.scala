@@ -88,6 +88,34 @@ class StreamingSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
+  test("late event preceding the open session forms its own session, not a merge") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val evs = mem.toDF().toDF("user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+      .withWatermark("ts", "10000 seconds") // roomy: late rows not dropped
+      .select(col("user_id"), col("epoch"), col("value"), col("ts"))
+      .as[EventsStream.Ev]
+    val name = s"late_sess_${System.nanoTime()}"
+    val q = EventsStream.sessionizeStream(evs, gapSec = 100).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      mem.addData((1L, 5000L, 1.0), (1L, 5050L, 2.0)) // open session at 5000
+      q.processAllAvailable()
+      // late event 4000s BEFORE the open session: must close as its own
+      // session, not inflate the open one (the vacuous-guard bug)
+      mem.addData((1L, 1000L, 7.0))
+      q.processAllAvailable()
+      mem.addData((1L, 20000L, 1.0)) // gap break: closes the 5000 session
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      assert(rows == Seq((1L, 1000L, 1L, 7.0), (1L, 5000L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join on a drained run") {
     val streamed = EventsStream.clickPurchaseIntervalJoin(spark, sfDir, 1800)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
