@@ -338,7 +338,6 @@ object Pipelines {
   def poCsv(spark: SparkSession, csvPath: String): DataFrame =
     // the single-file CLI shape is the many-files kernel at glob size 1:
     // same per-task encoding detect, same one-aggregation metadata, zero
-    // per-file driver jobs (`Ingest.grid`/`cellAt` stay available as
-    // positional utilities for ad-hoc grid work)
+    // per-file driver jobs
     poCsvMany(spark, csvPath).drop("source_file")
 }

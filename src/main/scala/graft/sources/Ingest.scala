@@ -160,28 +160,6 @@ object Ingest {
       .select(col("r.*"))
   }
 
-  /** Positional spreadsheet grid: the file as ordered rows of string cells,
-    * with a 0-based `row_idx` (spreadsheet semantics need real row numbers —
-    * buyer cell B3, dates at D4/F4, header at row 5:
-    * read_po_csv_to_json.py:70-98,168-238).
-    *
-    * Order contract: a single grid file is one partition (they are small —
-    * the 100 TB case is *many* files, parallel across files, each still
-    * one task), so zipWithIndex gives true file order. */
-  final case class GridRow(row_idx: Long, cells: Seq[String])
-
-  def grid(spark: SparkSession, path: String,
-           encodings: Seq[String] = defaultEncodings): DataFrame = {
-    val raw = csvWithEncodingFallback(spark, path, encodings).coalesce(1)
-    val n = raw.columns.length
-    val rdd = raw.rdd.zipWithIndex().map { case (row, idx) =>
-      Row(idx, (0 until n).map(i => Option(row.get(i)).map(_.toString).orNull))
-    }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("row_idx", LongType, nullable = false),
-      StructField("cells", ArrayType(StringType), nullable = false))))
-  }
-
   /** C44 ragged-row pad/truncate (`normalize_columns`,
     * pdf_ocr_sale_invoice_to_json.py:96-106): every row is brought to the
     * common width = max(header length, widest row) — shorter rows pad with
@@ -204,27 +182,4 @@ object Ingest {
     (names, normalized)
   }
 
-  /** Promote row `headerIdx` of a grid to column names (uniquified, C40) and
-    * return the data rows below it as columns. */
-  def promoteHeader(gridDf: DataFrame, headerIdx: Long): DataFrame = {
-    import graft.functions.TextClean
-    val header = gridDf.where(col("row_idx") === headerIdx)
-      .select("cells").collect()(0).getSeq[String](0)
-    val names = TextClean.uniquifyHeaders(
-      header.map(h => Option(h).map(_.trim).filter(_.nonEmpty).getOrElse("col")))
-    val data = gridDf.where(col("row_idx") > headerIdx)
-    names.zipWithIndex.foldLeft(data) { case (df, (name, i)) =>
-      df.withColumn(name, element_at(col("cells"), i + 1))
-    }.drop("cells")
-  }
-
-  /** Fetch a single cell (0-based row/col) — header metadata like buyer B3. */
-  def cellAt(gridDf: DataFrame, rowIdx: Long, colIdx: Int): String = {
-    val r = gridDf.where(col("row_idx") === rowIdx).select("cells").collect()
-    if (r.isEmpty) null
-    else {
-      val cells = r(0).getSeq[String](0)
-      if (colIdx < cells.length) cells(colIdx) else null
-    }
-  }
 }
