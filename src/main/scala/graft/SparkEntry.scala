@@ -934,6 +934,43 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Unicode NFC normalization (kernel over java.text.Normalizer) — the
+    // canonical-equivalence step before dedup: decomposed sequences must
+    // hash identically to their composed forms. Cross-checked against
+    // DuckDB's utf8proc nfc_normalize on decomposed fixtures.
+    "q74_nfc_normalize" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val rows = Seq(
+        (1L, "cafe\u0301"),              // e + combining acute composes
+        (2L, "A\u030Angstro\u0308m"),    // A+ring, o+diaeresis compose
+        (3L, "d\u00e9j\u00e0 vu"),       // already composed: unchanged
+        (4L, "plain ascii"))
+        .toDF("id", "s")
+      rows.select(col("id"),
+          (col("s") =!= graft.plans.StringExpressions.nfc(col("s"))).as("changed"),
+          graft.plans.StringExpressions.nfc(col("s")).as("nfc_text"),
+          length(graft.plans.StringExpressions.nfc(col("s"))).as("nfc_len"))
+        .orderBy("id")
+    }),
+
+    // Deterministic train/val/test split: multiplicative-hash bucket →
+    // cumulative-fraction split names. Rerun- and append-stable, pure
+    // projection; the bucket arithmetic is engine-portable so the oracle
+    // recomputes the identical assignment.
+    "q75_hash_split" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d).select("doc_id")
+        .withColumn("bucket", Sampling.multiplicativeBucket(col("doc_id"), 1000))
+        .withColumn("split", Sampling.splitColumn(col("bucket"), 1000,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+      docs.groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
     // RAG/pretraining chunker: overlapping 32-token windows every 24
     // tokens, final window clipped — one kernel pass + posexplode.
     "q73_doc_chunks" -> ((s0, d) => {
@@ -1724,6 +1761,30 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q74_nfc_normalize" ->
+      """WITH v(id, s) AS (VALUES
+        | (CAST(1 AS BIGINT), 'cafe' || chr(769)),
+        | (CAST(2 AS BIGINT), 'A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+        | (CAST(3 AS BIGINT), 'déjà vu'),
+        | (CAST(4 AS BIGINT), 'plain ascii'))
+        |SELECT id, (s <> nfc_normalize(s)) AS changed,
+        |  nfc_normalize(s) AS nfc_text,
+        |  CAST(len(nfc_normalize(s)) AS INT) AS nfc_len
+        |FROM v ORDER BY id""".stripMargin,
+
+    "q75_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN bucket < 900 THEN 'train'
+        |    WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, COUNT(*) AS n,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q73_doc_chunks" ->
       """WITH t AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: every id maps
+  * to a stable bucket, buckets map to named splits by cumulative
+  * fraction. Properties a training split needs that `randomSplit` lacks:
+  * rerun-stable (no RNG, no partition-order dependence), append-stable
+  * (new rows never reassign existing ids), and join-free (a pure
+  * projection at any scale). */
+object Sampling {
+
+  /** Bucket id in [0, buckets) via xxhash64 of the id — the default,
+    * well-mixed choice. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id), lit(buckets)).cast("int")
+
+  /** Bucket id via Knuth multiplicative hashing (golden-ratio constant,
+    * TAOCP §6.4) — arithmetic-only, so the SAME bucket is computable in
+    * any SQL engine (the cross-engine-checkable variant). */
+  def multiplicativeBucket(id: Column, buckets: Int): Column =
+    pmod(pmod(id.cast("long") * lit(2654435761L), lit(4294967296L)), lit(buckets))
+      .cast("int")
+
+  /** Map a bucket column to split names by cumulative fractions, e.g.
+    * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. Fractions must
+    * sum to ~1; the last split absorbs rounding. */
+  def splitColumn(bucket: Column, buckets: Int,
+                  splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * buckets).toInt)
+    splits.init.zip(cuts.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), cut), els) =>
+        when(bucket < cut, lit(name)).otherwise(els)
+      }
+  }
+
+  /** Adds a `split` column assigning each row by hash of `idCol`. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame =
+    df.withColumn("split",
+      splitColumn(hashBucket(col(idCol), buckets), buckets, splits))
+}

@@ -340,6 +340,26 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.toSeq == Seq(48))
   }
 
+  test("hashSplit: stable fractions, rerun-deterministic, append-stable") {
+    val ids = (1L to 5000L).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val s1 = Sampling.hashSplit(ids, "id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(s1("train") / 5000.0 - 0.9) < 0.02)
+    assert(math.abs(s1("val") / 5000.0 - 0.05) < 0.01)
+    assert(math.abs(s1("test") / 5000.0 - 0.05) < 0.01)
+    // determinism: same assignment on rerun and under different partitioning
+    val a1 = Sampling.hashSplit(ids, "id", splits)
+      .as[(Long, String)].collect().toMap
+    val a2 = Sampling.hashSplit(ids.repartition(7), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(a1 == a2)
+    // append stability: adding rows never reassigns existing ids
+    val a3 = Sampling.hashSplit((1L to 9000L).toDF("id"), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert((1L to 5000L).forall(i => a3(i) == a1(i)))
+  }
+
   test("chunkText windows overlap correctly and clip at the end") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: [1..4],[4..7],[7..10]
