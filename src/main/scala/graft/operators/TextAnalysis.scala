@@ -8,10 +8,21 @@ import org.apache.spark.sql.functions._
   * expressions — a single narrow projection pass at any scale. */
 object TextAnalysis {
 
+  /** The fused one-pass stats array behind the counting/ratio family —
+    * [len, punct, cjk, nTokSplit, en17, en6, de, fr, es]. Identical
+    * per-expression references collapse under codegen subexpression
+    * elimination, so a projection computing several of the functions
+    * below tokenizes each row ONCE (the HOF spellings each re-tokenized:
+    * filter/size lambdas are interpreted, outside CSE — measured ~6
+    * tokenizer passes per row on the corpus-pipeline query). */
+  private def stats(text: Column): Column =
+    graft.plans.StringExpressions.textStatsCol(text)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = {
     val t = trim(text)
-    when(t === "" || t.isNull, lit(0)).otherwise(size(split(t, "\\s+")))
+    when(t === "" || t.isNull, lit(0))
+      .otherwise(element_at(stats(text), 4).cast("int"))
   }
 
   /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
@@ -21,9 +32,9 @@ object TextAnalysis {
 
   /** Punctuation character ratio (0..1). */
   def punctRatio(text: Column): Column = {
-    val n = length(text)
+    val n = element_at(stats(text), 1)
     when(n === 0 || n.isNull, lit(0.0)).otherwise(
-      (n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n)
+      element_at(stats(text), 2).cast("double") / n)
   }
 
   /** Mean word length. */
@@ -37,10 +48,9 @@ object TextAnalysis {
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val hits = size(filter(toks, t => t.isin(enStopwords.map(x => x: Any): _*)))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(hits.cast("double") / size(toks))
+    val nt = element_at(stats(text), 4)
+    when(nt === 0, lit(0.0))
+      .otherwise(element_at(stats(text), 5).cast("double") / nt)
   }
 
   /** Composite quality score (0..1): length sweet-spot, moderate punctuation,
@@ -79,13 +89,13 @@ object TextAnalysis {
     * with fixed precedence en > de > fr > es; no hits → 'und'.
     * Pure expression — replicable in ANSI SQL for oracle checks. */
   def langIdMulti(text: Column): Column = {
-    val n = greatest(length(text), lit(1))
-    val cjk = (n - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") / n
-    val toks = split(lower(trim(text)), "\\s+")
-    val en = stopwordHits(toks, langStopwords("en"))
-    val de = stopwordHits(toks, langStopwords("de"))
-    val fr = stopwordHits(toks, langStopwords("fr"))
-    val es = stopwordHits(toks, langStopwords("es"))
+    val st = stats(text)
+    val n = greatest(element_at(st, 1), lit(1))
+    val cjk = element_at(st, 3).cast("double") / n
+    val en = element_at(st, 6)
+    val de = element_at(st, 7)
+    val fr = element_at(st, 8)
+    val es = element_at(st, 9)
     when(cjk > 0.2, lit("zh"))
       .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
       .when(de >= fr && de >= es && de > 0, lit("de"))
