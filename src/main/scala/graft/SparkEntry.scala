@@ -934,6 +934,27 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Transitive closure of the near-dup pairs: connected components turn
+    // pairwise similarity into dedup clusters; the component label IS the
+    // canonical (min) doc id. Oracle = recursive CTE over the same pairs.
+    "q76_neardup_components" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val m1 = base.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+      val m2 = base.where(col("doc_id") % 22 === 0)
+        .withColumn("doc_id", col("doc_id") + 400000)
+        .withColumn("text", concat(col("text"), lit(" extra suffix added")))
+      val pairs = Dedup.jaccardPairsPrefixFilter(
+        base.unionByName(m1).unionByName(m2), "doc_id", "text", 3, 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+        .orderBy("component")
+    }),
+
     // Unicode NFC normalization (kernel over java.text.Normalizer) — the
     // canonical-equivalence step before dedup: decomposed sequences must
     // hash identically to their composed forms. Cross-checked against
@@ -1761,6 +1782,41 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q76_neardup_components" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' extra suffix token'
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, text || ' extra suffix added'
+        |  FROM documents WHERE doc_id % 22 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM all_docs) t0),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+        |SELECT component, COUNT(*) AS n_docs, MAX(id) AS max_doc
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     "q74_nfc_normalize" ->
       """WITH v(id, s) AS (VALUES

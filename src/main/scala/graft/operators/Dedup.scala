@@ -173,6 +173,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected pair set — the step that
+    * turns near-dup PAIRS into dedup DECISIONS (transitive closure:
+    * A~B, B~C ⇒ {A,B,C} is one cluster; keep one canonical doc per
+    * cluster). Iterative min-label propagation: every node starts
+    * labeled with its own id; each round takes the min of its own and
+    * its neighbors' labels; at convergence the label IS the cluster's
+    * min id (the canonical survivor for keep-lowest-id dedup).
+    *
+    * Scale shape: each round is one join + groupBy over the EDGE set —
+    * near-dup graphs are sparse (edges ≈ dup pairs ≪ corpus) and their
+    * clusters have tiny diameter, so rounds are few and cheap; the
+    * convergence check is an O(1)-result count per round. A label
+    * travels one hop per round, so a pathological long-chain graph
+    * needs O(diameter) rounds — for that regime swap in the
+    * large-star/small-star variant (Kiveris et al., SoCC '14); dup
+    * clusters never look like that. Returns (id, component). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .persist()
+      labels.count()
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+          .groupBy("src").agg(min("nc").as("nmin"))
+        val next = labels
+          .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+          .persist()
+        val changed = next.join(labels.select(col("id"), col("component").as("old")), "id")
+          .where(col("component") < col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Near-dup dedup decision: drop every row whose id sits in a pair
+    * cluster but is not the cluster's canonical (min) id. */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val losers = comp.where(col("id") =!= col("component")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of the token multiset: per token, xxhash64 (seed 42);
     * each of the 64 bits votes +1/-1; fingerprint bit = sign of the vote
     * sum. Runs as a custom Catalyst expression — one loop over the tokens

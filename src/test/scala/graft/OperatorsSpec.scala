@@ -146,6 +146,24 @@ class OperatorsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("connectedComponents: transitive closure, canonical = min id, chain converges") {
+    import graft.operators.Dedup
+    // triangle {1,2,3}, chain 10..15 (diameter 5), pair {100,101}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (100L, 101L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+    assert((10L to 15L).forall(comp(_) == 10L))
+    assert(comp(100L) == 100L && comp(101L) == 100L)
+    // dedup decision: keep exactly one doc per cluster
+    val df = comp.keys.toSeq.toDF("id")
+    val kept = Dedup.dropNearDups(df, "id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 100L))
+  }
+
   test("minhash near-dup: recall vs the exact prefix-filter join, candidate scan bounded") {
     // recall floor pinned as DATA against the exact counterpart on a real
     // corpus slice (the IVF spec pattern): near-dup injections at high J
