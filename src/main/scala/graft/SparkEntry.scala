@@ -934,6 +934,105 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Repetition/diversity profile (Gopher-family filters): type-token
+    // ratio, top-token fraction, top-bigram fraction — all four counts
+    // from ONE codegen kernel pass per row (the explode→groupBy spelling
+    // would shuffle rows × tokens). Corpus-level summary per source.
+    "q77_repetition_stats" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, d)
+        // make repetition visible in the synthetic corpus: every 7th doc
+        // gets a pathological loop appended
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" spam spam spam spam spam spam")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.distinctTokenRatio(col("text")).as("ttr"),
+          TextAnalysis.topTokenFraction(col("text")).as("top_tok"),
+          TextAnalysis.topBigramFraction(col("text")).as("top_bigram"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(round(col("ttr") * 1000000).cast("long")).cast("double")
+            / 1000000 / count(lit(1))).as("avg_ttr"),
+          round(max("top_tok"), 6).as("max_top_tok"),
+          count(when(col("top_bigram") > 0.08, 1)).as("n_loopy"))
+        .orderBy("source")
+    }),
+
+    // PII redaction: email → [EMAIL], IPv4 → [IP], phone runs → [PHONE],
+    // with per-kind match counts. Patterns are the RE2/Java common subset
+    // so the oracle applies the IDENTICAL regex; cascade order pinned
+    // (emails first — they contain dots and digits).
+    "q78_pii_redact" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.TextAnalysis
+      val rows = Seq(
+        (1L, "contact john.doe+spam@example.co.uk or call +66 2 123 4567 now"),
+        (2L, "server 10.0.255.3 responded; fallback 192.168.1.1 timed out"),
+        (3L, "mail a@b.io, b@c.org; phone (02) 555-0199; host 8.8.8.8"),
+        (4L, "no pii here, just 42 and a date 2024.01.02"),
+        (5L, "edge@case.museum ends the line"))
+        .toDF("id", "text")
+      val (ne, ni, np) = TextAnalysis.piiCounts(col("text"))
+      rows.select(col("id"),
+          TextAnalysis.redactPii(col("text")).as("redacted"),
+          ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"))
+        .orderBy("id")
+    }),
+
+    // Per-doc top-k term relevance (tf/df — the tf-idf shape with a
+    // rational, engine-exact score). df rides back as a broadcast of the
+    // Zipf-bounded vocabulary; the only wide shuffle carries (doc, token,
+    // tf) triples; top-k is a per-doc window.
+    "q79_top_terms" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      TextAnalysis.topTermsPerDoc(
+          Tables.documents(s, d).where(col("doc_id") < 40), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Range join as an equi-join: quantity bands × lineitem through
+    // bucket quantization (dim explodes to overlapped buckets, fact rows
+    // keep ONE row each, residual filter exact) — no nested-loop probe,
+    // plain hash join on an integer key at any fact size.
+    "q80_range_band_join" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.RangeJoin
+      val bands = Seq(
+        ("tiny", 0.0, 10.0), ("small", 10.0, 20.0),
+        ("mid", 20.0, 35.0), ("large", 35.0, 51.0))
+        .toDF("band", "lo", "hi")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      RangeJoin.bucketed(li, "l_quantity", bands, "lo", "hi", step = 5.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"),
+          sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("band")
+    }),
+
+    // Class rebalancing: cap every source at 15 docs, survivors chosen by
+    // deterministic multiplicative-hash order (rerun-stable uniform
+    // sample per group, not head/tail rows). Oracle recomputes the same
+    // arithmetic, so the EXACT survivor set is pinned via id checksums.
+    "q81_group_downsample" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sampling
+      Sampling.capPerGroup(
+          Tables.documents(s, d).select("doc_id", "source"),
+          "source", "doc_id", cap = 15)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("id_sum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
     // Transitive closure of the near-dup pairs: connected components turn
     // pairwise similarity into dedup clusters; the component label IS the
     // canonical (min) doc id. Oracle = recursive CTE over the same pairs.
@@ -1782,6 +1881,111 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q77_repetition_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' spam spam spam spam spam spam' ELSE text
+        |    END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM docs),
+        |flat AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        |tokc AS (SELECT doc_id, tok, COUNT(*) AS c FROM flat GROUP BY doc_id, tok),
+        |tstat AS (
+        |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS maxtok
+        |  FROM tokc GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg
+        |  FROM tk WHERE len(toks) >= 2),
+        |bic AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+        |bstat AS (SELECT doc_id, MAX(c) AS maxbi FROM bic GROUP BY doc_id),
+        |per AS (
+        |  SELECT t.doc_id, d.source,
+        |    ROUND(CAST(nd AS DOUBLE) / n, 6) AS ttr,
+        |    ROUND(CAST(maxtok AS DOUBLE) / n, 6) AS top_tok,
+        |    CASE WHEN n <= 1 THEN 0.0
+        |      ELSE ROUND(CAST(COALESCE(maxbi, 0) AS DOUBLE) / greatest(n - 1, 1), 6)
+        |    END AS top_bigram
+        |  FROM tstat t JOIN tk d USING (doc_id) LEFT JOIN bstat USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(ROUND(ttr * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS avg_ttr,
+        |  ROUND(MAX(top_tok), 6) AS max_top_tok,
+        |  COUNT(CASE WHEN top_bigram > 0.08 THEN 1 END) AS n_loopy
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    "q78_pii_redact" ->
+      """WITH v(id, text) AS (VALUES
+        | (CAST(1 AS BIGINT), 'contact john.doe+spam@example.co.uk or call +66 2 123 4567 now'),
+        | (CAST(2 AS BIGINT), 'server 10.0.255.3 responded; fallback 192.168.1.1 timed out'),
+        | (CAST(3 AS BIGINT), 'mail a@b.io, b@c.org; phone (02) 555-0199; host 8.8.8.8'),
+        | (CAST(4 AS BIGINT), 'no pii here, just 42 and a date 2024.01.02'),
+        | (CAST(5 AS BIGINT), 'edge@case.museum ends the line')),
+        |st AS (
+        |  SELECT id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS no_email
+        |  FROM v),
+        |st2 AS (
+        |  SELECT id, text, no_email,
+        |    regexp_replace(no_email,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS no_ip
+        |  FROM st)
+        |SELECT id,
+        |  regexp_replace(no_ip, '\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(no_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(no_ip,
+        |    '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phones
+        |FROM st2 ORDER BY id""".stripMargin,
+
+    "q79_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                       x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id < 40),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    ROUND(CAST(tf AS DOUBLE) / df, 6) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY ROUND(CAST(tf AS DOUBLE) / df, 6) DESC, token) AS rank
+        |  FROM tf JOIN dfq USING (token))
+        |SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q80_range_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        | ('tiny', 0.0, 10.0), ('small', 10.0, 20.0),
+        | ('mid', 20.0, 35.0), ('large', 35.0, 51.0))
+        |SELECT band, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q81_group_downsample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id * 2654435761) % 4294967296) % 1073741824 AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM r WHERE rn <= 15
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q76_neardup_components" ->
       """WITH RECURSIVE all_docs AS (

@@ -43,4 +43,24 @@ object Sampling {
                 splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame =
     df.withColumn("split",
       splitColumn(hashBucket(col(idCol), buckets), buckets, splits))
+
+  /** Class rebalancing: keep at most `cap` rows per group, chosen by
+    * deterministic hash order of the id (multiplicative hash → same rows
+    * survive on rerun, and the kept set is a uniform sample of each
+    * group, not its first/last rows). One shuffle, partitioned by the
+    * group key; per-group state in the window is a row counter, so a
+    * hot group streams — it never materializes in memory. A skewed group
+    * at 100 TB still funnels through one task; for per-group caps that is
+    * inherent (the row_number is a per-group total order) — cap the
+    * damage by filtering obviously-over-cap groups first if needed. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(multiplicativeBucket(col(idCol), 1 << 30), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -114,6 +114,93 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Repetition/diversity profile (Gopher-family filters, Rae et al. 2021
+    * §A1.1): [n_tokens, n_distinct, max token count, max bigram count] from
+    * ONE codegen kernel pass — no explode, no shuffle; a corpus-wide scan
+    * stays a narrow projection at any scale. */
+  private def rep(text: Column): Column =
+    graft.plans.StringExpressions.repStatsCol(text)
+
+  /** Distinct-token / total-token ratio (type-token ratio, 0..1; 0 for
+    * empty text). Low values flag template/boilerplate documents. */
+  def distinctTokenRatio(text: Column): Column = {
+    val r = rep(text)
+    val n = element_at(r, 1)
+    when(n === 0, lit(0.0))
+      .otherwise(round(element_at(r, 2).cast("double") / n, 6))
+  }
+
+  /** Fraction of tokens taken by the single most frequent token (0..1). */
+  def topTokenFraction(text: Column): Column = {
+    val r = rep(text)
+    val n = element_at(r, 1)
+    when(n === 0, lit(0.0))
+      .otherwise(round(element_at(r, 3).cast("double") / n, 6))
+  }
+
+  /** Fraction of bigram slots taken by the most frequent bigram (0..1) —
+    * the "fraction of characters in most common n-gram" family, token
+    * flavored. High values flag machine-generated loops. */
+  def topBigramFraction(text: Column): Column = {
+    val r = rep(text)
+    val slots = greatest(element_at(r, 1) - 1, lit(1L))
+    when(element_at(r, 1) <= 1, lit(0.0))
+      .otherwise(round(element_at(r, 4).cast("double") / slots, 6))
+  }
+
+  // PII patterns — the RE2/Java-regex common subset (no lookaround, no
+  // backrefs) so a DuckDB oracle applies the IDENTICAL pattern. Order of
+  // redaction matters (emails contain dots; phones contain digits): email
+  // first, then IPv4, then phone runs.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Count of PII matches per kind: [emails, ipv4s, phones]. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val noEmail = regexp_replace(text, emailPattern, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "[IP]")
+    (size(regexp_extract_all(text, lit(emailPattern), lit(0))),
+      size(regexp_extract_all(noEmail, lit(ipv4Pattern), lit(0))),
+      size(regexp_extract_all(noIp, lit(phonePattern), lit(0))))
+  }
+
+  /** Redact emails → [EMAIL], IPv4s → [IP], phone-number runs → [PHONE].
+    * Pure projection; the cascade order makes each stage see the previous
+    * stage's placeholders (a phone regex never eats an IP's digits). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        ipv4Pattern, "[IP]"),
+      phonePattern, "[PHONE]")
+
+  /** Top-k most relevant terms per document by tf/df — the tf-idf shape
+    * with a rational score (tf and df are integers, one IEEE division,
+    * deterministic across engines; ln-idf ranks identically when df ranks
+    * identically). Plan at scale: tf is a (doc, token) partial-agg
+    * shuffle; df is vocabulary-sized (Zipf-bounded) and BROADCAST back,
+    * so the only wide exchange carries (doc_id, token, tf) triples; the
+    * per-doc top-k window repartitions by doc_id. */
+  def topTermsPerDoc(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+          .as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token"))))
+      .where(col("rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"),
+        col("rn").cast("int").as("rank"))
+  }
+
   /** Overlapping token-window chunking — the RAG/pretraining chunker: each
     * document becomes (chunk_idx, chunk) rows of `chunkSize` whitespace
     * tokens starting every `chunkSize - overlap`, the final window clipped

@@ -95,6 +95,59 @@ object StringExpressions {
     Array(len, punct, cjk, nTok, en17, en6, de, fr, es)
   }
 
+  /** One pass over a text value → the 4 counts behind the repetition/
+    * diversity filters (Gopher-style, Rae et al. 2021 §A1.1): [nTokens,
+    * nDistinct, maxTokenCount, maxBigramCount]. Tokens are the non-empty
+    * whitespace splits of `lower(trim(text))` (boundary empties excluded —
+    * repetition is about content tokens); bigrams are consecutive token
+    * pairs. A hash-explode spelling (explode → groupBy(doc, token) → max)
+    * would shuffle rows × tokens; this computes the same counts per row
+    * inside whole-stage codegen with zero shuffle. */
+  def repStats(s: UTF8String): Array[Long] = {
+    val t = s.trim().toLowerCase.toString
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    val tokCounts = new java.util.HashMap[String, Long]()
+    val biCounts = new java.util.HashMap[String, Long]()
+    var nTok = 0L
+    var prev: String = null
+    var pos = 0
+    while (pos < t.length) {
+      while (pos < t.length && isWs(t.charAt(pos))) pos += 1
+      if (pos < t.length) {
+        var end = pos
+        while (end < t.length && !isWs(t.charAt(end))) end += 1
+        val tok = t.substring(pos, end)
+        nTok += 1
+        tokCounts.merge(tok, 1L, _ + _)
+        if (prev != null) biCounts.merge(prev + " " + tok, 1L, _ + _)
+        prev = tok
+        pos = end
+      }
+    }
+    var maxTok = 0L
+    val it = tokCounts.values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > maxTok) maxTok = v }
+    var maxBi = 0L
+    val it2 = biCounts.values().iterator()
+    while (it2.hasNext) { val v = it2.next(); if (v > maxBi) maxBi = v }
+    Array(nTok, tokCounts.size().toLong, maxTok, maxBi)
+  }
+
+  case class RepStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        repStats(v.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.StringExpressions.repStats($a));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class TextStats(child: Expression) extends UnaryExpression {
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(
@@ -123,4 +176,5 @@ object StringExpressions {
 
   def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
   def textStatsCol(c: Column): Column = column(TextStats(expression(c)))
+  def repStatsCol(c: Column): Column = column(RepStats(expression(c)))
 }

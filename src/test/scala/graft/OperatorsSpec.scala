@@ -448,4 +448,103 @@ class OperatorsSpec extends SparkSpec {
     assert(r1.forall(_.features.length == 8))
     assert(feats.toDF().schema("features").dataType.typeName == "array")
   }
+
+  // ---- repetition kernel
+
+  test("repStats counts tokens, distincts, and top token/bigram") {
+    import graft.plans.StringExpressions.repStats
+    import org.apache.spark.unsafe.types.UTF8String
+    def rs(s: String) = repStats(UTF8String.fromString(s)).toSeq
+    // "a b a b a": 5 tokens, 2 distinct, 'a'×3, bigram "a b"×2
+    assert(rs("a b a b a") == Seq(5L, 2L, 3L, 2L))
+    // case-folds and collapses whitespace runs; boundary empties excluded
+    assert(rs("  A  a\t b ") == Seq(3L, 2L, 2L, 1L))
+    assert(rs("solo") == Seq(1L, 1L, 1L, 0L))
+    assert(rs("") == Seq(0L, 0L, 0L, 0L))
+    assert(rs("   ") == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("repetition ratios match an independent explode spelling") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .select(col("doc_id"), col("text"))
+    val kernel = docs.select(col("doc_id"),
+        TextAnalysis.topTokenFraction(col("text")).as("top_tok"),
+        TextAnalysis.distinctTokenRatio(col("text")).as("ttr"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, tf, tt) => id -> ((tf, tt)) }.toMap
+    val exploded = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c")).as("tf"),
+        (count(lit(1)).cast("double") / sum("c")).as("tt"))
+      .as[(Long, Double, Double)].collect()
+    exploded.foreach { case (id, tf, tt) =>
+      val (kTf, kTt) = kernel(id)
+      assert(math.abs(kTf - tf) < 1e-6 && math.abs(kTt - tt) < 1e-6,
+        s"doc $id kernel=($kTf,$kTt) explode=($tf,$tt)")
+    }
+  }
+
+  // ---- PII redaction
+
+  test("redactPii replaces emails, IPs, phones in cascade order") {
+    val df = Seq(
+      "reach me at a.b-c@x-corp.io or 10.1.2.3",
+      "+1 (800) 555 0100 is toll-free",
+      "clean text").toDF("t")
+    val out = df.select(TextAnalysis.redactPii(col("t"))).as[String].collect()
+    assert(out(0) == "reach me at [EMAIL] or [IP]")
+    assert(out(1) == "[PHONE] is toll-free")
+    assert(out(2) == "clean text")
+  }
+
+  // ---- top terms
+
+  test("topTermsPerDoc ranks by tf/df with deterministic tie-break") {
+    val df = Seq(
+      (1L, "rare rare common"),
+      (2L, "common other"),
+      (3L, "common other zebra")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsPerDoc(df, "doc_id", "text", 2)
+      .select("doc_id", "token", "rank").as[(Long, String, Int)]
+      .collect().toSet
+    // doc1: rare tf=2 df=1 → score 2.0 beats common (1/3)
+    assert(top.contains((1L, "rare", 1)) && top.contains((1L, "common", 2)))
+    // doc3: zebra (1/1) beats other (1/2) beats common (1/3)
+    assert(top.contains((3L, "zebra", 1)) && top.contains((3L, "other", 2)))
+  }
+
+  // ---- range join
+
+  test("bucketed range join equals the nested-loop spelling") {
+    val dim = Seq(("a", 0.0, 7.0), ("b", 7.0, 7.0), ("c", 5.0, 12.0))
+      .toDF("band", "lo", "hi") // overlapping + empty intervals included
+    val fact = (0 until 40).map(i => i.toDouble / 2).toDF("v")
+    val got = RangeJoin.bucketed(fact, "v", dim, "lo", "hi", step = 4.0)
+      .select("v", "band").as[(Double, String)].collect().toSet
+    val want = fact.join(dim, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("v", "band").as[(Double, String)].collect().toSet
+    assert(got == want)
+    // exact-edge semantics: hi is exclusive, lo inclusive
+    assert(got.contains((5.0, "c")) && !got.contains((12.0, "c")))
+    assert(!got.exists(_._2 == "b")) // empty interval matches nothing
+  }
+
+  // ---- per-group cap
+
+  test("capPerGroup keeps a deterministic uniform subset per group") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val kept = Sampling.capPerGroup(df, "g", "id", cap = 10)
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG.values.forall(_ == 10))
+    // rerun-stable: same survivors both times
+    val again = Sampling.capPerGroup(df, "g", "id", cap = 10)
+    assert(kept.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // under-cap groups keep everything
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(Sampling.capPerGroup(small, "g", "id", 10).count() == 2)
+  }
 }
