@@ -191,35 +191,49 @@ object Dedup {
     * clusters never look like that. Returns (id, component). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // Lineage truncation is the load-bearing detail of this loop. Each
+    // round's plan references the previous round's labels TWICE (once in
+    // the neighbor-min join, once in the merge), so without a cut the
+    // analyzed plan doubles per round — and it starts from the full
+    // pair-generation lineage (e.g. the whole prefix-filter join).
+    // Catalyst analysis + cache canonicalization over that tree dominated
+    // runtime (measured: 82s loop → 9s with checkpoints at sf0.1).
+    // localCheckpoint(eager) materializes to executor-local blocks and
+    // replaces the plan with a leaf — the iterative-algorithm pattern
+    // GraphX uses. Superseded checkpoint blocks are released by the
+    // ContextCleaner once unreferenced.
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id"))
-        .persist()
-      labels.count()
-      var iter = 0
-      var converged = false
-      while (!converged && iter < maxIter) {
-        val neighborMin = edges
-          .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
-          .groupBy("src").agg(min("nc").as("nmin"))
-        val next = labels
-          .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-          .persist()
-        val changed = next.join(labels.select(col("id"), col("component").as("old")), "id")
-          .where(col("component") < col("old")).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      labels
-    } finally { edges.unpersist(); () }
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    // Convergence via the label-sum fixpoint: min-propagation only ever
+    // LOWERS labels, so an unchanged sum means an unchanged labeling —
+    // one cheap aggregation per round instead of a self-join diff.
+    // decimal(38,0) so huge id sums can't overflow a long.
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).first().get(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy("src").agg(min("nc").as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val curSum = labelSum(next)
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+      iter += 1
+    }
+    labels
   }
 
   /** Near-dup dedup decision: drop every row whose id sits in a pair
