@@ -934,6 +934,47 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Batch sessionization (gaps-and-islands) — the batch spelling of
+    // q51's streaming sessionize: one shuffle by user, lag + running-sum
+    // windows share the exchange, per-session agg combines map-side.
+    "q82_batch_sessions" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sessions
+      Sessions.batchSessions(Tables.events(s, d), "user_id", "ts", "value",
+          gapSec = 1800)
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // Quality-weighted corpus resampling: keep each doc with probability
+    // equal to its quality score, via the engine-portable hash coin —
+    // deterministic (rerun-stable, append-stable), a pure filter with no
+    // shuffle and no RNG state. Survivor set pinned by id checksums.
+    "q83_weighted_sample" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Sampling, TextAnalysis}
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      Sampling.weightedKeep(docs, "doc_id", "quality")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("id_sum"),
+          (sum(round(col("quality") * 10000).cast("long")).cast("double")
+            / 10000).as("quality_sum"))
+        .orderBy("source")
+    }),
+
+    // Rolling z-score anomaly detection: each value against its own
+    // trailing 20-event window per user. Window sums run over exact
+    // cents (integer), variance/z derive with plain IEEE ops — engine-
+    // reproducible where a naive moving-frame double stddev is not.
+    "q84_rolling_outliers" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Rolling
+      Rolling.zScoreOutliers(Tables.events(s, d), "user_id", "ts",
+          "event_id", "value", frame = 20, minN = 10, zCut = 2.5)
+        .orderBy("user_id", "event_id")
+    }),
+
     // Repetition/diversity profile (Gopher-family filters): type-token
     // ratio, top-token fraction, top-bigram fraction — all four counts
     // from ONE codegen kernel pass per row (the explode→groupBy spelling
@@ -1881,6 +1922,73 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q82_batch_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |           OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q83_weighted_sample" ->
+      """WITH feats AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(lower(TRIM(text)), '\s+') AS ltoks,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+        |    CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(len(text), 1) AS punct_ratio
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    ROUND((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+        |      + (1.0 - least(punct_ratio*5.0, 1.0))
+        |      + least(CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
+        |              / len(ltoks) * 4.0, 1.0)) / 3.0, 4) AS quality
+        |  FROM feats),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE CAST(((doc_id * 2654435761) % 4294967296) % 1048576 AS DOUBLE) / 1048576 < quality)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(ROUND(quality*10000) AS BIGINT)) AS DOUBLE)/10000 AS quality_sum
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "q84_rolling_outliers" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CAST(ROUND(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, value, c,
+        |    CAST(SUM(c) OVER win AS DOUBLE) AS s1,
+        |    CAST(SUM(c*c) OVER win AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) OVER win AS DOUBLE) AS n
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT user_id, event_id, value, n,
+        |    (s2 - s1*s1/n)/(n-1) AS varc,
+        |    ROUND((CAST(c AS DOUBLE) - s1/n)
+        |          / sqrt(greatest((s2 - s1*s1/n)/(n-1), 1e-12)), 4) AS z
+        |  FROM w)
+        |SELECT user_id, event_id, value, z
+        |FROM z WHERE n >= 10 AND varc > 0 AND abs(z) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q77_repetition_stats" ->
       """WITH docs AS (

@@ -44,6 +44,21 @@ object Sampling {
     df.withColumn("split",
       splitColumn(hashBucket(col(idCol), buckets), buckets, splits))
 
+  /** Deterministic unit-interval hash of the id — the coin for weighted
+    * sampling, spelled with the engine-portable multiplicative hash so an
+    * independent engine recomputes the identical value. */
+  def hashUnit(id: Column, buckets: Int = 1 << 20): Column =
+    multiplicativeBucket(id, buckets).cast("double") / buckets
+
+  /** Weighted subsampling: keep each row iff hashUnit(id) < weight —
+    * every row kept with probability equal to its weight column (clamped
+    * by construction to [0,1] coins), deterministically: reruns keep the
+    * SAME rows, appends never reshuffle prior decisions. The quality-
+    * weighted corpus resampling step of LLM data pipelines, as a pure
+    * filter (no shuffle, no RNG state). */
+  def weightedKeep(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.where(hashUnit(col(idCol)) < col(weightCol))
+
   /** Class rebalancing: keep at most `cap` rows per group, chosen by
     * deterministic hash order of the id (multiplicative hash → same rows
     * survive on rerun, and the kept set is a uniform sample of each

@@ -532,6 +532,56 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == "b")) // empty interval matches nothing
   }
 
+  // ---- batch sessionization
+
+  test("batchSessions splits on gap, aggregates exactly") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, ts(0), 7L, 1.10), (2L, ts(60), 7L, 2.20), // session 1
+      (3L, ts(2000), 7L, 3.30),                      // gap 1940s > 1800 → session 2
+      (4L, ts(100), 8L, 4.40))                       // other user
+      .toDF("event_id", "ts", "user_id", "value")
+    val s = Sessions.batchSessions(df, "user_id", "ts", "value", gapSec = 1800)
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(s == Set((7L, 1L, 2L, 3.30), (7L, 2L, 1L, 3.30), (8L, 1L, 1L, 4.40)))
+  }
+
+  // ---- rolling z-score
+
+  test("zScoreOutliers flags spikes, honors cold start") {
+    val rows = (1 to 30).map(i =>
+      (i.toLong, i.toLong, 1L, if (i == 25) 500.0 else 10.0 + (i % 3)))
+    val df = rows.toDF("event_id", "ord", "user_id", "value")
+    val out = Rolling.zScoreOutliers(df, "user_id", "ord", "event_id", "value",
+        frame = 20, minN = 10, zCut = 2.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(out.contains(25L), s"spike not flagged: $out")
+    // constant series before the spike → no flags in the first 24 rows
+    assert(!out.exists(_ < 25L))
+    // cold start: a spike at row 3 of a fresh key is never flagged
+    val early = Seq((1L, 1L, 2L, 10.0), (2L, 2L, 2L, 11.0), (3L, 3L, 2L, 500.0))
+      .toDF("event_id", "ord", "user_id", "value")
+    assert(Rolling.zScoreOutliers(early, "user_id", "ord", "event_id", "value",
+      20, 10, 2.5).count() == 0)
+  }
+
+  // ---- weighted sampling
+
+  test("weightedKeep: extreme weights, determinism, monotone rate") {
+    val df = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val zero = Sampling.weightedKeep(df.withColumn("w", lit(0.0)), "id", "w")
+    val one = Sampling.weightedKeep(df.withColumn("w", lit(1.0)), "id", "w")
+    assert(zero.count() == 0 && one.count() == 1000)
+    val half = Sampling.weightedKeep(df.withColumn("w", lit(0.5)), "id", "w")
+    val n = half.count()
+    assert(n > 400 && n < 600, s"0.5-weight kept $n of 1000")
+    assert(half.select("id").as[Long].collect().toSet ==
+      Sampling.weightedKeep(df.withColumn("w", lit(0.5)), "id", "w")
+        .select("id").as[Long].collect().toSet)
+  }
+
   // ---- per-group cap
 
   test("capPerGroup keeps a deterministic uniform subset per group") {
