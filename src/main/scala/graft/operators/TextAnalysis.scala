@@ -188,8 +188,11 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
         explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
           .as("token"))
+    // two consumers (dfreq + the scored join) — persist so the corpus
+    // tokenizes once; (doc, token, tf) is far smaller than raw tokens
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "token")
       .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
@@ -199,6 +202,58 @@ object TextAnalysis {
       .where(col("rn") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"),
         col("rn").cast("int").as("rank"))
+  }
+
+  // URL pieces via regexes in the RE2/Java common subset (no lookaround)
+  // so a SQL oracle applies the IDENTICAL patterns. parse_url would be
+  // Spark-only; URL hygiene must hash identically across engines to be a
+  // dedup key.
+  private val urlHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+  private val urlPathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Lower-cased host, userinfo/port stripped. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, urlHostRe, 1))
+
+  /** Registered-domain approximation: last two dot labels of the host
+    * (public-suffix lists are a lookup table upgrade, same shape). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Path component (no query/fragment), empty → "/". */
+  def urlPath(url: Column): Column = {
+    val p = regexp_extract(url, urlPathRe, 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Canonical URL for dedup keys: lowered scheme+host, path with any
+    * trailing slash dropped (root stays "/"), query/fragment stripped. */
+  def urlCanonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val path = regexp_replace(urlPath(url), "/$", "")
+    concat(scheme, lit("://"), urlHost(url),
+      when(path === "", lit("/")).otherwise(path))
+  }
+
+  /** Conjunctive keyword search through an inverted-index shape: explode
+    * tokens, keep only query terms (the predicate prunes BEFORE the
+    * shuffle — postings for three terms, not the whole corpus), aggregate
+    * per doc, keep docs hitting ALL terms. Returns (id, tf_total) ranked
+    * by total term frequency. The same plan a posting-list intersection
+    * runs at index-serving scale: per-term selectivity bounds the shuffle,
+    * never the corpus size. */
+  def searchAllTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = df.select(col(idCol),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .where(col("token").isin(terms.map(x => x: Any): _*))
+    toks.groupBy(col(idCol))
+      .agg(count_distinct(col("token")).as("n_terms"),
+        count(lit(1)).as("tf_total"))
+      .where(col("n_terms") === terms.size)
+      .select(col(idCol), col("tf_total"))
   }
 
   /** Overlapping token-window chunking — the RAG/pretraining chunker: each

@@ -532,6 +532,37 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == "b")) // empty interval matches nothing
   }
 
+  // ---- URL hygiene
+
+  test("url host/domain/path/canonical handle ports, userinfo, bare hosts") {
+    val df = Seq(
+      "https://WWW.Example.COM:443/a/b/?x=1#f",
+      "http://u:p@h.co/z",
+      "https://example.org").toDF("url")
+    val got = df.select(
+        TextAnalysis.urlHost(col("url")),
+        TextAnalysis.urlDomain(col("url")),
+        TextAnalysis.urlPath(col("url")),
+        TextAnalysis.urlCanonical(col("url")))
+      .as[(String, String, String, String)].collect()
+    assert(got(0) == (("www.example.com", "example.com", "/a/b/",
+      "https://www.example.com/a/b")))
+    assert(got(1) == (("h.co", "h.co", "/z", "http://h.co/z")))
+    assert(got(2) == (("example.org", "example.org", "/", "https://example.org/")))
+  }
+
+  // ---- keyword search
+
+  test("searchAllTerms is conjunctive and counts total term hits") {
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta"),
+      (3L, "beta gamma gamma")).toDF("doc_id", "text")
+    val hits = TextAnalysis.searchAllTerms(df, "doc_id", "text", Seq("alpha", "gamma"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 3L)) // doc1 only: alpha×2 + gamma×1
+  }
+
   // ---- batch sessionization
 
   test("batchSessions splits on gap, aggregates exactly") {
