@@ -934,6 +934,54 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // SCD type-2 history from keyed snapshots: collapse unchanged
+    // snapshots (null-safe change detect), stamp validity intervals.
+    // One shuffle by key; lag/lead windows share the exchange.
+    "q87_scd2_history" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.Merge
+      val snaps = Seq(
+        (101L, 1L, Some("BKK"), "RETAIL"),
+        (101L, 2L, Some("BKK"), "RETAIL"),
+        (101L, 3L, Some("CNX"), "RETAIL"),
+        (101L, 5L, Some("CNX"), "WHOLESALE"),
+        (102L, 1L, None, "RETAIL"),
+        (102L, 2L, Some("HKT"), "RETAIL"),
+        (102L, 4L, Some("HKT"), "RETAIL"))
+        .toDF("cust_id", "snap_ts", "city", "segment")
+      Merge.scd2(snaps, "cust_id", "snap_ts", Seq("city", "segment"))
+        .orderBy("cust_id", "valid_from")
+    }),
+
+    // Interval × interval overlap join through bucket quantization — the
+    // equi-join spelling with the first-overlap-bucket condition keeping
+    // each pair exactly once (no dedup shuffle). Maintenance windows ×
+    // the batch sessions of q82.
+    "q88_interval_overlap" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.{RangeJoin, Sessions}
+      val sess = Sessions.batchSessions(Tables.events(s, d),
+          "user_id", "ts", "value", gapSec = 1800)
+        .select(col("user_id"),
+          col("start_us").cast("double").as("s_lo"),
+          // sessions are closed intervals; +1μs makes them half-open
+          (col("end_us") + 1).cast("double").as("s_hi"))
+      val wins = Seq(
+        ("w1", 1704067200000000L, 1704088800000000L), // 00:00-06:00 UTC
+        ("w2", 1704092400000000L, 1704103200000000L), // 07:00-10:00
+        ("w3", 1704114000000000L, 1704117600000000L)) // 13:00-14:00
+        .toDF("name", "lo", "hi")
+        .select(col("name"), col("lo").cast("double"), col("hi").cast("double"))
+      RangeJoin.intervalOverlapJoin(sess, "s_lo", "s_hi",
+          wins, "lo", "hi", step = 3600e6)
+        .groupBy("name")
+        .agg(count(lit(1)).as("n_sessions"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("name")
+    }),
+
     // URL hygiene for web-corpus dedup: host/registered-domain/path
     // extraction + canonical dedup key — regexes in the RE2/Java common
     // subset so the canonical form hashes identically in any engine
@@ -1956,6 +2004,56 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q87_scd2_history" ->
+      """WITH v(cust_id, snap_ts, city, segment) AS (VALUES
+        | (CAST(101 AS BIGINT), CAST(1 AS BIGINT), 'BKK', 'RETAIL'),
+        | (CAST(101 AS BIGINT), CAST(2 AS BIGINT), 'BKK', 'RETAIL'),
+        | (CAST(101 AS BIGINT), CAST(3 AS BIGINT), 'CNX', 'RETAIL'),
+        | (CAST(101 AS BIGINT), CAST(5 AS BIGINT), 'CNX', 'WHOLESALE'),
+        | (CAST(102 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), 'RETAIL'),
+        | (CAST(102 AS BIGINT), CAST(2 AS BIGINT), 'HKT', 'RETAIL'),
+        | (CAST(102 AS BIGINT), CAST(4 AS BIGINT), 'HKT', 'RETAIL')),
+        |c AS (
+        |  SELECT *,
+        |    (city IS DISTINCT FROM LAG(city) OVER w)
+        |      OR (segment IS DISTINCT FROM LAG(segment) OVER w) AS chg,
+        |    LAG(snap_ts) OVER w IS NULL AS first
+        |  FROM v WINDOW w AS (PARTITION BY cust_id ORDER BY snap_ts)),
+        |ver AS (SELECT cust_id, snap_ts, city, segment FROM c WHERE chg OR first),
+        |o AS (
+        |  SELECT cust_id, city, segment, snap_ts AS valid_from,
+        |    LEAD(snap_ts) OVER (PARTITION BY cust_id ORDER BY snap_ts) AS valid_to
+        |  FROM ver)
+        |SELECT cust_id, city, segment, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM o ORDER BY cust_id, valid_from""".stripMargin,
+
+    "q88_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |           OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_seq, MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY user_id, session_seq),
+        |w(name, lo, hi) AS (VALUES
+        | ('w1', CAST(1704067200000000 AS BIGINT), CAST(1704088800000000 AS BIGINT)),
+        | ('w2', CAST(1704092400000000 AS BIGINT), CAST(1704103200000000 AS BIGINT)),
+        | ('w3', CAST(1704114000000000 AS BIGINT), CAST(1704117600000000 AS BIGINT)))
+        |SELECT name, COUNT(*) AS n_sessions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM sess JOIN w ON start_us < hi AND lo < end_us + 1
+        |GROUP BY name ORDER BY name""".stripMargin,
 
     "q85_url_normalize" ->
       """WITH v(id, url) AS (VALUES

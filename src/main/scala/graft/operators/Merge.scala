@@ -62,4 +62,38 @@ object Merge {
       incoming.select(existing.columns.map(col): _*))
     (synced, deleted)
   }
+
+  /** SCD type-2 history build from a stream of keyed snapshots: collapse
+    * consecutive snapshots whose tracked attributes are unchanged, then
+    * stamp each surviving version with its validity interval
+    * [valid_from, valid_to) — valid_to null on the current version.
+    *
+    * Change detection is null-safe (`<=>`): a NULL→value transition is a
+    * version change. Scale: one shuffle (partition by key); the change-
+    * detect lag and the valid_to lead windows both run on that exchange;
+    * no joins, no state beyond one row of lookback. */
+  def scd2(snapshots: DataFrame, keyCol: String, tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val changed = snapshots
+      .withColumn("__chg",
+        attrCols.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+          .reduce(_ || _))
+      // the first snapshot of a key has lag = null on every attribute →
+      // NOT(null <=> x) is true for non-null x; force it explicitly so an
+      // all-null first snapshot still opens a version
+      .withColumn("__first", lag(col(tsCol), 1).over(w).isNull)
+    val versions = changed
+      .where(col("__chg") || col("__first"))
+      .drop("__chg", "__first")
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol))
+    versions
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
 }

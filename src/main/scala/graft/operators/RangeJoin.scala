@@ -40,4 +40,30 @@ object RangeJoin {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  private def bucketSpan(lo: org.apache.spark.sql.Column,
+                         hi: org.apache.spark.sql.Column, step: Double) =
+    explode(sequence(
+      floor(lo / step).cast("long"),
+      greatest(ceil(hi / step).cast("long") - 1, floor(lo / step).cast("long"))))
+
+  /** Interval × interval overlap join (half-open: overlap iff
+    * aLo < bHi && bLo < aHi) as an equi-join: both sides explode to the
+    * buckets they span, pairs hash-join on the bucket, and the residual
+    * keeps exact overlaps. A pair overlapping several buckets would match
+    * once per shared bucket — the first-overlap-bucket condition
+    * (`bucket == floor(max(aLo,bLo)/step)`) keeps each pair EXACTLY once
+    * without a dedup shuffle. Shuffle volume is rows × spanned-buckets
+    * per side; pick `step` near the typical interval length. */
+  def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+                          b: DataFrame, bLo: String, bHi: String,
+                          step: Double): DataFrame = {
+    require(step > 0, s"bucket step must be positive: $step")
+    val aB = a.withColumn("__bucket", bucketSpan(col(aLo), col(aHi), step))
+    val bB = b.withColumn("__bucket", bucketSpan(col(bLo), col(bHi), step))
+    aB.join(bB, Seq("__bucket"))
+      .where(col(aLo) < col(bHi) && col(bLo) < col(aHi) &&
+        col("__bucket") === floor(greatest(col(aLo), col(bLo)) / step).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -532,6 +532,40 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == "b")) // empty interval matches nothing
   }
 
+  // ---- SCD2
+
+  test("scd2 collapses unchanged snapshots and stamps validity") {
+    val snaps = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"),
+      (2L, 10L, "x")).toDF("k", "t", "attr")
+    val hist = Merge.scd2(snaps, "k", "t", Seq("attr"))
+      .select("k", "attr", "valid_from", "is_current")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(hist == Set(
+      (1L, "a", 10L, false), (1L, "b", 30L, true), (2L, "x", 10L, true)))
+    // null-safe: null → value is a change, value → null is a change
+    val nulls = Seq(
+      (3L, 1L, None: Option[String]), (3L, 2L, Some("v")), (3L, 3L, None))
+      .toDF("k", "t", "attr")
+    assert(Merge.scd2(nulls, "k", "t", Seq("attr")).count() == 3)
+  }
+
+  // ---- interval overlap join
+
+  test("intervalOverlapJoin equals the nested-loop overlap join") {
+    val a = Seq(("a1", 0.0, 10.0), ("a2", 9.0, 12.0), ("a3", 20.0, 21.0))
+      .toDF("an", "alo", "ahi")
+    val b = Seq(("b1", 5.0, 9.5), ("b2", 11.0, 30.0), ("b3", 0.0, 50.0))
+      .toDF("bn", "blo", "bhi")
+    val got = RangeJoin.intervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi", 4.0)
+      .select("an", "bn").as[(String, String)].collect()
+    val want = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("an", "bn").as[(String, String)].collect()
+    // exactly once per overlapping pair — compare as multisets
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.toSet.contains(("a1", "b1")) && !got.toSet.contains(("a3", "b1")))
+  }
+
   // ---- URL hygiene
 
   test("url host/domain/path/canonical handle ports, userinfo, bare hosts") {
