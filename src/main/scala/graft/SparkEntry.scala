@@ -934,6 +934,51 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Data-mixture rebalancing: per-source sampling rates toward a
+    // uniform target, applied through the deterministic hash coin —
+    // counts → rates (broadcast back) → pure filter. The source-
+    // proportions step of corpus assembly, with an exact survivor set.
+    "q89_mixture_rebalance" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val rates = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("rate", least(lit(1.0), lit(18.0) / col("n_src")))
+      val kept = Sampling.weightedKeep(
+        docs.join(broadcast(rates), "source"), "doc_id", "rate")
+      kept.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
+    // Benchmark decontamination: corpus docs sharing any 8-gram with the
+    // held-out set are flagged and dropped. The test set's grams
+    // broadcast; the corpus probes with no exchange. Contamination is
+    // injected (a 12-token snippet of test doc 0 leaked into every
+    // doc_id%31==0 corpus doc) so the overlap is real and exact.
+    "q90_decontaminate" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val test = docs.where(col("doc_id") % 97 === 0)
+      val snippet = test.where(col("doc_id") === 0)
+        .select(concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 1, 12)).as("leak"))
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(snippet))
+        .withColumn("text",
+          when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" "), col("leak")))
+            .otherwise(col("text")))
+        .drop("leak")
+      val bad = Dedup.contaminatedIds(corpus, test, "doc_id", "text", n = 8)
+      corpus.join(bad, Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
     // SCD type-2 history from keyed snapshots: collapse unchanged
     // snapshots (null-safe change detect), stamp validity intervals.
     // One shuffle by key; lag/lead windows share the exchange.
@@ -2004,6 +2049,51 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q89_mixture_rebalance" ->
+      """WITH rates AS (
+        |  SELECT source, COUNT(*) AS n_src,
+        |    least(1.0, 18.0 / COUNT(*)) AS rate
+        |  FROM documents GROUP BY source),
+        |kept AS (
+        |  SELECT d.doc_id, d.source
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE CAST(((d.doc_id * 2654435761) % 4294967296) % 1048576 AS DOUBLE) / 1048576 < r.rate)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "q90_decontaminate" ->
+      """WITH snippet AS (
+        |  SELECT array_to_string(
+        |    (string_split_regex(TRIM(text), '\s+'))[1:12], ' ') AS leak
+        |  FROM documents WHERE doc_id = 0),
+        |corpus AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 31 = 0
+        |      THEN text || ' ' || (SELECT leak FROM snippet) ELSE text
+        |    END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |tkc AS (
+        |  SELECT doc_id, source,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM corpus),
+        |shc AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                          FOR i IN range(1, greatest(len(toks)-7, 0)+1)])) AS g
+        |  FROM tkc),
+        |tkt AS (
+        |  SELECT string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |sht AS (
+        |  SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                          FOR i IN range(1, greatest(len(toks)-7, 0)+1)])) AS g
+        |  FROM tkt),
+        |bad AS (SELECT DISTINCT c.doc_id, c.source FROM shc c JOIN sht t USING (g))
+        |SELECT source, COUNT(*) AS n_contaminated,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM bad GROUP BY source ORDER BY source""".stripMargin,
 
     "q87_scd2_history" ->
       """WITH v(cust_id, snap_ts, city, segment) AS (VALUES

@@ -236,6 +236,27 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: ids of corpus docs sharing ANY word
+    * n-gram with a (small) test/benchmark set — the overlap check run
+    * before training-data release (n=8..13 word grams in practice).
+    *
+    * Scale shape: the test set's distinct grams BROADCAST (benchmarks are
+    * tiny next to a corpus), so the corpus side explodes grams and probes
+    * the broadcast hash table with NO exchange; only the matched doc ids
+    * (rare) shuffle for the distinct. Joining on the gram STRING keeps
+    * the operator engine-checkable; hashing grams to 8 bytes first is a
+    * pure bandwidth optimization when needed. */
+  def contaminatedIds(corpus: DataFrame, testDocs: DataFrame,
+                      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val testGrams = testDocs
+      .select(explode(shinglesFromTokens(tokens(col(textCol)), n)).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(shinglesFromTokens(tokens(col(textCol)), n)).as("g"))
+      .join(broadcast(testGrams), Seq("g"))
+      .select(col(idCol)).distinct()
+  }
+
   /** Near-dup dedup decision: drop every row whose id sits in a pair
     * cluster but is not the cluster's canonical (min) id. */
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame,

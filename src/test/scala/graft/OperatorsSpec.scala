@@ -532,6 +532,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == "b")) // empty interval matches nothing
   }
 
+  // ---- decontamination
+
+  test("contaminatedIds flags n-gram overlap with the test set only") {
+    val test = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words about spark plans and shuffles here"),
+      // contains the test 8-gram "quick brown fox jumps over the lazy dog"
+      (2L, "intro text then quick brown fox jumps over the lazy dog end"),
+      // 7 shared words but never 8 consecutive
+      (3L, "quick brown fox jumps over the lazy cat dog")).toDF("doc_id", "text")
+    val bad = Dedup.contaminatedIds(corpus, test, "doc_id", "text", n = 8)
+      .as[Long].collect().toSet
+    assert(bad == Set(2L))
+  }
+
   // ---- SCD2
 
   test("scd2 collapses unchanged snapshots and stamps validity") {
