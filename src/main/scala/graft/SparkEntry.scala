@@ -934,6 +934,59 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Equi-depth (quantile) bucketing: exact percentile cutpoints from
+    // one aggregation, broadcast back as a single row, assignment as a
+    // pure projection — the scale pattern for NTILE without a global
+    // sort (q57 already pins cross-engine percentile interpolation).
+    "q91_equidepth_buckets" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d).select("l_extendedprice", "l_discount")
+      val cuts = li.agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("c1"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("c2"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("c3"))
+      li.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("l_extendedprice") < col("c1"), 0)
+            .when(col("l_extendedprice") < col("c2"), 1)
+            .when(col("l_extendedprice") < col("c3"), 2)
+            .otherwise(3))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_items"),
+          sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+        .orderBy("bucket")
+    }),
+
+    // Skew diagnostics: top-k heavy hitters of a join key with their
+    // share of all rows — partial-agg counts, broadcast total,
+    // TakeOrdered top-k (no global sort).
+    "q92_heavy_hitters" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Skew
+      Skew.heavyHitters(Tables.lineitem(s, d), "l_suppkey", k = 10)
+    }),
+
+    // Token-budget corpus assembly: each source contributes docs in
+    // deterministic hash order until its running token total would pass
+    // the budget — volume-capped mixture building (q81 caps rows; this
+    // caps tokens).
+    "q93_token_budget" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Sampling, TextAnalysis}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.takeTokenBudget(docs, "source", "doc_id", "n_tokens",
+          budget = 1200L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
     // Data-mixture rebalancing: per-source sampling rates toward a
     // uniform target, applied through the deterministic hash coin —
     // counts → rates (broadcast back) → pure filter. The source-
@@ -2049,6 +2102,52 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q91_equidepth_buckets" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS c1,
+        |         quantile_cont(l_extendedprice, 0.5) AS c2,
+        |         quantile_cont(l_extendedprice, 0.75) AS c3
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CASE WHEN l_extendedprice < c1 THEN 0
+        |    WHEN l_extendedprice < c2 THEN 1
+        |    WHEN l_extendedprice < c3 THEN 2 ELSE 3 END AS bucket,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem, c)
+        |SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q92_heavy_hitters" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT COUNT(*) AS total FROM lineitem)
+        |SELECT l_suppkey, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM counts, t
+        |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
+    "q93_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+        |      ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens,
+        |    ((doc_id * 2654435761) % 4294967296) % 1073741824 AS hk
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM cum WHERE c <= 1200
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q89_mixture_rebalance" ->
       """WITH rates AS (

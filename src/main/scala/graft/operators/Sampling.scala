@@ -59,6 +59,25 @@ object Sampling {
   def weightedKeep(df: DataFrame, idCol: String, weightCol: String): DataFrame =
     df.where(hashUnit(col(idCol)) < col(weightCol))
 
+  /** Token-budget corpus assembly: keep rows of each group, in
+    * deterministic hash order, while the group's running token total
+    * stays within `budget` — the "N tokens per source" cut of corpus
+    * building (caps VOLUME where capPerGroup caps row count). Same
+    * shuffle shape as capPerGroup: one exchange by group, a running-sum
+    * window that streams per group. */
+  def takeTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                      tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(multiplicativeBucket(col(idCol), 1 << 30), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokCol)).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Class rebalancing: keep at most `cap` rows per group, chosen by
     * deterministic hash order of the id (multiplicative hash → same rows
     * survive on rerun, and the kept set is a uniform sample of each

@@ -23,4 +23,19 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Skew diagnostics: the top-k heaviest values of a prospective join/
+    * group key with their share of all rows — the measurement that decides
+    * between plain join, AQE skew split, and salting. One partial-agg
+    * shuffle over key counts (vocabulary-sized), a broadcast single-row
+    * total, and a TakeOrdered top-k (no global sort materialization). */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt").cast("double") / col("__total"), 6))
+      .drop("__total")
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -532,6 +532,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == "b")) // empty interval matches nothing
   }
 
+  // ---- skew diagnostics
+
+  test("heavyHitters ranks keys by count with exact shares") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val top = Skew.heavyHitters(df, "k", 2)
+      .as[(String, Long, Double)].collect()
+    assert(top.toSeq == Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+  }
+
+  // ---- token budget
+
+  test("takeTokenBudget caps each group's running token total") {
+    val df = (1L to 50L).map(i => (i, s"g${i % 2}", 10L))
+      .toDF("id", "g", "toks")
+    val kept = Sampling.takeTokenBudget(df, "g", "id", "toks", budget = 95L)
+    val byG = kept.groupBy("g").agg(sum("toks")).as[(String, Long)].collect().toMap
+    // 10-token docs against a 95 budget → exactly 9 docs = 90 tokens per group
+    assert(byG.values.toSet == Set(90L))
+    // deterministic: same survivors on rerun
+    assert(Sampling.takeTokenBudget(df, "g", "id", "toks", 95L)
+      .select("id").as[Long].collect().toSet ==
+      kept.select("id").as[Long].collect().toSet)
+  }
+
   // ---- decontamination
 
   test("contaminatedIds flags n-gram overlap with the test set only") {
