@@ -248,11 +248,16 @@ object Dedup {
     * pure bandwidth optimization when needed. */
   def contaminatedIds(corpus: DataFrame, testDocs: DataFrame,
                       idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    // materialize tokens BEFORE the shingle HOF: an inline tokens(...)
+    // gets collapsed into the transform lambda and re-tokenizes per
+    // shingle position (the q29 trap — see PLANS.md)
     val testGrams = testDocs
-      .select(explode(shinglesFromTokens(tokens(col(textCol)), n)).as("g"))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .distinct()
     corpus
-      .select(col(idCol), explode(shinglesFromTokens(tokens(col(textCol)), n)).as("g"))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .join(broadcast(testGrams), Seq("g"))
       .select(col(idCol)).distinct()
   }
