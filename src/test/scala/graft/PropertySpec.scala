@@ -135,4 +135,62 @@ class PropertySpec extends SparkSpec {
       assert(!r.getDouble(0).isNaN && r.getDouble(0) == r.getDouble(1))
     }
   }
+
+  test("repStats invariants hold on hostile text") {
+    import graft.plans.StringExpressions.repStats
+    import org.apache.spark.unsafe.types.UTF8String
+    (corpus(400) :+ " " :+ "" :+ "a" :+ "\t\n" :+ "a a a a a").foreach { s0 =>
+      val s = if (s0 == null) "" else s0
+      val Array(nTok, nDist, maxTok, maxBi) = repStats(UTF8String.fromString(s))
+      assert(nDist <= nTok, s"distinct > total on ${s.take(40)}")
+      assert(maxTok <= nTok && (nTok == 0 || maxTok >= 1))
+      assert(maxBi <= math.max(nTok - 1, 0))
+      assert((nTok == 0) == (nDist == 0))
+      // distinct tokens × max count bounds total tokens
+      assert(nDist * maxTok >= nTok)
+    }
+  }
+
+  test("scd2 versions partition each key's timeline without overlap") {
+    val gen = Gen.listOfN(120, for {
+      k <- Gen.chooseNum(1L, 8L)
+      t <- Gen.chooseNum(1L, 40L)
+      a <- Gen.oneOf("p", "q", "r", null)
+    } yield (k, t, a))
+    // one snapshot per (key, ts): scd2's order within equal timestamps is
+    // undefined, like any snapshot feed
+    val snaps = gen.sample.getOrElse(Nil)
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val df = snaps.toDF("k", "t", "attr")
+    val hist = operators.Merge.scd2(df, "k", "t", Seq("attr"))
+      .select("k", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    hist.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // exactly one open (current) version per key, and it is the last
+      assert(sorted.count(_._4) == 1 && sorted.last._4)
+      // contiguous, non-overlapping: each valid_to equals the next from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2))
+        case _ =>
+      }
+    }
+  }
+
+  test("intervalOverlapJoin equals nested-loop on random intervals") {
+    val gen = Gen.listOfN(60, for {
+      lo <- Gen.chooseNum(0, 200)
+      len <- Gen.chooseNum(0, 30)
+    } yield (lo.toDouble, (lo + len).toDouble))
+    val as = gen.sample.getOrElse(Nil).zipWithIndex
+      .map { case ((l, h), i) => (s"a$i", l, h) }.toDF("an", "alo", "ahi")
+    val bs = gen.sample.getOrElse(Nil).zipWithIndex
+      .map { case ((l, h), i) => (s"b$i", l, h) }.toDF("bn", "blo", "bhi")
+    val got = operators.RangeJoin
+      .intervalOverlapJoin(as, "alo", "ahi", bs, "blo", "bhi", step = 16.0)
+      .select("an", "bn").as[(String, String)].collect().sorted.toSeq
+    val want = as.join(bs, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("an", "bn").as[(String, String)].collect().sorted.toSeq
+    assert(got == want)
+  }
 }
