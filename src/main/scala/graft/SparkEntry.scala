@@ -934,6 +934,56 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Near-dup dedup END TO END: pairs (q29 machinery) → connected
+    // components (q76) → drop non-canonical members — the actual dedup
+    // DECISION, keeping the min-id doc of every near-dup cluster.
+    "q94_neardup_dedup" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val m1 = base.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+      val corpus = base.unionByName(m1)
+      val pairs = Dedup.jaccardPairsPrefixFilter(corpus, "doc_id", "text", 3, 0.5)
+      Dedup.dropNearDups(corpus, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+    }),
+
+    // Corpus assembly v2 — the release pipeline over the round-3 ops:
+    // decontaminate (drop docs leaking test 8-grams) → quality-weighted
+    // resample (hash coin) → per-source token budget → shard stats.
+    // Each stage is oracle-gated alone (q90, q83, q93); this pins the
+    // composition.
+    "q95_corpus_assembly" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Dedup, Sampling, TextAnalysis}
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val test = docs.where(col("doc_id") % 97 === 0)
+      val snippet = test.where(col("doc_id") === 0)
+        .select(concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 1, 12)).as("leak"))
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(snippet))
+        .withColumn("text",
+          when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" "), col("leak")))
+            .otherwise(col("text")))
+        .drop("leak")
+      val bad = Dedup.contaminatedIds(corpus, test, "doc_id", "text", n = 8)
+      val clean = corpus.join(bad, Seq("doc_id"), "left_anti")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val sampled = Sampling.weightedKeep(clean, "doc_id", "quality")
+      Sampling.takeTokenBudget(sampled, "source", "doc_id", "n_tokens",
+          budget = 900L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
     // Equi-depth (quantile) bucketing: exact percentile cutpoints from
     // one aggregation, broadcast back as a single row, assignment as a
     // pure projection — the scale pattern for NTILE without a global
@@ -2102,6 +2152,101 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q94_neardup_dedup" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' extra suffix token'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM all_docs) t0),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+        |losers AS (SELECT id FROM comp WHERE id <> component)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM all_docs WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    "q95_corpus_assembly" ->
+      """WITH snippet AS (
+        |  SELECT array_to_string(
+        |    (string_split_regex(TRIM(text), '\s+'))[1:12], ' ') AS leak
+        |  FROM documents WHERE doc_id = 0),
+        |corpus AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 31 = 0
+        |      THEN text || ' ' || (SELECT leak FROM snippet) ELSE text
+        |    END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |tkc AS (
+        |  SELECT doc_id,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM corpus),
+        |shc AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                          FOR i IN range(1, greatest(len(toks)-7, 0)+1)])) AS g
+        |  FROM tkc),
+        |tkt AS (
+        |  SELECT string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |sht AS (
+        |  SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                          FOR i IN range(1, greatest(len(toks)-7, 0)+1)])) AS g
+        |  FROM tkt),
+        |bad AS (SELECT DISTINCT c.doc_id FROM shc c JOIN sht t USING (g)),
+        |clean AS (
+        |  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |feats AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(TRIM(text)), '\s+') AS ltoks,
+        |    CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+        |      ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens,
+        |    CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(len(text), 1) AS punct_ratio
+        |  FROM clean),
+        |scored AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ROUND((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+        |      + (1.0 - least(punct_ratio*5.0, 1.0))
+        |      + least(CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
+        |              / len(ltoks) * 4.0, 1.0)) / 3.0, 4) AS quality
+        |  FROM feats),
+        |sampled AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ((doc_id * 2654435761) % 4294967296) % 1073741824 AS hk
+        |  FROM scored
+        |  WHERE CAST(((doc_id * 2654435761) % 4294967296) % 1048576 AS DOUBLE) / 1048576 < quality),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM sampled)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM cum WHERE c <= 900
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q91_equidepth_buckets" ->
       """WITH c AS (
