@@ -934,6 +934,65 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // AV container sniff: WAV RIFF-chunk walk (rate/channels/duration)
+    // and MP4 box walk (mvhd timescale→duration) — REAL byte parsing of
+    // the pre-decode filter metadata; payloads are hand-built headers.
+    "q96_av_meta_sniff" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      import graft.operators.Multimodal
+      val rows = Seq(
+        // 44.1kHz stereo 16-bit WAV with 88200 data bytes → 500 ms
+        (1L, "52494646240000005741564" +
+          "5666D74201000000001000200" +
+          "44AC000010B10200040010006461746198580100"),
+        // MP4: ftyp(isom) + moov/mvhd v0, timescale 600, duration 1800
+        (2L, "000000106674797069736F6D00000200" +
+          "000000286D6F6F76000000206D766864" +
+          "000000000000000000000000000002580000070800010000"),
+        (3L, "DEADBEEF000000000000000000000000"))
+        .toDF("media_id", "hex")
+        .select(col("media_id"), lit("av").as("kind"),
+          unhex(col("hex")).as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.avMeta(rows).toDF().orderBy("media_id")
+    }),
+
+    // Embedding int8 quantization (the vector-index compression step):
+    // per-vector symmetric scale = 127/max|x|, integer codes, exact
+    // reconstruction-error stats — all plain IEEE ops on float→double
+    // casts so an independent engine reproduces every code bit-for-bit.
+    "q97_int8_quantize" -> ((s0, d) => {
+      val s = prep(s0)
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      emb
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+        .where(col("max_abs") > 0)
+        .withColumn("scale", lit(127.0) / col("max_abs"))
+        .withColumn("sum_q", aggregate(col("v"), lit(0L),
+          (a, x) => a + round(x * col("scale")).cast("long")))
+        .withColumn("max_err", array_max(transform(col("v"),
+          x => abs(x - round(x * col("scale")) / col("scale")))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("sum_q").as("total_q"),
+          round(max("max_err"), 6).as("max_abs_err"))
+        .orderBy("label")
+    }),
+
+    // Data-quality census: per-column row/null/distinct counts in one
+    // aggregation, unpivoted to a row per column — the profiling pass
+    // run before trusting any new source.
+    "q98_profile_orders" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Validation
+      Validation.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"))
+        .orderBy("col_name")
+    }),
+
     // Near-dup dedup END TO END: pairs (q29 machinery) → connected
     // components (q76) → drop non-canonical members — the actual dedup
     // DECISION, keeping the min-id doc of every near-dup cluster.
@@ -2152,6 +2211,52 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q96_av_meta_sniff" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 'wav', CAST(44100 AS INTEGER), CAST(2 AS INTEGER), CAST(500 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 'mp4', CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(3000 AS BIGINT)),
+        | (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1 AS BIGINT))
+        |) AS t(media_id, container, sample_rate, channels, duration_ms)
+        |ORDER BY media_id""".stripMargin,
+
+    "q97_int8_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, label, v,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM s
+        |  WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |q AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(v, x -> CAST(ROUND(x * scale) AS BIGINT))) AS BIGINT) AS sum_q,
+        |    list_max(list_transform(v, x -> abs(x - ROUND(x * scale) / scale))) AS max_err
+        |  FROM sc)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(sum_q) AS BIGINT) AS total_q,
+        |  ROUND(MAX(max_err), 6) AS max_abs_err
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
+
+    "q98_profile_orders" ->
+      """SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(o_orderkey) AS n_null,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |  COUNT(DISTINCT o_custkey) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |  COUNT(DISTINCT o_totalprice) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |  COUNT(DISTINCT o_orderdate) FROM orders
+        |ORDER BY col_name""".stripMargin,
 
     "q94_neardup_dedup" ->
       """WITH RECURSIVE all_docs AS (

@@ -131,6 +131,79 @@ object Multimodal {
     })
   }
 
+  final case class MediaAv(media_id: Long, container: String,
+                           sample_rate: Int, channels: Int, duration_ms: Long)
+
+  /** Audio/video container sniff — REAL byte parsing of the metadata a
+    * media pipeline filters on before decoding anything: WAV (RIFF chunk
+    * walk → sample rate/channels/duration from fmt+data) and MP4 (box
+    * walk → mvhd timescale+duration, v0 and v1). Junk/truncated/null →
+    * (null, -1, -1, -1), never a throw. */
+  def sniffAvMeta(p: Array[Byte]): (String, Int, Int, Long) = {
+    def u8(i: Int) = p(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def be32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int) = new String(p, i, 4, "US-ASCII")
+    val none = (null: String, -1, -1, -1L)
+    try {
+      if (p == null || p.length < 16) none
+      else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+        // chunk walk: fmt_ carries rate/channels/byteRate, data carries size
+        var i = 12
+        var rate = -1; var ch = -1; var byteRate = -1L; var dataSize = -1L
+        while (i + 8 <= p.length && (rate < 0 || dataSize < 0)) {
+          val id = tag(i); val sz = le32(i + 4)
+          if (id == "fmt " && i + 24 <= p.length) {
+            ch = le16(i + 10); rate = le32(i + 12).toInt; byteRate = le32(i + 16)
+          } else if (id == "data") dataSize = sz
+          i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        }
+        if (rate <= 0 || byteRate <= 0) none
+        else ("wav", rate, ch,
+          if (dataSize < 0) -1L else dataSize * 1000L / byteRate)
+      } else if (be32(0) >= 8 && tag(4) == "ftyp") {
+        // top-level box walk to moov, then moov's children to mvhd
+        var i = 0
+        var dur = -1L
+        while (i + 8 <= p.length && dur < 0) {
+          val sz = be32(i)
+          if (sz < 8) return none
+          if (tag(i + 4) == "moov") {
+            var j = i + 8
+            val end = math.min(i + sz, p.length.toLong).toInt
+            while (j + 8 <= end && dur < 0) {
+              val csz = be32(j)
+              if (csz < 8) return none
+              if (tag(j + 4) == "mvhd" && j + 32 <= p.length) {
+                val v = u8(j + 8)
+                val (ts, d) =
+                  if (v == 1 && j + 40 <= p.length) (be32(j + 28), be64(j + 32))
+                  else (be32(j + 20), be32(j + 24))
+                if (ts > 0) dur = d * 1000L / ts
+              }
+              j += csz.toInt
+            }
+          }
+          i += sz.toInt
+        }
+        if (dur < 0) none else ("mp4", -1, -1, dur)
+      } else none
+    } catch { case _: IndexOutOfBoundsException => none }
+  }
+
+  /** Batch AV-metadata sniff (same mapPartitions shape as [[imageDims]]). */
+  def avMeta(media: Dataset[MediaRow]): Dataset[MediaAv] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (c, sr, ch, d) = sniffAvMeta(r.payload)
+      MediaAv(r.media_id, c, sr, ch, d)
+    })
+  }
+
   /** One sampled frame of a media payload. */
   final case class MediaFrame(media_id: Long, frame_idx: Int, ts_ms: Long,
                               frame: Array[Byte])

@@ -45,4 +45,24 @@ object Validation {
     df.observe(name, count(lit(1)).as("rows_seen"),
       sum(when(anyFail, 1L).otherwise(0L)).as("rows_invalid"))
   }
+
+  /** Data-quality census: per-column row/null/distinct counts in ONE
+    * aggregation (exact distincts expand the scan n_cols ways — the
+    * standard profiling trade; swap in approx_count_distinct when a
+    * 100 TB census only needs estimates). The single result row unpivots
+    * into one row per column, all-BIGINT so the profile is engine- and
+    * type-agnostic. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")))
+    val full = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__nn_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct")))
+    full.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
 }

@@ -439,6 +439,40 @@ class OperatorsSpec extends SparkSpec {
     assert(sniffImageDims(null) == (null, -1, -1))
   }
 
+  test("sniffAvMeta parses WAV and MP4 headers, never throws on junk") {
+    import Multimodal.sniffAvMeta
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 8 kHz mono 8-bit WAV, 8000 data bytes → 1000 ms
+    val wav = hex("52494646" + "24000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "401F0000" +
+      "0100" + "0800" + "64617461" + "401F0000")
+    assert(sniffAvMeta(wav) == (("wav", 8000, 1, 1000L)))
+    // mvhd VERSION 1 (64-bit times): timescale 1000, duration 2500
+    val mp4v1 = hex("00000010" + "66747970" + "69736F6D" + "00000200" +
+      "00000030" + "6D6F6F76" +
+      "00000028" + "6D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000" +
+      "000003E8" + "00000000000009C4")
+    val (c2, _, _, d2) = sniffAvMeta(mp4v1)
+    assert(c2 == "mp4" && d2 == 2500L)
+    assert(sniffAvMeta(hex("DEADBEEF00000000000000000000000000")) ==
+      ((null, -1, -1, -1L)))
+    assert(sniffAvMeta(Array.emptyByteArray) == ((null, -1, -1, -1L)))
+    assert(sniffAvMeta(null) == ((null, -1, -1, -1L)))
+  }
+
+  test("profile census counts rows, nulls, distincts per column") {
+    val df = Seq(
+      (Some(1), "a"), (Some(1), "b"), (None, "b"), (Some(3), null))
+      .toDF("num", "str")
+    val p = Validation.profile(df, Seq("num", "str"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, b, c, d) => k -> ((b, c, d)) }.toMap
+    assert(p("num") == ((4L, 1L, 2L)))
+    assert(p("str") == ((4L, 1L, 2L)))
+  }
+
   test("extractFeatures is deterministic with declared schema") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val feats = Multimodal.extractFeatures(Multimodal.documentsAsMedia(docs))
