@@ -934,6 +934,40 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // CDC changelog compaction: latest event per user wins, 'error' as
+    // the tombstone — the batch form of streamingUpsert's per-batch
+    // MERGE. One shuffle by key.
+    "q99_changelog_compact" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Merge
+      Merge.compactChangelog(Tables.events(s, d), Seq("user_id"),
+          Seq("ts", "event_id"), col("event_type") === "error")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum2(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // Multi-EXISTS shape (TPC-H Q21 family): suppliers who are the ONLY
+    // supplier with a returned line on an order — a semi-join feeding an
+    // anti-join, both on the same (order, supplier) key set.
+    "q100_solo_return_suppliers" -> ((s0, d) => {
+      val s = prep(s0)
+      val ret = Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val bad = ret.join(
+          ret.select(col("l_orderkey"), col("l_suppkey").as("other")),
+          Seq("l_orderkey"))
+        .where(col("l_suppkey") =!= col("other"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      ret.join(bad, Seq("l_orderkey", "l_suppkey"), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_solo_orders"))
+        .orderBy(col("n_solo_orders").desc, col("l_suppkey"))
+        .limit(10)
+    }),
+
     // AV container sniff: WAV RIFF-chunk walk (rate/channels/duration)
     // and MP4 box walk (mvhd timescale→duration) — REAL byte parsing of
     // the pre-decode filter metadata; payloads are hand-built headers.
@@ -2211,6 +2245,30 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q99_changelog_compact" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q100_solo_return_suppliers" ->
+      """WITH ret AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |solo AS (
+        |  SELECT * FROM ret a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM ret b
+        |    WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey))
+        |SELECT l_suppkey, COUNT(*) AS n_solo_orders
+        |FROM solo GROUP BY l_suppkey
+        |ORDER BY n_solo_orders DESC, l_suppkey LIMIT 10""".stripMargin,
 
     "q96_av_meta_sniff" ->
       """SELECT * FROM (VALUES

@@ -63,6 +63,23 @@ object Merge {
     (synced, deleted)
   }
 
+  /** CDC changelog compaction: reduce an append-only change stream to
+    * current state — latest row per key in (ordCols) order wins, rows
+    * matching `deletePred` are tombstones that erase their key. The
+    * batch form of what `streamingUpsert` does per micro-batch. One
+    * shuffle by key; the window streams each key's rows without
+    * buffering beyond the row counter. */
+  def compactChangelog(log: DataFrame, keys: Seq[String],
+                       ordCols: Seq[String],
+                       deletePred: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ordCols.map(c => col(c).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .where(!deletePred)
+  }
+
   /** SCD type-2 history build from a stream of keyed snapshots: collapse
     * consecutive snapshots whose tracked attributes are unchanged, then
     * stamp each surviving version with its validity interval

@@ -566,6 +566,19 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == "b")) // empty interval matches nothing
   }
 
+  // ---- CDC compaction
+
+  test("compactChangelog keeps latest per key, honors tombstones") {
+    val log = Seq(
+      (7L, 1L, "I", 10.0), (7L, 2L, "U", 20.0),  // latest = U 20.0
+      (8L, 1L, "I", 5.0), (8L, 3L, "D", 0.0),    // deleted
+      (9L, 2L, "I", 7.0)).toDF("k", "seq", "op", "v")
+    val state = Merge.compactChangelog(log, Seq("k"), Seq("seq"),
+        col("op") === "D")
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(state == Map(7L -> 20.0, 9L -> 7.0))
+  }
+
   // ---- skew diagnostics
 
   test("heavyHitters ranks keys by count with exact shares") {
