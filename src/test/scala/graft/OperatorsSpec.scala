@@ -566,6 +566,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == "b")) // empty interval matches nothing
   }
 
+  // ---- exact quantiles
+
+  test("exactQuantiles equals the percentile aggregate bit-for-bit") {
+    val df = (1 to 101).map(i => i * 1.5 + 0.25).toDF("v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.0, 0.25, 0.5, 0.9, 1.0))
+    val want = df.agg(percentile(col("v"),
+        array(lit(0.0), lit(0.25), lit(0.5), lit(0.9), lit(1.0))))
+      .head().getSeq[Double](0)
+    assert(got == want)
+    // empty input → NaNs, no throw
+    assert(Quantiles.exactQuantiles(df.where(col("v") < 0), "v", Seq(0.5))
+      .forall(_.isNaN))
+  }
+
   // ---- CDC compaction
 
   test("compactChangelog keeps latest per key, honors tombstones") {
