@@ -979,7 +979,7 @@ object SparkEntry {
         // 44.1kHz stereo 16-bit WAV with 88200 data bytes → 500 ms
         (1L, "52494646240000005741564" +
           "5666D74201000000001000200" +
-          "44AC000010B10200040010006461746198580100"),
+          "44AC000010B10200040010006461746188580100"),
         // MP4: ftyp(isom) + moov/mvhd v0, timescale 600, duration 1800
         (2L, "000000106674797069736F6D00000200" +
           "000000286D6F6F76000000206D766864" +
@@ -2616,7 +2616,9 @@ object SparkEntry {
       """WITH feats AS (
         |  SELECT doc_id, source, text,
         |    string_split_regex(lower(TRIM(text)), '\s+') AS ltoks,
-        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+        |    CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+        |      ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT)
+        |    END AS n_tokens,
         |    CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
         |      / greatest(len(text), 1) AS punct_ratio
         |  FROM documents),
@@ -2682,13 +2684,17 @@ object SparkEntry {
         |bic AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
         |bstat AS (SELECT doc_id, MAX(c) AS maxbi FROM bic GROUP BY doc_id),
         |per AS (
-        |  SELECT t.doc_id, d.source,
-        |    ROUND(CAST(nd AS DOUBLE) / n, 6) AS ttr,
-        |    ROUND(CAST(maxtok AS DOUBLE) / n, 6) AS top_tok,
-        |    CASE WHEN n <= 1 THEN 0.0
+        |  -- anchor on tk (every doc), not tstat: a zero-token doc must
+        |  -- appear with all-zero stats, as the Spark kernel emits
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN t.n IS NULL THEN 0.0
+        |      ELSE ROUND(CAST(nd AS DOUBLE) / n, 6) END AS ttr,
+        |    CASE WHEN t.n IS NULL THEN 0.0
+        |      ELSE ROUND(CAST(maxtok AS DOUBLE) / n, 6) END AS top_tok,
+        |    CASE WHEN t.n IS NULL OR n <= 1 THEN 0.0
         |      ELSE ROUND(CAST(COALESCE(maxbi, 0) AS DOUBLE) / greatest(n - 1, 1), 6)
         |    END AS top_bigram
-        |  FROM tstat t JOIN tk d USING (doc_id) LEFT JOIN bstat USING (doc_id))
+        |  FROM tk d LEFT JOIN tstat t USING (doc_id) LEFT JOIN bstat USING (doc_id))
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(ROUND(ttr * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS avg_ttr,
         |  ROUND(MAX(top_tok), 6) AS max_top_tok,

@@ -20,7 +20,8 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = only match {
-      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(p => n == p || n.startsWith(p + "_")) }
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

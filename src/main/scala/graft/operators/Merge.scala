@@ -77,7 +77,8 @@ object Merge {
       .orderBy(ordCols.map(c => col(c).desc): _*)
     log.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-      .where(!deletePred)
+      // a NULL predicate is NOT a tombstone match — keep the row
+      .where(!coalesce(deletePred, lit(false)))
   }
 
   /** SCD type-2 history build from a stream of keyed snapshots: collapse

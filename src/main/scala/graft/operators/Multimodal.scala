@@ -160,6 +160,8 @@ object Multimodal {
           if (id == "fmt " && i + 24 <= p.length) {
             ch = le16(i + 10); rate = le32(i + 12).toInt; byteRate = le32(i + 16)
           } else if (id == "data") dataSize = sz
+          // hostile size fields must advance the walk or we loop forever
+          if (sz > Int.MaxValue - 16) return none
           i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
         }
         if (rate <= 0 || byteRate <= 0) none
@@ -171,13 +173,15 @@ object Multimodal {
         var dur = -1L
         while (i + 8 <= p.length && dur < 0) {
           val sz = be32(i)
-          if (sz < 8) return none
+          // a size that under-runs the header or overflows Int would stall
+          // or cycle the walk — bail, never loop
+          if (sz < 8 || sz > Int.MaxValue - 8) return none
           if (tag(i + 4) == "moov") {
             var j = i + 8
             val end = math.min(i + sz, p.length.toLong).toInt
             while (j + 8 <= end && dur < 0) {
               val csz = be32(j)
-              if (csz < 8) return none
+              if (csz < 8 || csz > Int.MaxValue - 8) return none
               if (tag(j + 4) == "mvhd" && j + 32 <= p.length) {
                 val v = u8(j + 8)
                 val (ts, d) =

@@ -30,8 +30,11 @@ object Skew {
     * shuffle over key counts (vocabulary-sized), a broadcast single-row
     * total, and a TakeOrdered top-k (no global sort materialization). */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    // one scan: the vocabulary-sized counts checkpoint (tiny), and the
+    // total derives from them — never a second pass over the fact table
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("__total"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum("cnt").as("__total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share", round(col("cnt").cast("double") / col("__total"), 6))
       .drop("__total")

@@ -188,11 +188,15 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
         explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
           .as("token"))
-    // two consumers (dfreq + the scored join) — persist so the corpus
-    // tokenizes once; (doc, token, tf) is far smaller than raw tokens
+    // two consumers (dfreq + the scored join) — checkpoint so the corpus
+    // tokenizes once; (doc, token, tf) is far smaller than raw tokens.
+    // localCheckpoint, not persist: a persist here would pin cached
+    // blocks in the CacheManager for the session's lifetime (no sound
+    // place to unpersist a lazily-returned result); checkpoint blocks
+    // free with the RDD reference.
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "token")
       .withColumn("score", round(col("tf").cast("double") / col("df"), 6))

@@ -460,6 +460,13 @@ class OperatorsSpec extends SparkSpec {
       ((null, -1, -1, -1L)))
     assert(sniffAvMeta(Array.emptyByteArray) == ((null, -1, -1, -1L)))
     assert(sniffAvMeta(null) == ((null, -1, -1, -1L)))
+    // hostile size fields must terminate, not spin: WAV chunk size
+    // 0xFFFFFFF8 makes the naive walk's step zero; an MP4 box size with
+    // the top bit set truncates to a negative Int step
+    assert(sniffAvMeta(hex("5249464624000000574156454A554E4BF8FFFFFF0000")) ==
+      ((null, -1, -1, -1L)))
+    assert(sniffAvMeta(hex("00000010667479706973" +
+      "6F6D00000200F0FFFFFF6D6F6F7600000000")) == ((null, -1, -1, -1L)))
   }
 
   test("profile census counts rows, nulls, distincts per column") {
