@@ -934,6 +934,37 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Correlated-scalar-subquery shape (TPC-H Q17): lines below 20% of
+    // their part's average quantity. The subquery decorrelates to a
+    // per-part aggregate joined back; parts are the broadcast side.
+    "q101_small_quantity_revenue" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+      val avgQ = li.groupBy("l_partkey")
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(broadcast(avgQ), "l_partkey")
+        .where(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(count(lit(1)).as("n_lines"),
+          sum2(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // Min-per-group join shape (TPC-H Q2): each part's cheapest supplier
+    // — the per-part minimum joins back as an equi-key, ties broken by
+    // supplier key in the output ordering.
+    "q102_cheapest_supplier" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val minP = li.groupBy("l_partkey")
+        .agg(min("l_extendedprice").as("min_price"))
+      li.join(broadcast(minP), Seq("l_partkey"))
+        .where(col("l_extendedprice") === col("min_price"))
+        .groupBy("l_partkey")
+        .agg(min("l_suppkey").as("best_supp"),
+          min("l_extendedprice").as("best_price"))
+        .orderBy(col("l_partkey")).limit(50)
+    }),
+
     // CDC changelog compaction: latest event per user wins, 'error' as
     // the tombstone — the batch form of streamingUpsert's per-batch
     // MERGE. One shuffle by key.
@@ -2245,6 +2276,25 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q101_small_quantity_revenue" ->
+      """WITH a AS (
+        |  SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS total_price
+        |FROM lineitem JOIN a USING (l_partkey)
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+
+    "q102_cheapest_supplier" ->
+      """WITH m AS (
+        |  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, MIN(l_suppkey) AS best_supp,
+        |  MIN(l_extendedprice) AS best_price
+        |FROM lineitem JOIN m USING (l_partkey)
+        |WHERE l_extendedprice = min_price
+        |GROUP BY l_partkey ORDER BY l_partkey LIMIT 50""".stripMargin,
 
     "q99_changelog_compact" ->
       """WITH r AS (
