@@ -934,6 +934,49 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Sequential funnel (view → click → purchase within 1h of the first
+    // view): each step is a per-user scalar aggregate joined to the
+    // next step's events — user-count-sized tables, no event×event join.
+    "q103_event_funnel" -> ((s0, d) => {
+      val s = prep(s0)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val horizon = 3600L * 1000000
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(broadcast(v), "user_id")
+        .where(col("us") > col("t1") && col("us") <= col("t1") + horizon)
+        .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1m"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id")
+        .where(col("us") > col("t2") && col("us") <= col("t1m") + horizon)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // Weekly cohort retention: cohort = the user's first active week;
+    // each (user, active week) pair lands in one (cohort, offset) cell.
+    // Two user-keyed aggregates and one broadcast join — no self-join of
+    // the event table.
+    "q104_cohort_retention" -> ((s0, d) => {
+      val s = prep(s0)
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_timestamp(date_trunc("week", col("ts"))) / 604800L)
+            .cast("long").as("week"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+      wk.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Correlated-scalar-subquery shape (TPC-H Q17): lines below 20% of
     // their part's average quantity. The subquery decorrelates to a
     // per-part aggregate joined back; parts are the broadcast side.
@@ -2276,6 +2319,39 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q103_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(us) AS t2, MIN(t1) AS t1m
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(us) AS t3
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 AND us <= t1m + 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin,
+
+    "q104_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(date_trunc('week', ts)) / 604800) AS BIGINT) AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM wk JOIN cohort USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q101_small_quantity_revenue" ->
       """WITH a AS (
