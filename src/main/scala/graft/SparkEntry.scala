@@ -934,6 +934,20 @@ object SparkEntry {
         .orderBy("po_no")
     }),
 
+    // Per-GROUP exact quantiles without the single-reducer aggregate:
+    // per-group sort window → boundary rows only → one interpolating
+    // aggregation (removes the q57-style buffer-a-whole-group reducer;
+    // a dominant group no longer owns the job).
+    "q105_group_quantiles" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Quantiles
+      Quantiles.exactGroupQuantiles(
+          Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice",
+          Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+        .orderBy("l_returnflag")
+    }),
+
     // Sequential funnel (view → click → purchase within 1h of the first
     // view): each step is a per-user scalar aggregate joined to the
     // next step's events — user-count-sized tables, no event×event join.
@@ -2319,6 +2333,14 @@ object SparkEntry {
         | ('B1', CAST(30.0 AS DOUBLE), 'Sheet2', 'extra')
         |) AS t(code, amount, source_sheet, note)
         |ORDER BY code""".stripMargin,
+
+    "q105_group_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q103_event_funnel" ->
       """WITH e AS (

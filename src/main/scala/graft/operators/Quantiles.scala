@@ -39,7 +39,54 @@ object Quantiles {
       val r = p * (n - 1)
       val lo = picked(math.floor(r).toLong)
       val hi = picked(math.ceil(r).toLong)
-      lo + (hi - lo) * (r - math.floor(r))
+      // quantile_cont's exact operation order: lo·(crn−r) + hi·(r−frn),
+      // NOT lo + (hi−lo)·frac — the forms differ by an ulp on some
+      // inputs and the oracle compare is bit-exact
+      if (math.floor(r) == math.ceil(r)) lo
+      else lo * (math.ceil(r) - r) + hi * (r - math.floor(r))
     }
+  }
+
+  /** Exact interpolated quantiles PER GROUP, fully distributed: a
+    * per-group sort window stamps each value's rank and group size, a
+    * filter keeps only the 2×|ps| boundary rows per group, and one
+    * aggregation interpolates. No single-reducer value buffer at any
+    * group size — the per-group `percentile` aggregate buffers a whole
+    * group in its final reducer, which is exactly the q91 pathology when
+    * one group dominates. Returns one row per group with one column per
+    * requested fraction, named by `names`. */
+  def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                          ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.size == names.size,
+      s"each fraction needs a name: $ps / $names")
+    require(ps.forall(p => p >= 0 && p <= 1), s"fractions must be in [0,1]: $ps")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val base = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(wOrd).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def rank(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    val isBoundary = ps.map { p =>
+      col("__rn") === floor(rank(p)).cast("long") ||
+        col("__rn") === ceil(rank(p)).cast("long")
+    }.reduce(_ || _)
+    val aggs = ps.zip(names).flatMap { case (p, nm) => Seq(
+      max(when(col("__rn") === floor(rank(p)).cast("long"), col("__v"))).as(s"__lo_$nm"),
+      max(when(col("__rn") === ceil(rank(p)).cast("long"), col("__v"))).as(s"__hi_$nm"))
+    } :+ first(col("__n")).as("__gn")
+    val g = base.where(isBoundary)
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zip(names).map { case (p, nm) =>
+      val rr = lit(p) * (col("__gn") - 1).cast("double")
+      // quantile_cont's operation order (see exactQuantiles)
+      when(floor(rr) === ceil(rr), col(s"__lo_$nm"))
+        .otherwise(col(s"__lo_$nm") * (ceil(rr) - rr) +
+          col(s"__hi_$nm") * (rr - floor(rr)))
+        .as(nm)
+    }
+    g.select(col(groupCol) +: outs: _*)
   }
 }

@@ -587,6 +587,23 @@ class OperatorsSpec extends SparkSpec {
       .forall(_.isNaN))
   }
 
+  test("exactGroupQuantiles matches the per-group percentile aggregate") {
+    val df = (for (g <- Seq("a", "b"); i <- 1 to (if (g == "a") 37 else 8))
+      yield (g, i * 2.5 + (if (g == "b") 100 else 0))).toDF("g", "v")
+    val got = Quantiles.exactGroupQuantiles(df, "g", "v",
+        Seq(0.25, 0.5, 0.9), Seq("p25", "p50", "p90"))
+      .orderBy("g").as[(String, Double, Double, Double)].collect()
+    val want = df.groupBy("g").agg(
+        percentile(col("v"), lit(0.25)), percentile(col("v"), lit(0.5)),
+        percentile(col("v"), lit(0.9)))
+      .orderBy("g").as[(String, Double, Double, Double)].collect()
+    got.zip(want).foreach { case ((g1, a1, b1, c1), (g2, a2, b2, c2)) =>
+      assert(g1 == g2)
+      assert(math.abs(a1 - a2) < 1e-9 && math.abs(b1 - b2) < 1e-9 &&
+        math.abs(c1 - c2) < 1e-9, s"$g1: ($a1,$b1,$c1) vs ($a2,$b2,$c2)")
+    }
+  }
+
   // ---- CDC compaction
 
   test("compactChangelog keeps latest per key, honors tombstones") {
