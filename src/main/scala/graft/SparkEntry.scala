@@ -475,14 +475,17 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    // ANN via multi-table hyperplane LSH (no SQL oracle — hash-bucketed;
-    // deterministic seeded hyperplanes make reruns identical).
+    // ANN via multi-table hyperplane LSH, portable-plane variant: the
+    // md5-parity Rademacher planes (and so the whole multiprobe candidate
+    // set) are recomputable in plain SQL — the DuckDB oracle rebuilds the
+    // buckets and re-ranks, making the ANN output hash-checkable, not just
+    // recall-floor-gated.
     "q31_ann_lsh_topk" -> ((s0, d) => {
       val s = prep(s0)
       import graft.operators.Similarity
       val emb = Tables.embeddings(s, d)
-      Similarity.annTopK(emb, emb.where(col("vec_id") < 20),
-          "vec_id", "embedding", 5, nTables = 8, nPlanes = 8)
+      Similarity.annTopKPortable(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", 5, dim = 64, nTables = 8, nPlanes = 8)
         .select(col("query_id"), col("rnk"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rnk")
@@ -509,7 +512,10 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     }),
 
-    // SimHash near-dup pairs (no SQL oracle — hash-derived fingerprints).
+    // SimHash near-dup pairs, portable-hash variant: md5-derived token
+    // hashes make every fingerprint bit SQL-recomputable, and the 4x16-bit
+    // banding is COMPLETE for hamming<=3, so the banded Spark result equals
+    // the oracle's brute-force pair scan exactly.
     "q34_simhash_pairs" -> ((s0, d) => {
       val s = prep(s0)
       import graft.operators.Dedup
@@ -518,7 +524,7 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 300000)
         .withColumn("text", concat(col("text"), lit(" tail")))
       Dedup.simhashNearDupPairs(base.unionByName(mutants), "doc_id", "text",
-          maxHamming = 3)
+          maxHamming = 3, portable = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -760,13 +766,16 @@ object SparkEntry {
       records.orderBy("payee_code")
     }),
 
-    // IVF ANN (the trained-codebook scale path; deterministic centroids
-    // here). No SQL oracle — candidate set is cluster-derived.
+    // IVF ANN, sampled-codebook variant: the md5-ordered centroid sample,
+    // cosine assignment and probe set are all recomputable in SQL, so the
+    // DuckDB oracle rebuilds the inverted file and re-ranks — the full IVF
+    // output is hash-checkable (ivfTopK's k-means path stays the quality
+    // variant, recall-gated in OperatorsSpec).
     "q53_ivf_topk" -> ((s0, d) => {
       val s = prep(s0)
       import graft.operators.Similarity
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20),
+      Similarity.ivfTopKSampled(emb, emb.where(col("vec_id") < 20),
           "vec_id", "embedding", 5, nCentroids = 16, nProbe = 4)
         .select(col("query_id"), col("rnk"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
@@ -2113,6 +2122,49 @@ object SparkEntry {
         |FROM ranked WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
 
+    // Rebuilds the portable LSH end to end: md5-parity Rademacher planes,
+    // sequential-double bucket signs, multiprobe = Hamming<=1 bucket match
+    // per table, exact cosine re-rank with (cos DESC, corpus_id) ties.
+    "q31_ann_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT t, p,
+        |    list(CASE WHEN strpos('13579bdf',
+        |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 32, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS coef
+        |  FROM (SELECT unnest(range(8)) AS t) ts,
+        |       (SELECT unnest(range(8)) AS p) ps,
+        |       (SELECT unnest(range(64)) AS i) dims
+        |  GROUP BY t, p),
+        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |    CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(v, coef), z -> z[1] * z[2])) >= 0
+        |             THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM vecs CROSS JOIN planes
+        |  GROUP BY vec_id, t),
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |  FROM sigs q JOIN sigs c ON q.t = c.t
+        |    AND bit_count(xor(q.bucket, c.bucket)) <= 1
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    list_sum(list_transform(list_zip(qv.v, cv.v), z -> z[1] * z[2]))
+        |      / (sqrt(list_sum(list_transform(qv.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(cv.v, x -> x * x)))) AS cos
+        |  FROM cands
+        |  JOIN vecs qv ON qv.vec_id = cands.query_id
+        |  JOIN vecs cv ON cv.vec_id = cands.corpus_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, corpus_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, corpus_id, ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "q32_multimodal_features" ->
       """SELECT doc_id AS media_id, 'text/plain' AS kind,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -2128,6 +2180,38 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    // Brute-force recompute of the portable simhash: per-token md5 bit
+    // votes (bit b of the first-8-byte value = nibble bit b%4 of hex char
+    // 16 - b/4), sign fingerprint, all pairs with hamming <= 3 — equal to
+    // Spark's banded result because 4x16 banding is complete at hamming 3.
+    "q34_simhash_pairs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' tail' AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM all_docs),
+        |th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, CAST(16 - b // 4 AS INT), 1)) - 1)
+        |                    >> (b % 4)) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS fp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q35_fingerprint_profile" ->
       """SELECT lang, COUNT(*) AS n_docs,
@@ -3162,6 +3246,57 @@ object SparkEntry {
         |SELECT id_a, id_b, ROUND(cos, 6) AS cos
         |FROM pairs WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Rebuilds the sampled-codebook IVF: centroids = first 16 corpus rows
+    // in (md5(id), id) order, assignment/probing by cosine with
+    // (cos DESC, cid) tie-breaks, exact re-rank within probed clusters.
+    "q53_ivf_topk" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |         v AS cv
+        |  FROM vecs
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cscore AS (
+        |  SELECT vv.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(vv.v, c.cv), z -> z[1] * z[2]))
+        |      / (sqrt(list_sum(list_transform(vv.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM vecs vv CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id AS corpus_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM cscore) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM cscore WHERE vec_id < 20) t
+        |  WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.query_id, a.corpus_id
+        |  FROM probes p JOIN assigned a ON p.cid = a.cid
+        |  WHERE a.corpus_id <> p.query_id),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    list_sum(list_transform(list_zip(qv.v, cv.v), z -> z[1] * z[2]))
+        |      / (sqrt(list_sum(list_transform(qv.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(cv.v, x -> x * x)))) AS cos
+        |  FROM pairs
+        |  JOIN vecs qv ON qv.vec_id = pairs.query_id
+        |  JOIN vecs cv ON cv.vec_id = pairs.corpus_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, corpus_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, corpus_id, ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q52_rm_advice_parser" ->
       """SELECT * FROM (VALUES

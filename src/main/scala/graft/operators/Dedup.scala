@@ -22,6 +22,36 @@ import org.apache.spark.sql.expressions.Window
   * buckets, which matters for incremental dedup at scale. */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Hot-bucket guard for LSH band joins: a degenerate corpus (thousands of
+    * near-identical boilerplate docs) can put k docs under ONE band key and
+    * turn the band self-join into a k² single-task explosion. Bands holding
+    * more than `maxRows` rows are skipped with a logged drop count — their
+    * members are boilerplate-duplicate *clusters*, which the complete
+    * prefix-filter join (bucket sizes bounded by shingle df) or exact
+    * dedup handles without the quadratic task.
+    *
+    * The input is persisted (count pass + join pass read it once each);
+    * the collect is bounded metadata — at most totalRows/maxRows over-cap
+    * keys can exist. `maxRows <= 0` disables the guard. */
+  private def capBands(banded: DataFrame, bandCol: String, maxRows: Int,
+                       who: String): DataFrame = {
+    if (maxRows <= 0) return banded
+    val cached = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = cached.groupBy(col(bandCol)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxRows).collect()
+    if (hot.isEmpty) cached
+    else {
+      val dropped = hot.map(_.getLong(1)).sum
+      log.warn(s"$who: skipping ${hot.length} over-cap band buckets " +
+        s"(> $maxRows rows each, $dropped rows total) — near-identical " +
+        "boilerplate clusters; use exact dedup or the prefix-filter join " +
+        "for complete coverage of those")
+      cached.where(!col(bandCol).isin(hot.map(_.get(0)).toSeq: _*))
+    }
+  }
+
   /** U2: keep exactly one row per key, deterministically (lowest `ord`).
     * The reference's "first wins" (pdf_ocr_rm_to_json.py:437-445) depends on
     * file order; we make the choice explicit with an order column. */
@@ -68,21 +98,24 @@ object Dedup {
     *
     * Scale: the only wide exchange is the band-key self-join; its input is
     * (band_key, id, shingles-digest) — the shingle arrays needed for verify
-    * travel once. For 100 TB, raise `bands`/`k` and bucket the band join. */
+    * travel once. For 100 TB, raise `bands`/`k`; `maxBandRows` guards the
+    * join against degenerate boilerplate buckets (see [[capBands]]). */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 32, bands: Int = 8,
-                          threshold: Double = 0.6): DataFrame = {
+                          threshold: Double = 0.6,
+                          maxBandRows: Int = 10000): DataFrame = {
     import graft.plans.VectorExpressions
     // both sketches come from one-pass kernels over the materialized token
     // array (the HOF spelling re-evaluates inlined inputs per element /
     // per band reference — see jaccardPairsPrefixFilter)
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val exploded = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= n)
       .withColumn("sh", VectorExpressions.shingleHashes(col("toks"), n))
       .withColumn("band", explode(
         VectorExpressions.minhashBandKeys(col("toks"), n, k, bands)))
       .drop("toks", "text")
+    val withSig = capBands(exploded, "band", maxBandRows, "minhashNearDupPairs")
     val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     // Verify BEFORE the pair-dedup: the shingle arrays then cross exactly
@@ -184,13 +217,20 @@ object Dedup {
     * Scale shape: each round is one join + groupBy over the EDGE set —
     * near-dup graphs are sparse (edges ≈ dup pairs ≪ corpus) and their
     * clusters have tiny diameter, so rounds are few and cheap; the
-    * convergence check is an O(1)-result count per round. A label
-    * travels one hop per round, so a pathological long-chain graph
-    * needs O(diameter) rounds — for that regime swap in the
-    * large-star/small-star variant (Kiveris et al., SoCC '14); dup
-    * clusters never look like that. Returns (id, component). */
+    * convergence check is an O(1)-result count per round. Each round ends
+    * with a POINTER-JUMPING step (component := label(component), the
+    * path-halving trick from the large-star/small-star family — Kiveris
+    * et al., SoCC '14), so labels travel exponentially, not one hop:
+    * convergence needs O(log diameter) rounds and the default `maxIter`
+    * of 20 covers diameters beyond any real corpus. If the fixpoint is
+    * STILL not reached at `maxIter`, the result would be silently wrong
+    * (a dedup decision built on a partial labeling drops non-duplicates)
+    * — so this THROWS unless `failOnNonConvergence = false`, which logs
+    * and returns the partial labeling for diagnostics. Returns
+    * (id, component). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          failOnNonConvergence: Boolean = true): DataFrame = {
     // Lineage truncation is the load-bearing detail of this loop. Each
     // round's plan references the previous round's labels TWICE (once in
     // the neighbor-min join, once in the merge), so without a cut the
@@ -222,16 +262,33 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
         .groupBy("src").agg(min("nc").as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      // pointer jumping: component := label(component). Labels only ever
+      // point DOWN (label(x) <= x) and every label is itself a node id, so
+      // chasing one level halves remaining chain depth each round —
+      // O(log diameter) rounds total instead of O(diameter).
+      val parents = stepped.select(col("id").as("component"), col("component").as("cc2"))
+      val next = stepped
+        .join(parents, Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("cc2"), col("component"))).as("component"))
         .localCheckpoint(true)
       val curSum = labelSum(next)
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
       iter += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponents: label fixpoint NOT reached after " +
+        s"$maxIter rounds — the labeling is partial and any dedup decision " +
+        s"built on it would silently drop non-duplicates. Raise maxIter " +
+        s"(rounds needed ~ log2(component diameter))."
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else log.warn(msg)
     }
     labels
   }
@@ -277,6 +334,14 @@ object Dedup {
     * instead of 64 interpreted array traversals. */
   def simhash64(text: Column): Column =
     graft.plans.VectorExpressions.simhash64(
+      split(lower(regexp_replace(trim(text), "\\s+", " ")), " "))
+
+  /** [[simhash64]] with the portable md5-derived token hash: every
+    * fingerprint bit is recomputable from `md5(token)` hex in plain SQL, so
+    * pair outputs are oracle-checkable end to end (the xxhash64 variant
+    * stays the faster default). */
+  def simhash64Portable(text: Column): Column =
+    graft.plans.VectorExpressions.simhash64Md5(
       split(lower(regexp_replace(trim(text), "\\s+", " ")), " "))
 
   /** Winnowing fingerprint of a text column (rolling k-gram hashes, window
@@ -363,14 +428,22 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: block on 4×16-bit bands (any pair within
-    * Hamming distance 3 shares at least one band), verify with popcount of
-    * XOR. Returns (id_a, id_b, hamming). */
+    * Hamming distance 3 shares at least one band — pigeonhole over 4 bands
+    * makes the blocking COMPLETE for maxHamming <= 3), verify with popcount
+    * of XOR. `portable = true` swaps the token hash for the md5-derived one
+    * ([[simhash64Portable]]) so the full pair set is recomputable by a SQL
+    * oracle; `maxBandRows` guards degenerate boilerplate buckets
+    * ([[capBands]]). Returns (id_a, id_b, hamming). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+                          maxHamming: Int = 3, portable: Boolean = false,
+                          maxBandRows: Int = 10000): DataFrame = {
+    // for maxHamming > 3 the banding is a recall-trading blocker (a pair
+    // can differ in all 4 bands); <= 3 it is exact by pigeonhole
+    val fp = if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
+    val exploded = df.select(col(idCol).as("id"), fp.as("fp"))
       .withColumn("band", explode(array((0 until 4).map(i =>
-        struct(lit(i).as("i"),
-          shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
+        shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL) + lit(i.toLong << 16)): _*)))
+    val withFp = capBands(exploded, "band", maxBandRows, "simhashNearDupPairs")
     val a = withFp.select(col("band"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = withFp.select(col("band"), col("id").as("id_b"), col("fp").as("fp_b"))
     // popcount-verify before the pair-dedup — the dedup shuffle then moves

@@ -99,6 +99,72 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
 
+  /** md5-parity Rademacher hyperplanes for the PORTABLE LSH variant:
+    * coef(t, p, i) = +1 when the last hex char of md5("t_p_i") is odd,
+    * else -1. Any engine with an `md5(text) -> hex` function recomputes the
+    * exact matrix, which makes bucket assignments — and therefore the whole
+    * ANN candidate set — SQL-oracle-checkable. Rademacher (±1) projections
+    * preserve the sign-LSH cosine guarantee (Achlioptas '01: ±1 entries are
+    * a valid random projection family). The matrix is tiny
+    * (tables × planes × dim doubles) and rides the plan as literals. */
+  def portablePlanes(nTables: Int, nPlanes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nTables, nPlanes, dim) { (t, p, i) =>
+      md.reset()
+      val hex = md.digest(s"${t}_${p}_${i}".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      if ("13579bdf".indexOf(hex.charAt(31)) >= 0) 1.0 else -1.0
+    }
+  }
+
+  /** [[annTopK]] with [[portablePlanes]] instead of xxhash64-derived ones —
+    * identical multiprobe candidate semantics (own bucket + every
+    * Hamming-1 flip per table), but every step is recomputable in plain
+    * SQL: plane coefs from md5 parity, dots as sequential double sums,
+    * ranks by (cos DESC, corpus_id). Dot products run through the same
+    * left-to-right kernel as the brute-force path, so engine agreement is
+    * bit-exact. `dim` must match the embedding width. */
+  def annTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, dim: Int,
+                      nTables: Int = 8, nPlanes: Int = 8): DataFrame = {
+    require(nPlanes <= 62, s"bucket ids are packed in a long, got nPlanes=$nPlanes")
+    val planes = portablePlanes(nTables, nPlanes, dim)
+    def bucketFor(vd: Column, t: Int): Column =
+      (0 until nPlanes).map { p =>
+        when(vdot(vd, typedlit(planes(t)(p).toSeq)) >= 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    def buckets(vd: Column, probe: Boolean): Column = {
+      val per: Seq[Column] = (0 until nTables).flatMap { t =>
+        val b0 = bucketFor(vd, t)
+        val exact = struct(lit(t).as("t"), b0.as("b"))
+        if (!probe) Seq(exact)
+        else exact +: (0 until nPlanes).map(i =>
+          struct(lit(t).as("t"), b0.bitwiseXOR(shiftleft(lit(1L), i)).as("b")))
+      }
+      explode(array(per: _*))
+    }
+    val widen = (c: Column) => transform(c, x => x.cast("double"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("__vd", widen(col("cv")))
+      .withColumn("bucket", buckets(col("__vd"), probe = false))
+      .drop("__vd")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__vd", widen(col("qv")))
+      .withColumn("bucket", buckets(col("__vd"), probe = true))
+      .drop("__vd")
+    val cands = c.join(q, Seq("bucket"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select("query_id", "corpus_id", "cos")
+      .dropDuplicates("query_id", "corpus_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
+  }
+
   /** Deterministic spherical k-means training for the IVF codebook:
     * Lloyd's iterations over a bounded, deterministically chosen sample —
     * the `sampleSize` rows with the smallest `xxhash64(id)` (a seedless
@@ -203,6 +269,45 @@ object Similarity {
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4, trainIters: Int = 3): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+    ivfTopKWithCodebook(corpus, queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  /** Deterministic SAMPLED codebook: the `n` corpus vectors whose ids come
+    * first in (md5(id-as-string), id) order — a uniform pseudo-random
+    * sample any SQL engine reproduces verbatim (md5 hex sorts identically
+    * everywhere), widened to double. Centroid id = position in that order.
+    * IVF does not require k-means — any coarse quantizer partitions the
+    * corpus; sampled centroids trade some cluster balance for a codebook
+    * that is itself oracle-checkable ([[trainCentroids]] remains the
+    * quality path). */
+  def sampledCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      n: Int): Array[Seq[Double]] = {
+    val rows = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(n)
+      .collect()
+    require(rows.length == n, s"corpus too small for $n sampled centroids")
+    rows.map(_.getSeq[Double](1))
+  }
+
+  /** [[ivfTopK]] with the [[sampledCodebook]] — every step (codebook
+    * choice, nearest-centroid assignment with (cos DESC, cid) tie-breaks,
+    * probe set, final re-rank) is recomputable in plain SQL, so the full
+    * ANN output is oracle-checkable. Same scale shape as ivfTopK: the
+    * codebook rides the expressions as literals, assignment is a pure
+    * projection, the probe join exchanges only the probed fraction. */
+  def ivfTopKSampled(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nCentroids: Int = 16,
+                     nProbe: Int = 4): DataFrame = {
+    val cents = sampledCodebook(corpus, idCol, vecCol, nCentroids)
+    ivfTopKWithCodebook(corpus, queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  private def ivfTopKWithCodebook(corpus: DataFrame, queries: DataFrame,
+                                  idCol: String, vecCol: String, k: Int,
+                                  cents: Array[Seq[Double]], nProbe: Int): DataFrame = {
     val widen = (c: Column) => transform(c, x => x.cast("double"))
     val assigned = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))

@@ -58,6 +58,52 @@ object VectorOps {
     fp
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(utf8 bytes) as a big-endian long — the bits of
+    * this value are exactly the first 16 hex chars of the digest read as a
+    * base-16 number, so ANY engine with an `md5(text) -> hex` function can
+    * recompute each bit from the hex string (bit b lives in hex char
+    * `16 - b/4`, nibble bit `b%4`). That portability is the point: sketches
+    * built on it are cross-engine checkable, unlike xxhash64. */
+  def md5Top64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** [[simhash64]] with the portable md5-derived token hash — same ±1
+    * bit-vote construction, but every vote is recomputable from `md5(token)`
+    * hex in plain SQL (the oracle-checkable variant; xxhash64 stays the
+    * faster default for library use). */
+  def simhash64Md5(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Top64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   /** Sign-bit LSH bucket against `nPlanes` hash-derived hyperplanes.
     * Plane components come from chained xxhash64(table, plane, dim) — every
     * executor derives identical planes, nothing is broadcast. */
@@ -295,6 +341,16 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class SimHash64Md5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      VectorOps.simhash64Md5(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.VectorOps.simhash64Md5($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class HyperplaneBucket(child: Expression, table: Int, nPlanes: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -380,6 +436,8 @@ object VectorExpressions {
     column(ArrayDotProduct(expression(a), expression(b)))
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
+  def simhash64Md5(tokens: Column): Column =
+    column(SimHash64Md5(expression(tokens)))
   def hyperplaneBucket(vec: Column, table: Int, nPlanes: Int): Column =
     column(HyperplaneBucket(expression(vec), table, nPlanes))
   def jaccardSorted(a: Column, b: Column): Column =

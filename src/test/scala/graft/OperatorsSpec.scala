@@ -164,6 +164,76 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 100L))
   }
 
+  test("connectedComponents: pointer jumping closes a 200-node chain within default rounds") {
+    // min-label alone moves one hop per round (199 rounds here); the
+    // label-chase step makes depth halve per round, so the default
+    // maxIter=20 must be plenty
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 200 && comp.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: non-convergence fails loudly, not silently") {
+    val chain = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("NOT reached"))
+    // opt-out returns the partial labeling instead of throwing
+    val partial = Dedup.connectedComponents(chain, "id_a", "id_b",
+      maxIter = 2, failOnNonConvergence = false)
+    assert(partial.count() == 150L + 1)
+  }
+
+  test("hot-band cap: a boilerplate-heavy corpus skips degenerate buckets instead of going quadratic") {
+    // 1000 near-identical docs (pure boilerplate) + 2 genuine near-dups on
+    // distinct text: every boilerplate band bucket blows past the cap and
+    // is skipped; the distinct-text pair still surfaces
+    val boiler = (0 until 1000).map(i => (i.toLong, "the same boilerplate text repeated " * 3))
+    val real = Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5001L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    val df = (boiler ++ real).toDF("id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "id", "text", n = 3, k = 32,
+      bands = 8, threshold = 0.5, maxBandRows = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5000L, 5001L)))
+    assert(pairs.forall { case (a, b) => a >= 5000L && b >= 5000L },
+      "boilerplate bucket should have been capped out")
+    // simhash path: same guard
+    val sp = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 3,
+      maxBandRows = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sp.forall { case (a, b) => a >= 5000L && b >= 5000L })
+  }
+
+  test("portable simhash bits match the md5-hex reference computation") {
+    // bit b of the kernel's 64-bit token hash must equal nibble bit b%4 of
+    // hex char 16 - b/4 — the contract the SQL oracle recomputes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refHash(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (0 until 64).map { b =>
+        val nib = Character.digit(hex.charAt(16 - b / 4 - 1), 16)
+        ((nib >> (b % 4)) & 1).toLong << b
+      }.reduce(_ | _)
+    }
+    def refSimhash(text: String): Long = {
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val h = refHash(t)
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 64).map(b => if (votes(b) > 0) 1L << b else 0L).reduce(_ | _)
+    }
+    val texts = Seq("hello world foo bar", "a b a b a", "", "  spaced   out  ")
+    val got = texts.toDF("text")
+      .select(Dedup.simhash64Portable(col("text"))).as[Long].collect()
+    assert(got.toSeq == texts.map(refSimhash))
+  }
+
   test("minhash near-dup: recall vs the exact prefix-filter join, candidate scan bounded") {
     // recall floor pinned as DATA against the exact counterpart on a real
     // corpus slice (the IVF spec pattern): near-dup injections at high J
