@@ -4,11 +4,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Two passes: an untimed warmup (JIT + codegen + file-index caches load
-  * once, as they would in any long-running service) and a timed pass in
-  * sorted query order. Timings therefore reflect steady-state plan
-  * execution, not first-use class loading. */
+  * Noise model: one untimed warmup pass (JIT + codegen + file-index caches
+  * load once, as they would in any long-running service), then `RUNS`
+  * timed, cache-isolated runs per query; the reported figure is the
+  * per-query MEDIAN, so a single host-load spike cannot masquerade as a
+  * regression (the round-3 lesson: two streaming queries showed 2-3x on
+  * the official artifact purely from background load). The 1-minute load
+  * average is stamped at start and end so any remaining interference is
+  * visible in the artifact itself, not just in prose. */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,21 +40,29 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val load0 = loadAvg()
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       clearCaches()
     }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t = (System.nanoTime() - t0) / 1e9
-      clearCaches()
-      name -> t
+      val samples = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        clearCaches()
+        t
+      }
+      name -> samples.sorted.apply(Runs / 2)
     }
+    val load1 = loadAvg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","loadavg_start":$load0,"loadavg_end":$load1}""")
     spark.stop()
   }
 }
