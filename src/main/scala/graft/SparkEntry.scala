@@ -960,6 +960,10 @@ object SparkEntry {
     // Sequential funnel (view → click → purchase within 1h of the first
     // view): each step is a per-user scalar aggregate joined to the
     // next step's events — user-count-sized tables, no event×event join.
+    // The per-user aggregates are NOT broadcast-hinted: they scale with
+    // user cardinality, so AQE must pick the join strategy from the
+    // measured size (a forced broadcast of a large user set OOMs where
+    // a shuffle join is fine).
     "q103_event_funnel" -> ((s0, d) => {
       val s = prep(s0)
       val ev = Tables.events(s, d)
@@ -969,11 +973,11 @@ object SparkEntry {
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("us").as("t1"))
       val c = ev.where(col("event_type") === "click")
-        .join(broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(col("us") > col("t1") && col("us") <= col("t1") + horizon)
         .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1m"))
       val p = ev.where(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(col("us") > col("t2") && col("us") <= col("t1m") + horizon)
         .groupBy("user_id").agg(min("us").as("t3"))
       v.agg(count(lit(1)).as("n_view")).crossJoin(
@@ -983,8 +987,9 @@ object SparkEntry {
 
     // Weekly cohort retention: cohort = the user's first active week;
     // each (user, active week) pair lands in one (cohort, offset) cell.
-    // Two user-keyed aggregates and one broadcast join — no self-join of
-    // the event table.
+    // Two user-keyed aggregates, one user-keyed join — no self-join of
+    // the event table, and no broadcast hint (the cohort map is
+    // user-count-sized; AQE decides from the measured size).
     "q104_cohort_retention" -> ((s0, d) => {
       val s = prep(s0)
       val wk = Tables.events(s, d)
@@ -993,7 +998,7 @@ object SparkEntry {
             .cast("long").as("week"))
         .distinct()
       val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
-      wk.join(broadcast(cohort), "user_id")
+      wk.join(cohort, "user_id")
         .groupBy(col("cohort_week"),
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
@@ -2486,7 +2491,7 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, COUNT(*) AS n_users,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
-        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |FROM r WHERE rn = 1 AND (event_type <> 'error' OR event_type IS NULL)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q100_solo_return_suppliers" ->
@@ -3050,7 +3055,7 @@ object SparkEntry {
     "q75_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,
-        |    ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket
+        |    (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000 AS bucket
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, CASE WHEN bucket < 900 THEN 'train'

@@ -54,7 +54,12 @@ object Quantiles {
     * group size — the per-group `percentile` aggregate buffers a whole
     * group in its final reducer, which is exactly the q91 pathology when
     * one group dominates. Returns one row per group with one column per
-    * requested fraction, named by `names`. */
+    * requested fraction, named by `names`.
+    *
+    * NULL semantics: values are filtered before ranking, so a group whose
+    * values are ALL null yields NO output row — unlike `percentile_cont`,
+    * which would emit the group with NULL quantiles. Callers needing
+    * aggregate parity should left-join the group list back. */
   def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                           ps: Seq[Double], names: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.size == names.size,

@@ -18,9 +18,14 @@ object Sampling {
 
   /** Bucket id via Knuth multiplicative hashing (golden-ratio constant,
     * TAOCP §6.4) — arithmetic-only, so the SAME bucket is computable in
-    * any SQL engine (the cross-engine-checkable variant). */
+    * any SQL engine (the cross-engine-checkable variant). The id is first
+    * reduced mod 2^31 so the multiply stays below Long.MaxValue: Spark
+    * would silently wrap on overflow while ANSI engines (DuckDB's BIGINT)
+    * raise — the reduction keeps both engines on the same arithmetic for
+    * ANY id, including ids >= 2^32 and negatives (pmod, not %). */
   def multiplicativeBucket(id: Column, buckets: Int): Column =
-    pmod(pmod(id.cast("long") * lit(2654435761L), lit(4294967296L)), lit(buckets))
+    pmod(pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)), lit(buckets))
       .cast("int")
 
   /** Map a bucket column to split names by cumulative fractions, e.g.
