@@ -1693,6 +1693,23 @@ object SparkEntry {
         .orderBy("source_file", "source_sheet", "code")
     }),
 
+    // S3 engine cascade end to end: ONE glob mixing a zip-container .xlsx
+    // and a legacy OLE2/BIFF8 .xls of the same logical workbook — the
+    // magic-bytes sniff routes each file to its engine, and both land in
+    // the same union schema (script_read_dbd_income.py:177-263's
+    // openpyxl-vs-xlrd cascade, in-engine).
+    "q106_xls_engine_cascade" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.sources.ExcelReader
+        .multiSheetUnion(s,
+          s"$fixtures/supplier_sheets.xlsx,$fixtures/supplier_sheets.xls")
+        .withColumn("engine",
+          regexp_extract(col("source_file"), "\\.(xlsx?)$", 1))
+        .select(col("engine"), col("source_sheet"), col("code"),
+          col("amount").cast("double").as("amount"), col("note"))
+        .orderBy("engine", "source_sheet", "code")
+    }),
+
     // C44 ragged pad/truncate with synthetic col_i headers + C9 strict
     // dd/MM/yyyy gate (narrower than the flexible parser: no B.E. shift,
     // start-anchored gate with the reference's trailing-text quirk).
@@ -3193,6 +3210,17 @@ object SparkEntry {
         | ('supplier_b', 'Sheet1', 'C2', CAST(50.0 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER))
         |) AS t(source_file, source_sheet, code, amount, note, qty)
         |ORDER BY source_file, source_sheet, code""".stripMargin,
+
+    "q106_xls_engine_cascade" ->
+      """SELECT * FROM (VALUES
+        | ('xls', 'Sheet1', 'A1', CAST(10.0 AS DOUBLE), CAST(NULL AS VARCHAR)),
+        | ('xls', 'Sheet1', 'A2', CAST(20.0 AS DOUBLE), CAST(NULL AS VARCHAR)),
+        | ('xls', 'Sheet2', 'B1', CAST(30.0 AS DOUBLE), 'extra'),
+        | ('xlsx', 'Sheet1', 'A1', CAST(10.0 AS DOUBLE), CAST(NULL AS VARCHAR)),
+        | ('xlsx', 'Sheet1', 'A2', CAST(20.0 AS DOUBLE), CAST(NULL AS VARCHAR)),
+        | ('xlsx', 'Sheet2', 'B1', CAST(30.0 AS DOUBLE), 'extra')
+        |) AS t(engine, source_sheet, code, amount, note)
+        |ORDER BY engine, source_sheet, code""".stripMargin,
 
     "q47_file_stem_keys" ->
       """SELECT * FROM (VALUES

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   * Scale shape: `parseWorkbook` is a pure function over the file bytes, so
   * the distributed path runs it inside the `binaryFiles` task of each file —
   * one task per workbook, parallel across the many-files 100 TB layout; no
-  * driver-side whole-file reads. Format sniffing/engine cascades (S3) stay
-  * out of scope per SURVEY §8. */
+  * driver-side whole-file reads. The S3 engine cascade sniffs magic bytes
+  * and routes: zip container → this parser, OLE2 → [[XlsReader]] (BIFF8),
+  * anything else → the typed reject channel. */
 object ExcelReader {
 
   /** Column letters of a cell ref ("BC7" → 54, 0-based). -1 when absent. */
@@ -190,13 +191,11 @@ object ExcelReader {
     }
   }
 
-  /** S3's entry gate: magic-bytes format sniff, so a lying extension
-    * (an OLE2 `.xls` renamed `.xlsx`, or garbage) is REJECTED with a
-    * taxonomy reason instead of surfacing as a zip stack trace — the
-    * relational slice of the reference's engine cascade
-    * (script_read_dbd_income.py:177-263 sniffs the container before
-    * choosing an engine; the non-zip engines themselves stay out of
-    * scope per SURVEY §8). */
+  /** S3's entry gate: magic-bytes format sniff — the engine cascade of
+    * script_read_dbd_income.py:177-263 (sniff the container, then choose
+    * openpyxl vs xlrd). Extensions are never trusted: an OLE2 `.xls`
+    * renamed `.xlsx` still routes to the BIFF8 engine, and garbage is
+    * REJECTED with a taxonomy reason instead of a zip stack trace. */
   def detectFormat(bytes: Array[Byte]): String = {
     def at(i: Int, v: Int) = i < bytes.length && (bytes(i) & 0xFF) == v
     if (at(0, 0x50) && at(1, 0x4B) && at(2, 0x03) && at(3, 0x04)) "xlsx_zip"
@@ -232,7 +231,17 @@ object ExcelReader {
             reject(s"xlsx_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         case "ole2" =>
-          reject("ole2_not_xlsx: legacy OLE2 workbook behind an .xlsx name; route to an xls engine")
+          // the legacy-engine leg of the cascade: same grid contract as
+          // the zip path, so downstream union/cleanse code never sees
+          // which engine parsed the workbook
+          try XlsReader.parseWorkbook(bytes).zipWithIndex.flatMap {
+            case ((sheet, sheetRows), si) =>
+              sheetRows.zipWithIndex.map { case (cells, ri) =>
+                Row(file, sheet, si, ri.toLong, cells, null)
+              }
+          } catch { case e: Exception =>
+            reject(s"xls_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         case _ =>
           reject("unknown_format: no zip (PK) signature")
       }
