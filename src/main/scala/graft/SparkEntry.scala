@@ -1710,6 +1710,32 @@ object SparkEntry {
         .orderBy("engine", "source_sheet", "code")
     }),
 
+    // S9 HTML `<table>` scan end to end: the remote-OCR HTML lands in the
+    // same grid shape as the Excel/CSV readers (tables × rows × cells),
+    // then the existing pipeline ops run unchanged — header row skip (P4),
+    // blank/total row drops (F2/F3, incl. the reference's
+    // total|grand total|รวมยอดทั้งหมด line), the ลำดับที่ seq-presence
+    // filter (F8), entity/markup-stripped cells, ragged-row null pads,
+    // and robust money parse (pdf_ocr_sale_invoice_to_json.py:168-215).
+    "q107_html_table_scan" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.RowFilters
+      import graft.functions.Money
+      val html = s.read.option("wholetext", "true")
+        .text(s"$fixtures/sale_invoice_ocr.html")
+        .withColumn("file", lit("sale_invoice_ocr.html"))
+      val grid = graft.sources.HtmlTables.tablesGrid(html, col("value"), col("file"))
+      grid.where(col("row_idx") > 0)
+        .where(!RowFilters.isBlankRowArr(col("cells")))
+        .where(!RowFilters.isTotalRowArr(col("cells")))
+        .select(col("table_idx"), col("row_idx"),
+          trim(try_element_at(col("cells"), lit(1))).as("seq"),
+          try_element_at(col("cells"), lit(2)).as("invoice_no"),
+          Money.parseAmountRobust(try_element_at(col("cells"), lit(3))).as("amount"))
+        .where(coalesce(col("seq"), lit("")) =!= "")
+        .orderBy("table_idx", "row_idx")
+    }),
+
     // C44 ragged pad/truncate with synthetic col_i headers + C9 strict
     // dd/MM/yyyy gate (narrower than the flexible parser: no B.E. shift,
     // start-anchored gate with the reference's trailing-text quirk).
@@ -3210,6 +3236,15 @@ object SparkEntry {
         | ('supplier_b', 'Sheet1', 'C2', CAST(50.0 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER))
         |) AS t(source_file, source_sheet, code, amount, note, qty)
         |ORDER BY source_file, source_sheet, code""".stripMargin,
+
+    "q107_html_table_scan" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS INTEGER), CAST(1 AS BIGINT), '1', 'IV-7001', CAST(1234.5 AS DOUBLE)),
+        | (CAST(0 AS INTEGER), CAST(3 AS BIGINT), '2', 'IV-7002', CAST(890.0 AS DOUBLE)),
+        | (CAST(1 AS INTEGER), CAST(1 AS BIGINT), '3', 'IV-7003 & co', CAST(55.25 AS DOUBLE)),
+        | (CAST(1 AS INTEGER), CAST(3 AS BIGINT), '4', 'IV-7004', CAST(NULL AS DOUBLE))
+        |) AS t(table_idx, row_idx, seq, invoice_no, amount)
+        |ORDER BY table_idx, row_idx""".stripMargin,
 
     "q106_xls_engine_cascade" ->
       """SELECT * FROM (VALUES
