@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** S8: remote-OCR API connector — the acquisition step that turns scanned
+  * PDFs/images into the HTML tables [[HtmlTables]] scans. Mirrors the
+  * reference connector (pdf_ocr_sale_invoice_to_json.py:34-68): multipart
+  * POST of the file plus task parameters under a bearer token, then a
+  * per-page walk of the response
+  * (`results[] → message.choices[0].message.content`, content itself JSON
+  * holding `html` or `natural_text`), pages joined with newlines.
+  *
+  * The transport is pluggable — `OcrRequest => (status, body)` — the K3
+  * pattern: the connector is fully unit-testable offline, and a deployment
+  * passes a `java.net.http`-based function. Each file's request runs inside
+  * its `binaryFiles` task, so a directory of scans fans out across
+  * executors with no driver loop; failures land in the reject channel with
+  * the HTTP status, not as task crashes. */
+object OcrConnector {
+
+  /** A fully-shaped request: what the transport must send. */
+  case class OcrRequest(url: String, headers: Map[String, String],
+                        fields: Seq[(String, String)],
+                        fileName: String, fileBytes: Array[Byte]) {
+    /** RFC 2046 multipart/form-data encoding of fields + file. */
+    def multipartBody(boundary: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def write(s: String): Unit = out.write(s.getBytes("UTF-8"))
+      fields.foreach { case (k, v) =>
+        write(s"--$boundary\r\n")
+        write(s"""Content-Disposition: form-data; name="$k"\r\n\r\n""")
+        write(s"$v\r\n")
+      }
+      write(s"--$boundary\r\n")
+      write(s"""Content-Disposition: form-data; name="file"; filename="$fileName"\r\n""")
+      write("Content-Type: application/octet-stream\r\n\r\n")
+      out.write(fileBytes)
+      write(s"\r\n--$boundary--\r\n")
+      out.toByteArray
+    }
+  }
+
+  /** Request shaping, field-for-field the reference's `data` dict. */
+  def buildRequest(url: String, apiKey: String, fileName: String,
+                   fileBytes: Array[Byte], taskType: String,
+                   maxTokens: Int = 16000, temperature: Double = 0.1,
+                   topP: Double = 0.6, repetitionPenalty: Double = 1.2,
+                   pages: Seq[Int] = Nil): OcrRequest = {
+    val fields = Seq(
+      "task_type" -> taskType,
+      "max_tokens" -> maxTokens.toString,
+      "temperature" -> temperature.toString,
+      "top_p" -> topP.toString,
+      "repetition_penalty" -> repetitionPenalty.toString) ++
+      (if (pages.nonEmpty) Seq("pages" -> pages.mkString("[", ", ", "]")) else Nil)
+    OcrRequest(url, Map("Authorization" -> s"Bearer $apiKey"), fields,
+      fileName, fileBytes)
+  }
+
+  /** Response walk (pdf_ocr_sale_invoice_to_json.py:55-68): per page-result
+    * take `message.choices[0].message.content`; the content is itself JSON
+    * carrying `html` (or `natural_text`) — fall back to the raw content
+    * when it is not; failed pages are skipped. Pages join with "\n". */
+  def extractText(responseBody: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(responseBody)
+    val pages = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = root.path("results")
+    var i = 0
+    while (i < results.size()) {
+      val page = results.get(i)
+      if (page.path("success").asBoolean(false) && page.hasNonNull("message")) {
+        val content = page.path("message").path("choices").path(0)
+          .path("message").path("content").asText("")
+        val text =
+          try {
+            val parsed = mapper.readTree(content)
+            if (parsed.hasNonNull("html")) parsed.get("html").asText
+            else if (parsed.hasNonNull("natural_text")) parsed.get("natural_text").asText
+            else content
+          } catch { case _: Exception => content }
+        pages += text
+      }
+      i += 1
+    }
+    pages.mkString("\n")
+  }
+
+  private val ocrSchema = StructType(Seq(
+    StructField("source_file", StringType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("reject_reason", StringType, nullable = true)))
+
+  /** Distributed acquisition: every file under `path` is shaped, posted
+    * through `transport` inside its own task, and extracted —
+    * (source_file, text, reject_reason), with non-2xx/throwing transports
+    * landing in the reject channel. `transport` must be serializable
+    * (a plain function; the real one closes over a java.net.http client
+    * created per partition). */
+  def ocrFiles(spark: SparkSession, path: String, url: String, apiKey: String,
+               taskType: String,
+               transport: OcrRequest => (Int, String)): DataFrame = {
+    val rows = spark.sparkContext.binaryFiles(path).map { case (file, pds) =>
+      val name = file.substring(file.lastIndexOf('/') + 1)
+      try {
+        val req = buildRequest(url, apiKey, name, pds.toArray(), taskType)
+        val (status, body) = transport(req)
+        if (status >= 200 && status < 300) Row(file, extractText(body), null)
+        else Row(file, null, s"ocr_http_$status")
+      } catch { case e: Exception =>
+        Row(file, null, s"ocr_transport_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    spark.createDataFrame(rows, ocrSchema)
+  }
+}

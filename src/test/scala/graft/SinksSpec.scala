@@ -10,6 +10,24 @@ object SinksSpec {
   val posted = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   def okTransport(url: String, body: String): Int = { posted.add((url, body)); 200 }
   def failTransport(url: String, body: String): Int = 503
+
+  // S8 offline OCR transport: records the shaped request, answers with the
+  // reference API's response shape (results[] → message.choices[0].message
+  // .content, content itself JSON carrying `html`)
+  import graft.sources.OcrConnector.OcrRequest
+  val ocrSeen = new java.util.concurrent.ConcurrentLinkedQueue[OcrRequest]()
+  def ocrTransport(req: OcrRequest): (Int, String) = {
+    ocrSeen.add(req)
+    val html = "<table><tr><th>c</th></tr><tr><td>v1</td></tr></table>"
+    val content = s"""{\\"html\\": \\"$html\\"}"""
+    (200,
+      s"""{"results": [
+         |  {"success": true, "message": {"choices": [{"message": {"content": "$content"}}]}},
+         |  {"success": false, "error": "page 2 failed"},
+         |  {"success": true, "message": {"choices": [{"message": {"content": "plain natural text"}}]}}
+         |]}""".stripMargin)
+  }
+  def ocrDown(req: OcrRequest): (Int, String) = (503, "busy")
 }
 
 class SinksSpec extends SparkSpec {
@@ -84,6 +102,41 @@ class SinksSpec extends SparkSpec {
       .option("url", url).option("dbtable", "t_invoices")
       .option("driver", driver).load().count()
     assert(n == 4)
+  }
+
+  test("S8 OCR connector: request shaping, response walk, reject channel — offline") {
+    import graft.sources.{HtmlTables, OcrConnector}
+    // request shaping mirrors the reference's multipart form field-for-field
+    val req = OcrConnector.buildRequest("http://ocr.example.org/v1/ocr", "KEY",
+      "scan.pdf", Array[Byte](1, 2, 3), "default", pages = Seq(1, 2))
+    assert(req.headers("Authorization") == "Bearer KEY")
+    assert(req.fields.toMap.apply("task_type") == "default")
+    assert(req.fields.toMap.apply("pages") == "[1, 2]")
+    val body = new String(req.multipartBody("BOUND"), "ISO-8859-1")
+    assert(body.contains("name=\"file\"; filename=\"scan.pdf\""))
+    assert(body.contains("name=\"max_tokens\"\r\n\r\n16000"))
+    assert(body.endsWith("--BOUND--\r\n"))
+
+    // distributed path: files fan out, pages extract, HTML feeds the S9 grid
+    SinksSpec.ocrSeen.clear()
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.pdf"), "pdfbytes".getBytes)
+    val got = OcrConnector.ocrFiles(spark, dir, "http://ocr.example.org/v1/ocr",
+      "KEY", "default", SinksSpec.ocrTransport)
+    val rows = got.collect()
+    assert(rows.length == 1 && rows(0).getString(2) == null)
+    val text = rows(0).getString(1)
+    // page 1's html + failed page skipped + page 3's raw content
+    assert(text == "<table><tr><th>c</th></tr><tr><td>v1</td></tr></table>\nplain natural text")
+    assert(SinksSpec.ocrSeen.size == 1)
+    val grid = HtmlTables.tablesGrid(
+      got.where(col("reject_reason").isNull), col("text"), col("source_file"))
+    assert(grid.count() == 2) // header + one data row
+
+    // transport failure → typed reject, not a task crash
+    val down = OcrConnector.ocrFiles(spark, dir, "http://ocr.example.org/v1/ocr",
+      "KEY", "default", SinksSpec.ocrDown).collect()
+    assert(down(0).getString(1) == null && down(0).getString(2) == "ocr_http_503")
   }
 
   test("json-records sink preserves non-ASCII") {
