@@ -35,6 +35,69 @@ object Sinks {
           .parquet(path)
     }
 
+  /** K4 staged-commit variant: replace exactly the partitions present in
+    * `df` via write-to-staging + per-partition atomic renames — no reliance
+    * on dynamic-overwrite's deferred deletion, and the live table stays
+    * readable at every instant (staging and backup directories start with
+    * '.', which parquet readers ignore).
+    *
+    * Protocol, per affected partition P (df must carry P's FULL intended
+    * content — for a MERGE, existing ∪ batch):
+    *   1. write df under `path/.staging_token/P` (a normal parquet job)
+    *   2. rename live P → `.backup_P`
+    *   3. rename staged P → live P
+    *   4. delete `.backup_P`, then the staging dir
+    * Each rename is a single atomic directory move. Crash anywhere leaves
+    * a recoverable state, and [[recoverStagedPartitions]] (run at the start
+    * of every write) repairs it: a `.backup_P` whose live P is missing is
+    * restored (the crash hit between 2 and 3 — the backup holds the only
+    * copy), any other backup/staging leftovers are stale and dropped. A
+    * replayed streaming batch then redoes the merge idempotently — keyed
+    * upsert makes replay convergent, so at-least-once delivery plus this
+    * commit yields an exactly-once-by-key table. */
+  def writePartitionedStaged(df: DataFrame, path: String, partCol: String,
+                             token: String = java.util.UUID.randomUUID().toString): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    recoverStagedPartitions(df.sparkSession, path)
+    val stage = new Path(target, s".staging_$token")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(stage.toString)
+    val parts = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.startsWith(partCol + "="))
+    parts.foreach { p =>
+      val dest = new Path(target, p.getName)
+      val backup = new Path(target, ".backup_" + p.getName)
+      if (fs.exists(dest)) fs.rename(dest, backup)
+      fs.rename(p, dest)
+      fs.delete(backup, true)
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Crash repair for [[writePartitionedStaged]] — idempotent, safe to run
+    * any time: restores partitions whose only copy sits in a `.backup_`
+    * directory, then clears stale staging/backup leftovers. */
+  def recoverStagedPartitions(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) return
+    fs.listStatus(target).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".backup_")) {
+        val dest = new Path(target, n.stripPrefix(".backup_"))
+        if (!fs.exists(dest)) fs.rename(s.getPath, dest) // only surviving copy
+        else fs.delete(s.getPath, true)                  // superseded backup
+      }
+    }
+    fs.listStatus(target).foreach { s =>
+      if (s.getPath.getName.startsWith(".staging_")) fs.delete(s.getPath, true)
+    }
+  }
+
   /** K3: HTTP POST sink — each partition posts its rows as JSON-array
     * batches (the reference POSTs `to_json(orient="records")` payloads,
     * main.py:31-76, send_dbd_company_supplier.py:85-144; server-side bulk

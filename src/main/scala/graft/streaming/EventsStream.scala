@@ -95,13 +95,17 @@ object EventsStream {
     *   1. prunes the target read to the batch's own dates (partition
     *      pruning — untouched history is never scanned),
     *   2. merges the batch over just those partitions,
-    *   3. writes with dynamic partition overwrite — only the affected date
-    *      directories are replaced, through Spark's file-commit protocol
-    *      (staged files + commit), not a full-table delete/rename whose
-    *      crash window loses the table.
+    *   3. commits through [[graft.sources.Sinks.writePartitionedStaged]]:
+    *      the merged content lands in a hidden staging directory first,
+    *      then swaps in with per-partition atomic renames — no dependence
+    *      on dynamic-overwrite deferred deletion, the table is readable at
+    *      every instant, and any crash point is repaired by the recovery
+    *      pass at the next batch (see the sink's protocol note).
     * Replaying a batch (at-least-once delivery) cannot duplicate rows —
     * the exactly-once-by-key contract of the reference's updateOrCreate —
-    * and per-batch work is O(batch dates), not O(table history). */
+    * and per-batch work is O(batch dates), not O(table history). The
+    * merged plan reads the live partitions while WRITING only the staging
+    * directory, so no self-overwrite materialization barrier is needed. */
   def streamingUpsert(spark: SparkSession, dir: String, targetPath: String): Unit = {
     import graft.operators.Merge
     val events = eventsStream(spark, dir)
@@ -109,11 +113,8 @@ object EventsStream {
         to_date(col("ts")).as("event_date"))
     val q = events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
-        val modeKey = "spark.sql.sources.partitionOverwriteMode"
-        val savedMode = ss.conf.getOption(modeKey)
-        ss.conf.set(modeKey, "dynamic")
         val b = batch.toDF().persist()
         try {
           val dates = b.select("event_date").distinct().collect()
@@ -126,21 +127,9 @@ object EventsStream {
             case Some(e) => Merge.upsert(e, b, Seq("event_id"))
             case None    => b
           }
-          // materialize BEFORE the overwrite (cut lineage to the target's
-          // files): the merged plan reads targetPath lazily inside the job
-          // that rewrites it — safe under dynamic overwrite's deferred
-          // delete, but not worth betting the table on if the mode is ever
-          // overridden to static
-          val materialized = merged.localCheckpoint(eager = true)
-          materialized.write.mode("overwrite")
-            .partitionBy("event_date").parquet(targetPath)
-        } finally {
-          b.unpersist()
-          savedMode match {
-            case Some(m) => ss.conf.set(modeKey, m)
-            case None    => ss.conf.unset(modeKey)
-          }
-        }
+          graft.sources.Sinks.writePartitionedStaged(merged, targetPath,
+            "event_date", token = s"batch_$batchId")
+        } finally b.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()

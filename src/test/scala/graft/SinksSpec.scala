@@ -70,6 +70,44 @@ class SinksSpec extends SparkSpec {
     assert(got == Set((1, 2023, "a"), (3, 2024, "B")))
   }
 
+  test("staged partitioned commit: crash points leave the table readable; recovery restores backups") {
+    import org.apache.hadoop.fs.Path
+    val path = s"${tmp()}/table"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def table(): Set[(Int, String, String)] =
+      spark.read.parquet(path).select("id", "v", "dt")
+        .as[(Int, String, String)].collect().toSet
+
+    Sinks.writePartitionedStaged(
+      Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02")).toDF("id", "v", "dt"), path, "dt")
+    assert(table() == Set((1, "a", "2024-01-01"), (2, "b", "2024-01-02")))
+
+    // replace exactly one partition; the other survives untouched
+    Sinks.writePartitionedStaged(
+      Seq((3, "B2", "2024-01-02")).toDF("id", "v", "dt"), path, "dt")
+    assert(table() == Set((1, "a", "2024-01-01"), (3, "B2", "2024-01-02")))
+
+    // crash during the staging write: a half-written .staging_ dir is
+    // invisible to readers (hidden name) and cleaned by the next commit
+    fs.mkdirs(new Path(path, ".staging_crash/dt=2024-01-09"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/.staging_crash/dt=2024-01-09/junk.parquet"),
+      "not parquet".getBytes)
+    assert(table() == Set((1, "a", "2024-01-01"), (3, "B2", "2024-01-02")))
+
+    // crash between the two renames: the live partition sits only in its
+    // .backup_ dir — the table stays READABLE (minus that partition) ...
+    assert(fs.rename(new Path(path, "dt=2024-01-01"), new Path(path, ".backup_dt=2024-01-01")))
+    assert(table() == Set((3, "B2", "2024-01-02")))
+
+    // ... and the next commit's recovery pass restores it and clears debris
+    Sinks.writePartitionedStaged(
+      Seq((4, "c", "2024-01-03")).toDF("id", "v", "dt"), path, "dt")
+    assert(table() == Set((1, "a", "2024-01-01"), (3, "B2", "2024-01-02"), (4, "c", "2024-01-03")))
+    val leftovers = fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .filter(n => n.startsWith(".backup_") || n.startsWith(".staging_"))
+    assert(leftovers.isEmpty)
+  }
+
   test("reject-channel sink splits valid/reject with counts") {
     val df = Seq((1, "7"), (2, "x")).toDF("id", "amt")
     val (valid, rejects) = Validation.split(df, Seq(Validation.numeric("amt")))
