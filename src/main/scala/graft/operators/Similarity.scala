@@ -121,38 +121,31 @@ object Similarity {
     * identical multiprobe candidate semantics (own bucket + every
     * Hamming-1 flip per table), but every step is recomputable in plain
     * SQL: plane coefs from md5 parity, dots as sequential double sums,
-    * ranks by (cos DESC, corpus_id). Dot products run through the same
-    * left-to-right kernel as the brute-force path, so engine agreement is
-    * bit-exact. `dim` must match the embedding width. */
+    * ranks by (cos DESC, corpus_id). All nTables sketches come from ONE
+    * kernel call per row (`rademacherBuckets` — the matrix rides as a
+    * codegen reference object), accumulating left-to-right exactly like
+    * the SQL list_sum, so engine agreement is bit-exact. `dim` must match
+    * the embedding width. */
   def annTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, dim: Int,
                       nTables: Int = 8, nPlanes: Int = 8): DataFrame = {
     require(nPlanes <= 62, s"bucket ids are packed in a long, got nPlanes=$nPlanes")
-    val planes = portablePlanes(nTables, nPlanes, dim)
-    def bucketFor(vd: Column, t: Int): Column =
-      (0 until nPlanes).map { p =>
-        when(vdot(vd, typedlit(planes(t)(p).toSeq)) >= 0.0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    def buckets(vd: Column, probe: Boolean): Column = {
-      val per: Seq[Column] = (0 until nTables).flatMap { t =>
-        val b0 = bucketFor(vd, t)
-        val exact = struct(lit(t).as("t"), b0.as("b"))
-        if (!probe) Seq(exact)
-        else exact +: (0 until nPlanes).map(i =>
-          struct(lit(t).as("t"), b0.bitwiseXOR(shiftleft(lit(1L), i)).as("b")))
-      }
-      explode(array(per: _*))
-    }
-    val widen = (c: Column) => transform(c, x => x.cast("double"))
+    val flat = portablePlanes(nTables, nPlanes, dim).flatten.flatten
+    def sketches(v: Column): Column =
+      graft.plans.VectorExpressions.rademacherBuckets(v, flat, nTables, nPlanes)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("__vd", widen(col("cv")))
-      .withColumn("bucket", buckets(col("__vd"), probe = false))
-      .drop("__vd")
+      .select(col("corpus_id"), col("cv"),
+        posexplode(sketches(col("cv"))).as(Seq("t", "b")))
+      .select(struct(col("t"), col("b")).as("bucket"), col("corpus_id"), col("cv"))
+    // query side probes its own bucket plus every Hamming-1 flip; b0 is an
+    // attribute by the time the flips reference it (no sketch re-eval)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("__vd", widen(col("qv")))
-      .withColumn("bucket", buckets(col("__vd"), probe = true))
-      .drop("__vd")
+      .select(col("query_id"), col("qv"),
+        posexplode(sketches(col("qv"))).as(Seq("t", "b0")))
+      .select(col("query_id"), col("qv"), col("t"), explode(array(
+        col("b0") +: (0 until nPlanes).map(i =>
+          col("b0").bitwiseXOR(lit(1L << i))): _*)).as("b"))
+      .select(struct(col("t"), col("b")).as("bucket"), col("query_id"), col("qv"))
     val cands = c.join(q, Seq("bucket"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))

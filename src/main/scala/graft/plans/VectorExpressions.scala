@@ -128,6 +128,42 @@ object VectorOps {
     bucket
   }
 
+  /** All `nTables` Rademacher-LSH bucket ids of a vector in ONE pass: the
+    * plane matrix rides as a flat double[] reference object (size
+    * nTables·nPlanes·dim — tiny), each dot accumulates left-to-right in
+    * double exactly like [[dotDouble]], so the signs (and therefore every
+    * bucket) are bit-equal to both the per-plane expression spelling and a
+    * sequential SQL list_sum — the portable-oracle contract. One kernel
+    * call replaces nTables × nPlanes literal-dot expressions, which
+    * dominated plan/codegen time at small scale. */
+  def rademacherBuckets(a: ArrayData, planes: Array[Double], nTables: Int,
+                        nPlanes: Int, isFloat: Boolean): Array[Long] = {
+    val n = a.numElements()
+    val dim = planes.length / (nTables * nPlanes)
+    val m = math.min(n, dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val base = (t * nPlanes + p) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < m) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          dot += x * planes(base + i)
+          i += 1
+        }
+        if (dot >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD '03): hash every
     * k-gram of the token array (xxhash64, seed 42), slide a window of `w`
     * hashes, keep each window's minimum (rightmost on ties) — the standard
@@ -363,6 +399,24 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class RademacherBuckets(child: Expression, planes: Array[Double],
+                               nTables: Int, nPlanes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def isFloat = isFloatArray(child.dataType)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.rademacherBuckets(v.asInstanceOf[ArrayData], planes,
+          nTables, nPlanes, isFloat))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.rademacherBuckets($a, $ref, $nTables, $nPlanes, $isFloat));")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class Winnow(child: Expression, k: Int, w: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -440,6 +494,9 @@ object VectorExpressions {
     column(SimHash64Md5(expression(tokens)))
   def hyperplaneBucket(vec: Column, table: Int, nPlanes: Int): Column =
     column(HyperplaneBucket(expression(vec), table, nPlanes))
+  def rademacherBuckets(vec: Column, planes: Array[Double],
+                        nTables: Int, nPlanes: Int): Column =
+    column(RademacherBuckets(expression(vec), planes, nTables, nPlanes))
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSortedLongs(expression(a), expression(b)))
   def winnow(tokens: Column, k: Int, w: Int): Column =
