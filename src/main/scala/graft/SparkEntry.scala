@@ -1736,6 +1736,42 @@ object SparkEntry {
         .orderBy("table_idx", "row_idx")
     }),
 
+    // S7 PDF text layer end to end: the zero-dep parser extracts each
+    // page's embedded text (object scan → FlateDecode → BT/ET positioned
+    // chunks → line assembly), and the UNCHANGED remittance cascade
+    // (C34-C36 line regexes, C1-C10 dates, C11-C13 money, C23-C26 OCR
+    // repair, U2 dedup) parses it — same rows as the OCR-JSON path q41,
+    // proving the acquisition format doesn't leak into parse semantics
+    // (pdf_ocr_dbd_to_json.py:45-63 text-layer-first policy).
+    "q108_pdf_text_layer" -> ((s0, d) => {
+      val s = prep(s0)
+      val pages = graft.sources.PdfReader.pagesText(s, s"$fixtures/rm_pages.pdf")
+        .select(col("page_number").as("page"), col("text"))
+      val (tx0, _) = graft.pipelines.Pipelines.remittancePagesParsed(pages)
+      graft.pipelines.Pipelines.remittanceDedup(tx0)
+        .orderBy(col("วันที่"), col("เลขที่เอกสาร"))
+    }),
+
+    // S5 positioned-table reconstruction (camelot "stream" flavor): chunk
+    // x-origins cluster into columns, visual lines become grid rows, then
+    // the shared grid ops run — F2/F3 blank+total drops, F8 numeric-seq
+    // gate, C11-C13 robust money incl. parenthesised negatives
+    // (pdf_ocr_inv_to_json.py:323-358 table legs).
+    "q109_pdf_table_grid" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.RowFilters
+      import graft.functions.Money
+      val grid = graft.sources.PdfReader.pagesGrid(s, s"$fixtures/invoice_table.pdf")
+      grid.where(!RowFilters.isBlankRowArr(col("cells")))
+        .where(!RowFilters.isTotalRowArr(col("cells")))
+        .select(col("page_number"), col("row_idx"),
+          trim(try_element_at(col("cells"), lit(1))).as("seq"),
+          try_element_at(col("cells"), lit(2)).as("invoice_no"),
+          Money.parseAmountRobust(try_element_at(col("cells"), lit(3))).as("amount"))
+        .where(col("seq").rlike("^\\d+$"))
+        .orderBy("page_number", "row_idx")
+    }),
+
     // C44 ragged pad/truncate with synthetic col_i headers + C9 strict
     // dd/MM/yyyy gate (narrower than the flexible parser: no B.E. shift,
     // start-anchored gate with the reference's trailing-text quirk).
@@ -3245,6 +3281,28 @@ object SparkEntry {
         | (CAST(1 AS INTEGER), CAST(3 AS BIGINT), '4', 'IV-7004', CAST(NULL AS DOUBLE))
         |) AS t(table_idx, row_idx, seq, invoice_no, amount)
         |ORDER BY table_idx, row_idx""".stripMargin,
+
+    "q108_pdf_text_layer" ->
+      """SELECT * FROM (VALUES
+        | (DATE '2025-09-15', DATE '2025-09-30', '72195', 'FC01', 'IV',
+        |  'CH012345', '1NV68071', CAST(1234.5 AS DOUBLE), CAST(1 AS BIGINT)),
+        | (DATE '2025-09-15', DATE '2025-09-30', '72195', '0000', 'CN',
+        |  'CN-001', 'CONSIGN-00', CAST(-500.0 AS DOUBLE), CAST(1 AS BIGINT)),
+        | (DATE '2025-09-16', DATE '2025-09-30', '72195', 'W123', 'IV',
+        |  'CH012346', 'IV68072', CAST(2000.0 AS DOUBLE), CAST(1 AS BIGINT)),
+        | (DATE '2025-09-17', DATE '2025-09-30', '72195', 'FC02', 'IV',
+        |  'CH012347', 'IV68073', CAST(750.25 AS DOUBLE), CAST(2 AS BIGINT))
+        |) AS t("วันที่", "วันที่จ่ายเงิน", "รหัสผู้ขาย", "รหัสสาขา", "ประเภทเอกสาร",
+        |       "เลขที่เอกสาร", "เลขที่เอกสารอ้างอิง", "จำนวน", "หน้า")
+        |ORDER BY "วันที่", "เลขที่เอกสาร"""".stripMargin,
+
+    "q109_pdf_table_grid" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(2 AS BIGINT), '1', 'IV-8001', CAST(1500.0 AS DOUBLE)),
+        | (CAST(1 AS BIGINT), CAST(3 AS BIGINT), '2', 'IV-8002', CAST(-250.75 AS DOUBLE)),
+        | (CAST(1 AS BIGINT), CAST(4 AS BIGINT), '3', '', CAST(125.0 AS DOUBLE))
+        |) AS t(page_number, row_idx, seq, invoice_no, amount)
+        |ORDER BY page_number, row_idx""".stripMargin,
 
     "q106_xls_engine_cascade" ->
       """SELECT * FROM (VALUES

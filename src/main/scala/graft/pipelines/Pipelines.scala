@@ -112,6 +112,14 @@ object Pipelines {
     val pages = spark.read.option("multiLine", "true").json(jsonPath)
       .select(explode(col("pages")).as("p"))
       .select(col("p.page_number").as("page"), col("p.text").as("text"))
+    remittancePagesParsed(pages)
+  }
+
+  /** Same parse cascade over ANY `(page, text)` source — the OCR-JSON
+    * fixture reader above and the S7 PDF text layer
+    * ([[graft.sources.PdfReader.pagesText]]) both feed this, so the
+    * acquisition format never leaks into the parse semantics. */
+  def remittancePagesParsed(pages: DataFrame): (DataFrame, DataFrame) = {
     val lines = pages.select(col("page"),
         posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
       .withColumn("line", TextClean.normWs(col("line")))
@@ -164,13 +172,17 @@ object Pipelines {
     * first occurrence in (page, line) order (U2). */
   def remittance(spark: SparkSession, jsonPath: String): (DataFrame, DataFrame) = {
     val (tx0, totals) = remittanceParsed(spark, jsonPath)
-    val tx = Dedup.firstPerKey(
+    (remittanceDedup(tx0), totals)
+  }
+
+  /** U2 first-per-key dedup over parsed remittance rows (cross-page
+    * duplicate lines keep their first occurrence in page/line order). */
+  def remittanceDedup(tx0: DataFrame): DataFrame =
+    Dedup.firstPerKey(
         tx0.withColumn("__ord", struct(col("หน้า"), col("line_no"))),
         Seq("วันที่", "รหัสสาขา", "ประเภทเอกสาร", "เลขที่เอกสาร", "เลขที่เอกสารอ้างอิง", "จำนวน"),
         "__ord")
       .drop("__ord", "line_no")
-    (tx, totals)
-  }
 
   /** A2 reconciliation: per-page transaction sums (pre-dedup — the printed
     * totals cover every printed line) against the captured grand totals.
