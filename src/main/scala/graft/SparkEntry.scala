@@ -1736,6 +1736,21 @@ object SparkEntry {
         .orderBy("table_idx", "row_idx")
     }),
 
+    // BM25 ranked retrieval over the documents corpus — the lexical-search
+    // complement to the embedding paths (q30/q31/q53): posting-list plan
+    // (explode pruned to query terms before the shuffle, broadcast df +
+    // query map, per-query rank windows), scores folded in sorted-term
+    // order so the 6-dp result hash-matches the SQL oracle.
+    "q110_bm25_topk" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.TextAnalysis.bm25TopK(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq(1L -> Seq("merge", "vector"),
+              2L -> Seq("scan", "filter", "hash"),
+              3L -> Seq("stream", "window")), k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
     // S7 PDF text layer end to end: the zero-dep parser extracts each
     // page's embedded text (object scan → FlateDecode → BT/ET positioned
     // chunks → line assembly), and the UNCHANGED remittance cascade
@@ -3281,6 +3296,39 @@ object SparkEntry {
         | (CAST(1 AS INTEGER), CAST(3 AS BIGINT), '4', 'IV-7004', CAST(NULL AS DOUBLE))
         |) AS t(table_idx, row_idx, seq, invoice_no, amount)
         |ORDER BY table_idx, row_idx""".stripMargin,
+
+    "q110_bm25_topk" ->
+      """WITH dls AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |dl2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM dls),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl2),
+        |posts AS (SELECT doc_id, dl, unnest(toks) AS token FROM dl2),
+        |pf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf FROM posts
+        |       WHERE token IN ('merge','vector','scan','filter','hash','stream','window')
+        |       GROUP BY doc_id, dl, token),
+        |tdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM pf GROUP BY token),
+        |q(query_id, token) AS (VALUES (CAST(1 AS BIGINT),'merge'),(1,'vector'),
+        |  (2,'scan'),(2,'filter'),(2,'hash'),(3,'stream'),(3,'window')),
+        |scored AS (
+        |  SELECT q.query_id, pf.doc_id, pf.token,
+        |    ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+        |      ((pf.tf * (1.2 + 1.0)) /
+        |       (pf.tf + 1.2 * (1.0 - 0.75 + 0.75 * pf.dl / s.avgdl))) AS contrib
+        |  FROM pf JOIN tdf t USING (token) JOIN q USING (token) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    ROUND(list_sum(list(contrib ORDER BY token)), 6) AS score
+        |  FROM scored GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+        |      FROM agg)
+        |SELECT query_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q108_pdf_text_layer" ->
       """SELECT * FROM (VALUES

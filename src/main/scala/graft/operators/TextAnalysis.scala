@@ -260,6 +260,68 @@ object TextAnalysis {
       .select(col(idCol), col("tf_total"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Okapi, the lexical-search workhorse):
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Returns the top `k` docs per
+    * query as (query_id, rnk, doc_id, score), score rounded to 6 dp.
+    *
+    * Scale shape (the posting-list plan, not the naive one):
+    *  - per-doc lengths come from `size(tokens)` inside the scan — NO
+    *    corpus-wide groupBy for dl;
+    *  - the explode is pruned to the union of query terms BEFORE the
+    *    (doc,term) shuffle, so the exchange carries the query postings,
+    *    never the corpus;
+    *  - df and the query map are broadcast (bounded by |terms|); N/avgdl
+    *    is a single-row aggregate crossJoin;
+    *  - the rank window partitions by query_id — bounded per query.
+    *
+    * Cross-engine determinism: per-(query,doc) term contributions are
+    * folded in sorted-term order via a sequential `aggregate` (the q30
+    * list_sum precedent), avgdl is exact-integer-sum / count, and every
+    * constant folds from the same decimal literals both engines parse
+    * identically — so the 6-dp scores hash-match the SQL oracle. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "empty query set")
+    val spark = df.sparkSession
+    val allTerms = queries.flatMap(_._2).distinct
+    val qRows = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+    val qdf = spark.createDataFrame(qRows).toDF("query_id", "token")
+
+    val withDl = df.select(col(idCol).as("doc_id"),
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postings = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .where(col("token").isin(allTerms.map(x => x: Any): _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val termDf = postings.groupBy("token").agg(count(lit(1)).as("df"))
+
+    val scored = postings
+      .join(broadcast(termDf), "token")
+      .join(broadcast(qdf), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("contrib")))).as("cs"))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")), 6))
+      .drop("cs")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+  }
+
   /** Overlapping token-window chunking — the RAG/pretraining chunker: each
     * document becomes (chunk_idx, chunk) rows of `chunkSize` whitespace
     * tokens starting every `chunkSize - overlap`, the final window clipped

@@ -793,6 +793,34 @@ class OperatorsSpec extends SparkSpec {
     assert(hits == Map(1L -> 3L)) // doc1 only: alpha×2 + gamma×1
   }
 
+  test("bm25TopK ranks by relevance: tf up, doc length down, rare terms up") {
+    val df = Seq(
+      (1L, "merge merge merge pad pad pad pad pad pad pad"), // high tf, long
+      (2L, "merge pad"),                                     // low tf, short
+      (3L, "merge merge pad"),                               // mid tf, short
+      (4L, "pad pad pad"),                                   // no hit
+      (5L, "rare merge")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text",
+        Seq(1L -> Seq("merge"), 2L -> Seq("rare", "merge")), k = 5)
+      .orderBy("query_id", "rnk")
+      .select("query_id", "rnk", "doc_id")
+      .as[(Long, Int, Long)].collect().toList
+    val q1 = got.filter(_._1 == 1L).map(_._3)
+    // doc 4 never appears; doc 3 (tf=2, dl=3) beats doc 1 (tf=3 but dl=10
+    // past saturation) and doc 2/5 (tf=1)
+    assert(!q1.contains(4L))
+    assert(q1.head == 3L)
+    assert(q1.indexOf(3L) < q1.indexOf(2L))
+    // two-term query: only doc 5 has 'rare', so it must rank first
+    val q2 = got.filter(_._1 == 2L).map(_._3)
+    assert(q2.head == 5L)
+    // scores are monotone non-increasing within a query by construction
+    val scores = TextAnalysis.bm25TopK(df, "doc_id", "text",
+        Seq(1L -> Seq("merge")), k = 5)
+      .orderBy("rnk").select("score").as[Double].collect().toList
+    assert(scores == scores.sorted.reverse)
+  }
+
   // ---- batch sessionization
 
   test("batchSessions splits on gap, aggregates exactly") {
