@@ -1736,6 +1736,17 @@ object SparkEntry {
         .orderBy("table_idx", "row_idx")
     }),
 
+    // SemDeDup-shape semantic dedup: coarse-codebook clustering bounds the
+    // pairwise-cosine candidate set to within-cluster pairs (never the
+    // corpus); md5-ordered codebook + 6-dp cosine + min-id-keeper make the
+    // whole keep/drop decision oracle-recomputable (q53/q54 precedents).
+    "q111_semantic_dedup" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Dedup.semanticDedup(Tables.embeddings(s, d),
+          "vec_id", "embedding", nClusters = 16, threshold = 0.4)
+        .orderBy("id")
+    }),
+
     // BM25 ranked retrieval over the documents corpus — the lexical-search
     // complement to the embedding paths (q30/q31/q53): posting-list plan
     // (explode pruned to query terms before the shuffle, broadcast df +
@@ -3296,6 +3307,42 @@ object SparkEntry {
         | (CAST(1 AS INTEGER), CAST(3 AS BIGINT), '4', 'IV-7004', CAST(NULL AS DOUBLE))
         |) AS t(table_idx, row_idx, seq, invoice_no, amount)
         |ORDER BY table_idx, row_idx""".stripMargin,
+
+    "q111_semantic_dedup" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |         v AS cv
+        |  FROM vecs
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cscore AS (
+        |  SELECT vv.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(vv.v, c.cv), z -> z[1] * z[2]))
+        |      / (sqrt(list_sum(list_transform(vv.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM vecs vv CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id AS id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM cscore) t
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    ROUND(list_sum(list_transform(list_zip(va.v, vb.v), z -> z[1] * z[2]))
+        |      / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS cos
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+        |  JOIN vecs va ON va.vec_id = a.id
+        |  JOIN vecs vb ON vb.vec_id = b.id),
+        |dups AS (SELECT id_b AS id, MIN(id_a) AS dup_of FROM pairs
+        |         WHERE cos >= 0.4 GROUP BY id_b)
+        |SELECT a.id, CAST(a.cid AS INTEGER) AS cid, d.dup_of,
+        |       d.dup_of IS NULL AS kept
+        |FROM assigned a LEFT JOIN dups d USING (id)
+        |ORDER BY id""".stripMargin,
 
     "q110_bm25_topk" ->
       """WITH dls AS (

@@ -319,6 +319,43 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with a coarse codebook, then compare
+    * cosine ONLY within a cluster — the candidate set is bounded by
+    * cluster sizes (~N/C per cluster), never the corpus, which is the
+    * published recipe's scale shape (k-means with large C at web scale;
+    * skewed clusters → raise C, same remedy as the paper's).
+    *
+    * Deterministic end to end so the decision is oracle-checkable: the
+    * codebook is [[Similarity.sampledCodebook]] (md5-ordered sample, q53
+    * precedent), assignment ties break on centroid id, and similarity
+    * compares the 6-dp-rounded cosine. A doc is dropped when a LOWER id
+    * in its cluster is similar (`dup_of` = the smallest such id) — the
+    * min-id-keeper convention the exact-dedup path uses.
+    *
+    * Returns one row per input doc: (id, cid, dup_of, kept). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double): DataFrame = {
+    val cents = Similarity.sampledCodebook(emb, idCol, vecCol, nClusters)
+    val widen = (c: Column) => transform(c, x => x.cast("double"))
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__vd", widen(col("v")))
+      .withColumn("cid", Similarity.nearestCentroid(col("__vd"), cents))
+      .drop("__vd")
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
+    val dups = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("id"), col("cid"))
+      .join(dups, Seq("id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
   /** Near-dup dedup decision: drop every row whose id sits in a pair
     * cluster but is not the cluster's canonical (min) id. */
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame,

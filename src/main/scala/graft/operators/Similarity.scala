@@ -227,14 +227,14 @@ object Similarity {
   /** Index of the max-cosine centroid for a vector column — a pure
     * projection (k dot products per row, no join, no shuffle), with the
     * codebook embedded as literals. Ties break on the lower centroid id. */
-  private def nearestCentroid(v: Column, cents: Array[Seq[Double]]): Column =
+  private[operators] def nearestCentroid(v: Column, cents: Array[Seq[Double]]): Column =
     element_at(nearestCentroids(v, cents, 1), 1)
 
   /** The `nProbe` nearest centroid ids, best first, as an array column.
     * `v` must be a DOUBLE array (the dot kernel dispatches on the left
     * operand's element type) — callers materialize the widening cast once
     * per row, not once per centroid. */
-  private def nearestCentroids(v: Column, cents: Array[Seq[Double]],
+  private[operators] def nearestCentroids(v: Column, cents: Array[Seq[Double]],
                                nProbe: Int): Column = {
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
       struct(cosine(v, typedlit(c)).as("cdot"), lit(i).as("cid"))

@@ -821,6 +821,29 @@ class OperatorsSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("semanticDedup drops higher-id within-cluster near-dups only") {
+    val df = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),   // identical trio: 10 kept, 11/12 -> 10
+      (11L, Seq(1.0f, 0.0f, 0.0f)),
+      (12L, Seq(1.0f, 0.0f, 0.0f)),
+      (20L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal: kept
+      (30L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal: kept
+      (31L, Seq(0.0f, 0.3f, 1.0f))).toDF("vec_id", "embedding") // cos vs 30 ≈ 0.958 < 0.99
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nClusters = 2, threshold = 0.99)
+      .select("id", "cid", "dup_of", "kept").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toList.sortBy(_._1)
+    val byId = got.map(g => g._1 -> g).toMap
+    // identical vectors always share a cluster: lowest id survives
+    assert(byId(10L)._4 && byId(11L) == ((11L, false, 10L, false)) &&
+      byId(12L) == ((12L, false, 10L, false)))
+    // sub-threshold neighbours stay kept
+    assert(byId(20L)._4 && byId(30L)._4 && byId(31L)._4)
+    // every dropped doc points at a LOWER id
+    got.filter(!_._4).foreach { case (id, _, dupOf, _) => assert(dupOf < id) }
+  }
+
   // ---- batch sessionization
 
   test("batchSessions splits on gap, aggregates exactly") {
