@@ -201,12 +201,15 @@ object PdfReader {
     java.util.regex.Pattern.compile("(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b")
 
   /** Scan every `N G obj … endobj` in the file. Later definitions of the
-    * same object number win (incremental updates append). */
+    * same object number win (incremental updates append). The scan resumes
+    * AFTER each parsed object body — an `N G obj` byte sequence inside a
+    * string or an uncompressed stream can't spoof a phantom object. */
   private[graft] def scanObjects(bytes: Array[Byte]): Map[Int, RawObj] = {
     val latin = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val m = ObjPat.matcher(latin)
     val out = scala.collection.mutable.LinkedHashMap.empty[Int, RawObj]
-    while (m.find()) {
+    var from = 0
+    while (from < latin.length && m.find(from)) {
       val num = m.group(1).toInt
       val lx = new Lexer(bytes, m.end(), bytes.length)
       val dict = new CosParser(lx).value()
@@ -214,8 +217,9 @@ object PdfReader {
       lx.skipWs()
       val streamKw = "stream"
       val hasStream = latin.startsWith(streamKw, lx.pos)
-      val stream =
-        if (!hasStream) None
+      // (stream bytes, end-of-body offset for the resume cursor)
+      val streamAndEnd: (Option[Array[Byte]], Int) =
+        if (!hasStream) (None, lx.pos)
         else {
           var s = lx.pos + streamKw.length
           if (s < bytes.length && bytes(s) == '\r') s += 1
@@ -233,9 +237,10 @@ object PdfReader {
               val i = latin.indexOf("endstream", s)
               if (i < 0) bytes.length else i
           }
-          Some(java.util.Arrays.copyOfRange(bytes, s, e))
+          (Some(java.util.Arrays.copyOfRange(bytes, s, e)), e)
         }
-      out(num) = RawObj(num, dict, stream)
+      out(num) = RawObj(num, dict, streamAndEnd._1)
+      from = streamAndEnd._2.max(m.end())
     }
     out.toMap
   }
