@@ -22,7 +22,8 @@ object EventsStream {
     * is O(active windows), not O(history). The drain sentinel finalizes
     * the trailing windows on a finite run. */
   def tumblingCounts(spark: SparkSession, dir: String,
-                     windowSec: Int = 300): DataFrame = {
+                     windowSec: Int = 300,
+                     statePartitions: Int = 8): DataFrame = {
     val wmDelaySec = 3600L
     val evs = eventsStream(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
@@ -38,7 +39,8 @@ object EventsStream {
     // the predicate below the EventTimeWatermark node and the sentinel
     // never reaches the watermark stats (its window also never finalizes,
     // so this only guards the pathological case)
-    runToTable(agg, "append").where(col("event_type") =!= DrainType)
+    runToTable(agg, "append", statePartitions)
+      .where(col("event_type") =!= DrainType)
   }
 
   private def eventsStream(spark: SparkSession, dir: String) = {
@@ -49,19 +51,38 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+  /** Start-run-drain a streaming query into a memory table.
+    *
+    * `statePartitions` sizes the state-store width: streaming state
+    * instantiates one store per shuffle partition (×4 for a stream-stream
+    * join), each paying snapshot/maintenance overhead per micro-batch, so
+    * the width should track state volume and stateful-key parallelism —
+    * NOT the batch-side shuffle default (inheriting local[32]'s 32 made
+    * the interval join spend 10 of 12 seconds on store machinery; 8 runs
+    * the same query in 3). The conf is captured at query START, so
+    * restoring after start() cannot affect the running query. */
+  private def runToTable(df: DataFrame, mode: String,
+                         statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
     val name = s"events_stream_${System.nanoTime()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    val q =
+      try {
+        spark.conf.set(key, statePartitions)
+        df.writeStream.outputMode(mode).format("memory")
+          .queryName(name).trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set(key, saved)
     q.awaitTermination()
-    df.sparkSession.table(name)
+    spark.table(name)
   }
 
   /** Sliding windows (overlapping), APPEND mode — each event lands in
     * window/slide buckets; a bucket emits once when finalized; watermark
     * bounds state exactly as in the tumbling case. */
   def slidingCounts(spark: SparkSession, dir: String,
-                    windowSec: Int = 600, slideSec: Int = 300): DataFrame = {
+                    windowSec: Int = 600, slideSec: Int = 300,
+                    statePartitions: Int = 8): DataFrame = {
     val wmDelaySec = 3600L
     val evs = eventsStream(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
@@ -74,19 +95,21 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"))
     // drain filter outside the streaming plan — see tumblingCounts
-    runToTable(agg, "append").where(col("event_type") =!= DrainType)
+    runToTable(agg, "append", statePartitions)
+      .where(col("event_type") =!= DrainType)
   }
 
   /** Streaming exact dedup within the watermark horizon — the streaming
     * spelling of U2 (state store keeps one entry per key until the
     * watermark passes; unbounded-history dedup at 100 TB is a non-goal by
     * design). */
-  def dedupedEvents(spark: SparkSession, dir: String): DataFrame = {
+  def dedupedEvents(spark: SparkSession, dir: String,
+                    statePartitions: Int = 8): DataFrame = {
     val deduped = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("event_id"), col("user_id"), col("event_type"))
-    runToTable(deduped, "append")
+    runToTable(deduped, "append", statePartitions)
   }
 
   /** The reference's import loop (S10 → F6 → K4) in streaming form:
@@ -292,7 +315,8 @@ object EventsStream {
     * parquet source is nanos, truncated micros compare identically in any
     * engine, and second-level rounding never reorders a boundary pair. */
   def clickPurchaseIntervalJoin(spark: SparkSession, dir: String,
-                                windowSec: Int = 1800): DataFrame = {
+                                windowSec: Int = 1800,
+                                statePartitions: Int = 8): DataFrame = {
     val wmDelaySec = 3600L
     val sent = drainSentinel(spark, dir, wmDelaySec + windowSec + 60)
       .withColumn("user_id", lit(DrainUser))
@@ -317,7 +341,7 @@ object EventsStream {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
         col("c_ts") <= col("p_ts"))
-    runToTable(joined, "append")
+    runToTable(joined, "append", statePartitions)
       .where(col("p_user") =!= DrainUser)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("purchase_us"),
@@ -330,7 +354,8 @@ object EventsStream {
     * session closes via its event-time timeout — the streaming equivalent
     * of Flink's drain on stop. A live deployment omits the sentinel and
     * sessions close as the watermark advances naturally. */
-  def sessionize(spark: SparkSession, dir: String, gapSec: Int = 1800): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String, gapSec: Int = 1800,
+                 statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val wmDelaySec = 7200L
 
@@ -348,7 +373,7 @@ object EventsStream {
       .as[Ev]
 
     val sessions = sessionizeStream(evs, gapSec)
-    runToTable(sessions.toDF(), "append")
+    runToTable(sessions.toDF(), "append", statePartitions)
       .where(col("user_id") =!= DrainUser)
   }
 }
