@@ -1736,6 +1736,29 @@ object SparkEntry {
         .orderBy("table_idx", "row_idx")
     }),
 
+    // S6's relational slice: multi-pass OCR voting merge — per page, keep
+    // each pass's stripped text when non-empty and not already seen,
+    // joined by newline in first-occurrence order
+    // (pdf_ocr_rm_to_json.py:105-113; only rasterize+Tesseract itself is
+    // external). Inline pass rows mirror the reference's 3-pass slow mode.
+    "q112_ocr_pass_merge" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val passes = Seq(
+        ("a.pdf", 1L, 1, "line one\nline two"),
+        ("a.pdf", 1L, 2, "line one\nline two"),   // identical pass: dropped
+        ("a.pdf", 1L, 3, "line one corrected"),
+        ("a.pdf", 2L, 1, "   "),                   // blank pass: dropped
+        ("a.pdf", 2L, 2, "page two text"),
+        ("b.pdf", 1L, 1, "only pass"),
+        ("b.pdf", 2L, 1, ""),                      // page with no text at all
+        ("b.pdf", 2L, 2, " "))
+        .toDF("file", "page", "pass_idx", "text")
+      graft.sources.OcrConnector
+        .mergeOcrPasses(passes, "file", "page", "pass_idx", "text")
+        .orderBy("file", "page")
+    }),
+
     // SemDeDup-shape semantic dedup: coarse-codebook clustering bounds the
     // pairwise-cosine candidate set to within-cluster pairs (never the
     // corpus); md5-ordered codebook + 6-dp cosine + min-id-keeper make the
@@ -3307,6 +3330,27 @@ object SparkEntry {
         | (CAST(1 AS INTEGER), CAST(3 AS BIGINT), '4', 'IV-7004', CAST(NULL AS DOUBLE))
         |) AS t(table_idx, row_idx, seq, invoice_no, amount)
         |ORDER BY table_idx, row_idx""".stripMargin,
+
+    "q112_ocr_pass_merge" ->
+      """WITH passes(file, page, pass_idx, text) AS (VALUES
+        | ('a.pdf', CAST(1 AS BIGINT), 1, 'line one' || chr(10) || 'line two'),
+        | ('a.pdf', 1, 2, 'line one' || chr(10) || 'line two'),
+        | ('a.pdf', 1, 3, 'line one corrected'),
+        | ('a.pdf', 2, 1, '   '),
+        | ('a.pdf', 2, 2, 'page two text'),
+        | ('b.pdf', 1, 1, 'only pass'),
+        | ('b.pdf', 2, 1, ''),
+        | ('b.pdf', 2, 2, ' ')),
+        |pages AS (SELECT DISTINCT file, page FROM passes),
+        |firsts AS (
+        |  SELECT file, page, TRIM(text) AS t, MIN(pass_idx) AS fi
+        |  FROM passes WHERE TRIM(text) <> '' GROUP BY file, page, TRIM(text)),
+        |merged AS (
+        |  SELECT file, page, string_agg(t, chr(10) ORDER BY fi) AS text
+        |  FROM firsts GROUP BY file, page)
+        |SELECT p.file, p.page, COALESCE(m.text, '') AS text
+        |FROM pages p LEFT JOIN merged m USING (file, page)
+        |ORDER BY file, page""".stripMargin,
 
     "q111_semantic_dedup" ->
       """WITH vecs AS (

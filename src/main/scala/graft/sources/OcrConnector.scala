@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** S8: remote-OCR API connector — the acquisition step that turns scanned
@@ -98,6 +99,37 @@ object OcrConnector {
     * landing in the reject channel. `transport` must be serializable
     * (a plain function; the real one closes over a java.net.http client
     * created per partition). */
+  /** S6's relational slice: multi-pass OCR voting merge. The reference
+    * rasterizes each page, OCRs several preprocessed variants (Otsu /
+    * adaptive-threshold / bilateral), keeps each pass's stripped text if
+    * non-empty and NOT already seen, and joins the survivors with a
+    * newline — first-occurrence order (pdf_ocr_rm_to_json.py:105-113).
+    * Only the rasterize+Tesseract step itself is external; given pass
+    * rows `(file, page, pass_idx, text)` this reproduces the merged
+    * per-page text exactly.
+    *
+    * Spelled as two aggregations (min pass per distinct text, then an
+    * ordered array_join) — a pass emits ONE text, so the per-text min
+    * pass index is unique and the order deterministic. Scale: both
+    * aggregations shuffle on (file, page) — pass fan-in is tiny (≤3). */
+  def mergeOcrPasses(passes: DataFrame, fileCol: String, pageCol: String,
+                     passIdxCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val merged = passes.where(t =!= "")
+      .groupBy(col(fileCol), col(pageCol), t.as("__t"))
+      .agg(min(col(passIdxCol)).as("__first"))
+      .groupBy(col(fileCol), col(pageCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("__first"), col("__t")))),
+          s => s.getField("__t")), "\n").as("__text"))
+    // a page whose passes are ALL blank still emits a row with "" — the
+    // reference appends {page, text: ""} unconditionally
+    passes.select(col(fileCol), col(pageCol)).distinct()
+      .join(merged, Seq(fileCol, pageCol), "left")
+      .withColumn("text", coalesce(col("__text"), lit("")))
+      .drop("__text")
+  }
+
   def ocrFiles(spark: SparkSession, path: String, url: String, apiKey: String,
                taskType: String,
                transport: OcrRequest => (Int, String)): DataFrame = {

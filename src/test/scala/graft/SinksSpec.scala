@@ -142,6 +142,20 @@ class SinksSpec extends SparkSpec {
     assert(n == 4)
   }
 
+  test("S6 slice: multi-pass OCR merge keeps first occurrence, blank pages emit ''") {
+    import spark.implicits._
+    val passes = Seq(
+      ("f", 1L, 1, "A\nB"), ("f", 1L, 2, " A\nB "), // stripped dup of pass 1
+      ("f", 1L, 3, "C"),
+      ("f", 2L, 1, ""), ("f", 2L, 2, "  "))        // all-blank page
+      .toDF("file", "page", "pass_idx", "text")
+    val got = graft.sources.OcrConnector
+      .mergeOcrPasses(passes, "file", "page", "pass_idx", "text")
+      .orderBy("page").select("page", "text")
+      .as[(Long, String)].collect().toList
+    assert(got == List(1L -> "A\nB\nC", 2L -> ""))
+  }
+
   test("S8 OCR connector: request shaping, response walk, reject channel — offline") {
     import graft.sources.{HtmlTables, OcrConnector}
     // request shaping mirrors the reference's multipart form field-for-field
