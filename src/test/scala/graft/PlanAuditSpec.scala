@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audit over the whole query suite: the properties that make
+  * a plan survive a 100× scale-up are asserted here as invariants, so a
+  * refactor that silently loses a pushdown or introduces an all-pairs
+  * join fails CI, not the cluster.
+  *
+  * Queries whose builder runs machinery (streaming drains, sink
+  * round-trips, upserts) return materialized results — their final plans
+  * are local scans and the assertions hold trivially; the cost of
+  * building them here is the machinery itself, so they are skipped to
+  * keep the suite fast (each has its own oracle gate + spec). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  // machinery queries: building the DataFrame executes work (streaming
+  // drain / sink write / upsert); plan-shape asserts add nothing there
+  private val machinery = Set(
+    "q22_merge_upsert", "q33_stream_tumbling", "q36_dbd_financial_pipeline",
+    "q43_company_financial", "q50_stream_sliding", "q51_stream_sessions",
+    "q68_csv_sink_roundtrip", "q70_stream_interval_join")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.filterNot(q => machinery(q._1)).map { case (name, fn) =>
+      name -> fn(spark, d).queryExecution.executedPlan.toString
+    }
+
+  test("no unbounded cartesian product anywhere in the suite") {
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("single-row cross joins stay broadcast, never shuffled") {
+    // every crossJoin in the suite is a single-row aggregate or snippet:
+    // it must appear as BroadcastNestedLoopJoin, whose build side is tiny
+    val shuffledCross = plans.collect {
+      case (name, plan)
+        if plan.contains("CartesianProduct") ||
+           plan.contains("ShuffledNestedLoop") => name
+    }
+    assert(shuffledCross.isEmpty, s"non-broadcast cross joins in: $shuffledCross")
+  }
+
+  test("filters reach the parquet scan (pushdown spot checks)") {
+    // plan.toString truncates long FileScan lines before PushedFilters;
+    // DataFilters on the scan node carries the same signal
+    val q01 = plans("q01_pricing_summary")
+    assert(q01.contains("DataFilters: [isnotnull(l_shipdate"),
+      "q01 lost the l_shipdate scan pushdown")
+    val q12 = plans("q12_big_orders_no_deep_discount")
+    assert(q12.contains("DataFilters: [isnotnull(l_discount") ||
+           q12.contains("DataFilters: [isnotnull(o_totalprice"),
+      "q12 lost its scan pushdowns")
+  }
+
+  test("column pruning: wide tables are never scanned in full") {
+    // q02 touches lineitem(3 cols of 16): ReadSchema must be a subset
+    val q02 = plans("q02_revenue_by_nation")
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(q02).map(_.group(1)).toList
+    assert(read.nonEmpty && read.forall(_.split(",").length <= 6),
+      s"q02 reads too many columns: $read")
+  }
+
+  test("broadcast joins where a side is dimension-sized") {
+    // q02 (TPC-H Q5 family): customer/nation/region ride as broadcasts
+    val q02 = plans("q02_revenue_by_nation")
+    assert(q02.contains("BroadcastHashJoin"), "q02 lost its dim broadcasts")
+    // q110: df + query map broadcast, corpus never broadcast
+    val q110 = plans("q110_bm25_topk")
+    assert(q110.contains("BroadcastHashJoin"), "q110 lost its broadcast joins")
+  }
+}
