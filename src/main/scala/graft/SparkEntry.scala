@@ -1770,6 +1770,79 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Line-level boilerplate removal (RefinedWeb/CCNet line dedup): lines
+    // repeated across >= minDf distinct docs are dropped everywhere, the
+    // rest reassembled in order. The corpus (which has no newlines) gets a
+    // deterministic line structure in-query — 8-token chunk lines plus
+    // injected cookie/social boilerplate on doc_id residues — so the
+    // operator's keep/drop frontier is exercised and SQL-recomputable.
+    "q113_line_boilerplate" -> ((s0, d) => {
+      val s = prep(s0)
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 4 === 0, lit("click here to accept cookies")),
+          array_join(graft.plans.VectorExpressions.tokenChunks(
+            split(trim(col("text")), "\\s+"), 8, 8), "\n"),
+          when(col("doc_id") % 3 === 0, lit("follow us on social media"))).as("text"))
+      graft.operators.TextAnalysis.dropBoilerplateLines(lined, "doc_id", "text", minDf = 10)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("clean_digest"),
+          col("n_lines"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // Perplexity-style quality scoring under the corpus's own unigram LM
+    // (the CCNet recipe, self-supervised): top-24 vocab + add-one
+    // smoothing, per-doc avg negative log-likelihood at 6 dp. Sorted-term
+    // folds + factored-out denominators make the doubles hash-match.
+    "q114_unigram_nll" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.TextAnalysis.unigramNll(
+          Tables.documents(s, d), "doc_id", "text", vocabSize = 24)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact-substring duplicate passages (Lee et al., ACL '22): position-
+    // stamped 8-grams, df-pruned self-join, diagonal islands merge. The
+    // corpus gets prefix-shifted clones in-query so known long spans exist
+    // at a nonzero offset; organic word-soup 8-grams never repeat, so the
+    // result isolates the true passage matches.
+    "q117_dup_passages" -> ((s0, d) => {
+      val s = prep(s0)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val clones = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("zzz0 zzz1 zzz2 "), col("text")).as("text"))
+      graft.operators.Dedup.duplicatePassages(
+          docs.unionByName(clones), "doc_id", "text",
+          n = 8, minSpanTokens = 15)
+        .orderBy("id_a", "id_b", "a_start", "b_start")
+    }),
+
+    // Portable HyperLogLog distinct-user profile per event type: md5-hash
+    // registers (engine-independent, mergeable by register-max), exact
+    // integer register sums, linear-counting small-range correction. The
+    // register digest pins the SKETCH itself cross-engine, not just the
+    // rounded estimate; the exact count rides along as the error witness.
+    "q116_hll_distinct" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Sketches.hllProfile(
+          Tables.events(s, d), Seq("event_type"), "user_id")
+        .orderBy("event_type")
+    }),
+
+    // DSIR importance weights (hashed-unigram log-likelihood ratio vs a
+    // target set = the English slice): md5-nibble feature hashing (the
+    // portable-hash family), add-one smoothing, sorted-bucket folds.
+    "q115_dsir_weights" -> ((s0, d) => {
+      val s = prep(s0)
+      val docs = Tables.documents(s, d)
+      graft.operators.TextAnalysis.dsirScores(
+          docs, docs.where(col("lang") === "en"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("dsir_score"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval over the documents corpus — the lexical-search
     // complement to the embedding paths (q30/q31/q53): posting-list plan
     // (explode pruned to query terms before the shuffle, broadcast df +
@@ -3420,6 +3493,207 @@ object SparkEntry {
         |      FROM agg)
         |SELECT query_id, rnk, doc_id, score FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Rebuilds the pseudo-lined corpus (8-token chunk lines + residue
+    // boilerplate), recomputes distinct-doc line frequency, drops lines
+    // with df >= 10, reassembles in order — md5 digests compare the text.
+    "q113_line_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CAST(ceil(greatest(len(toks) - 8, 0) / 8.0) AS INT) AS kmax
+        |  FROM t),
+        |ix AS (SELECT doc_id, toks, n, unnest(range(0, kmax + 1)) AS i FROM k),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(toks[CAST(i*8 + 1 AS INT) : CAST(least(i*8 + 8, n) AS INT)], ' ') AS line
+        |  FROM ix),
+        |lined AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      CASE WHEN doc_id % 4 = 0 THEN 'click here to accept cookies' END,
+        |      string_agg(line, chr(10) ORDER BY chunk_idx),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'follow us on social media' END) AS text
+        |  FROM chunks GROUP BY doc_id),
+        |lsx AS (
+        |  SELECT doc_id, lines, unnest(range(0, len(lines))) AS i
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined) x),
+        |ls AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    lines[CAST(i + 1 AS INT)] AS line
+        |  FROM lsx),
+        |boiler AS (
+        |  SELECT line_key FROM (
+        |    SELECT DISTINCT doc_id, md5(TRIM(line)) AS line_key FROM ls) z
+        |  GROUP BY line_key HAVING COUNT(*) >= 10),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM ls
+        |  WHERE md5(TRIM(line)) NOT IN (SELECT line_key FROM boiler)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+        |  FROM lined)
+        |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS clean_digest,
+        |  t.n_lines, t.n_lines - coalesce(a.n_kept, 0) AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Corpus unigram LM: top-24 vocab by (cnt DESC, token), add-one
+    // smoothing, nll = n*ln(N+V+1) - sum(n_tok*ln(cnt+1)) folded in
+    // sorted-token order (the factored spelling the Spark side uses).
+    "q114_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                       x -> x <> '')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM toks GROUP BY token),
+        |totals AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+        |vocab AS (SELECT token, cnt FROM (
+        |    SELECT token, cnt,
+        |      ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+        |    FROM counts) v WHERE rk <= 24),
+        |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM toks GROUP BY doc_id, token),
+        |terms AS (
+        |  SELECT d.doc_id, d.token, d.n,
+        |    d.n * ln(coalesce(v.cnt, 0) + 1.0) AS term
+        |  FROM dt d LEFT JOIN vocab v USING (token)),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    list_sum(list(term ORDER BY token)) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND((n_tokens * ln(n_total + 24 + 1.0) - s) / n_tokens, 6) AS avg_nll
+        |FROM agg CROSS JOIN totals
+        |ORDER BY doc_id""".stripMargin,
+
+    // DSIR log-likelihood ratio over md5-nibble hashed buckets (4096):
+    // target = lang='en'; λ folds per doc in sorted-bucket order with the
+    // totals term factored out, mirroring the Spark fold exactly.
+    "q115_dsir_weights" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                       x -> x <> '')) AS token
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lang, token,
+        |    (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) AS bucket
+        |  FROM tok0),
+        |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_cnt
+        |        FROM toks WHERE lang = 'en' GROUP BY bucket),
+        |bg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS b_cnt
+        |       FROM toks GROUP BY bucket),
+        |tt AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_total FROM tgt),
+        |bt AS (SELECT CAST(SUM(b_cnt) AS BIGINT) AS b_total FROM bg),
+        |lam AS (
+        |  SELECT bg.bucket,
+        |    ln(coalesce(t.t_cnt, 0) + 1.0) - ln(bg.b_cnt + 1.0) AS lam_core
+        |  FROM bg LEFT JOIN tgt t USING (bucket)),
+        |dt AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM toks GROUP BY doc_id, bucket),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    list_sum(list(n * lam_core ORDER BY bucket)) AS s
+        |  FROM dt JOIN lam USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(s + n_tokens * (ln(b_total + 4096.0) - ln(t_total + 4096.0)), 6)
+        |    AS dsir_score
+        |FROM agg CROSS JOIN tt CROSS JOIN bt
+        |ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the passage scan: same mutant corpus, position-stamped
+    // 8-grams, 2..1000 df prune, diagonal gaps-and-islands, span >= 15.
+    "q117_dup_passages" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, 'zzz0 zzz1 zzz2 ' || text AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id AS id,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM base),
+        |tt AS (SELECT id, toks, len(toks) AS nt FROM t WHERE len(toks) >= 8),
+        |ix AS (SELECT id, toks, unnest(range(0, nt - 7)) AS i FROM tt),
+        |g AS (
+        |  SELECT id, CAST(i AS INT) AS pos,
+        |    array_to_string(toks[CAST(i + 1 AS INT) : CAST(i + 8 AS INT)], ' ') AS gram
+        |  FROM ix),
+        |usable AS (
+        |  SELECT gram FROM (SELECT DISTINCT gram, id FROM g) z
+        |  GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |p AS (SELECT g.id, g.pos, g.gram FROM g JOIN usable USING (gram)),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a,
+        |    a.pos - b.pos AS diag
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id),
+        |runs AS (
+        |  SELECT id_a, id_b, diag, pos_a,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+        |                               ORDER BY pos_a) AS grp
+        |  FROM cand),
+        |spans AS (
+        |  SELECT id_a, id_b, diag, MIN(pos_a) AS a_start,
+        |    CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM runs GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, CAST(a_start AS INT) AS a_start,
+        |  CAST(a_start - diag AS INT) AS b_start, span_tokens
+        |FROM spans WHERE span_tokens >= 15
+        |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
+
+    // Recomputes the md5-portable HLL end to end: 60-bit hash from 15
+    // nibbles, idx = top 8 bits, rho = 53 - bitlength of the 52-bit
+    // remainder, register max, exact integer 2^(53-rho) sums, identical
+    // constant folding for the estimate, linear counting under 2.5m.
+    "q116_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS hv
+        |  FROM events),
+        |rr AS (
+        |  SELECT event_type, hv >> 52 AS idx,
+        |    CASE WHEN (hv & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+        |         ELSE 53 - length(bin(hv & ((CAST(1 AS BIGINT) << 52) - 1)))
+        |    END AS rho
+        |  FROM h),
+        |regs AS (
+        |  SELECT event_type, idx, CAST(MAX(rho) AS INT) AS rho
+        |  FROM rr GROUP BY event_type, idx),
+        |est AS (
+        |  SELECT event_type,
+        |    SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INT)) AS s_present,
+        |    COUNT(*) AS n_present,
+        |    md5(string_agg(idx || ':' || rho, ',' ORDER BY idx)) AS reg_digest
+        |  FROM regs GROUP BY event_type),
+        |calc AS (
+        |  SELECT event_type, reg_digest, 256 - n_present AS zeros,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 9007199254740992.0
+        |      / CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53)
+        |             AS DOUBLE) AS raw
+        |  FROM est),
+        |exact AS (
+        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT c.event_type,
+        |  ROUND(CASE WHEN raw <= 640.0 AND zeros > 0
+        |        THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4)
+        |    AS est_distinct,
+        |  reg_digest, exact_distinct
+        |FROM calc c JOIN exact USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q108_pdf_text_layer" ->
       """SELECT * FROM (VALUES

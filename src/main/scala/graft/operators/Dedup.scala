@@ -319,6 +319,65 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Cross-document duplicate PASSAGES — the exact-substring half of
+    * training-data dedup (Lee et al., ACL '22, "Deduplicating Training
+    * Data Makes Language Models Better": document-level near-dup misses
+    * long verbatim spans embedded in otherwise-distinct pages; those
+    * spans measurably hurt the model). Finds all maximal shared token
+    * runs of >= `minSpanTokens` between document pairs, via the
+    * inverted-index spelling of the suffix-scan: position-stamped word
+    * n-grams, a self-join restricted to grams seen in 2..`maxGramDf`
+    * docs, then a gaps-and-islands merge of consecutive matches along
+    * each (pair, offset-difference) diagonal — a run of r consecutive
+    * matching n-grams is a shared span of r+n-1 tokens.
+    *
+    * Scale shape: the posting exchange carries (md5(gram), id, pos) —
+    * never text; the df prune (>= 2 for any match, <= maxGramDf as the
+    * hot-gram guard the band joins use) bounds every join bucket, so a
+    * boilerplate gram shared by a million docs is excluded instead of
+    * exploding quadratically — the published pipeline drops those grams
+    * too, for the same reason. The islands window partitions by
+    * (pair, diagonal) — granular, never global.
+    *
+    * Returns (id_a, id_b, a_start, b_start, span_tokens), id_a < id_b,
+    * positions 0-based in token space. */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minSpanTokens: Int = 15,
+                        maxGramDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpanTokens >= n, s"minSpanTokens $minSpanTokens must be >= n=$n")
+    val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+    // position-stamped grams (NOT distinct — positions are the payload);
+    // toks is a materialized attribute so the HOF slices don't re-tokenize
+    val grams = toked
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), md5(col("gram")).as("gkey"))
+    // df prune: only grams in 2..maxGramDf distinct docs can contribute
+    val usable = grams.select("gkey", "id").distinct()
+      .groupBy("gkey").agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") >= 2 && col("gdf") <= maxGramDf)
+      .select("gkey")
+    val pruned = grams.join(usable, Seq("gkey"))
+    val a = pruned.select(col("gkey"), col("id").as("id_a"), col("pos").as("pos_a"))
+    val b = pruned.select(col("gkey"), col("id").as("id_b"), col("pos").as("pos_b"))
+    val cand = a.join(b, Seq("gkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    // gaps-and-islands along each diagonal: consecutive pos_a = one run
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    cand.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg(min(col("pos_a")).as("a_start"),
+        (count(lit(1)) + lit(n - 1)).as("span_tokens"))
+      .withColumn("b_start", col("a_start") - col("diag"))
+      .where(col("span_tokens") >= minSpanTokens)
+      .select("id_a", "id_b", "a_start", "b_start", "span_tokens")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding space with a coarse codebook, then compare

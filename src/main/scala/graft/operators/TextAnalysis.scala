@@ -338,4 +338,151 @@ object TextAnalysis {
           split(trim(col(textCol)), "\\s+"), chunkSize, chunkSize - overlap))
       .as(Seq("chunk_idx", "chunk")))
   }
+
+  /** Line-level boilerplate removal — the web-corpus cleaning step that
+    * strips lines repeated across many documents (cookie banners, nav
+    * menus, share buttons) while leaving document-specific text intact
+    * (the RefinedWeb / CCNet line-dedup recipe). A line is boilerplate
+    * when its trim-normalized form appears in >= `minDf` DISTINCT
+    * documents; every occurrence of a boilerplate line is dropped and the
+    * remaining lines are reassembled in original order.
+    *
+    * Scale shape: the line-frequency pass exchanges (md5(line), doc_id)
+    * pairs only — never line text — and map-side partial aggregation
+    * collapses within-document repeats before the shuffle. The
+    * boilerplate set is by construction tiny (lines crossing a
+    * corpus-wide frequency threshold), so it rides back as a BROADCAST
+    * and the keep/drop decision is a broadcast anti-probe with no second
+    * corpus exchange; only the reassembly groupBy shuffles kept lines
+    * once. Returns (id, clean_text, n_lines, n_dropped). */
+  def dropBoilerplateLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, minDf: Int,
+                           sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(minDf >= 2, s"minDf $minDf must be >= 2")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("lkey", md5(trim(col("line"))))
+    // distinct-doc frequency: two-level aggregate so a line repeated
+    // inside one document counts once (distinct first = map-side combine)
+    val boiler = lines.select("lkey", "id").distinct()
+      .groupBy("lkey").agg(count(lit(1)).as("line_df"))
+      .where(col("line_df") >= minDf)
+      .select("lkey")
+    val kept = lines
+      .join(broadcast(boiler), Seq("lkey"), "left_anti")
+    kept.groupBy("id")
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"),
+        count(lit(1)).as("n_kept"))
+      .join(df.select(col(idCol).as("id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long").as("n_lines")),
+        Seq("id"), "right")
+      .select(col("id"),
+        coalesce(array_join(transform(col("ls"), x => x.getField("line")), sep), lit(""))
+          .as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Per-document negative log-likelihood under the corpus unigram LM —
+    * the perplexity-style quality signal (the CCNet recipe scores docs
+    * with a KenLM model; the self-supervised variant here builds the LM
+    * from the corpus itself). Vocabulary = the `vocabSize` most frequent
+    * tokens (ties broken by token text, so the cut is deterministic);
+    * add-one smoothing over vocab + one OOV bucket:
+    * p(tok) = (cnt+1)/(N+V+1) in-vocab, 1/(N+V+1) for OOV. Returns
+    * (id, n_tokens, avg_nll) with avg_nll = -sum(ln p)/n_tokens at 6 dp.
+    *
+    * Cross-engine exactness is engineered like q110's BM25: per-document
+    * contributions fold in sorted-token order (OOV mass folded as one
+    * deterministic term), every ln() argument is the same exact rational
+    * on both engines, and the final division + round happen once.
+    *
+    * Scale shape: token counts are one map-side-combined shuffle of
+    * (token, n); the vocab is top-V of that — a broadcast. The per-doc
+    * pass aggregates (id, token) locally, probes the broadcast vocab, and
+    * folds — one corpus exchange of (id, token, cnt) total. */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+          .as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("n_total"), count(lit(1)).as("n_distinct"))
+    val vocab = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .where(col("rk") <= vocabSize)
+      .select("token", "cnt")
+    val perDocTok = toks.groupBy("id", "token").agg(count(lit(1)).as("n"))
+      .join(broadcast(vocab), Seq("token"), "left")
+    // ln p folds per document in sorted-token order; the denominator
+    // ln(N+V+1) factors out: nll = n_tokens*ln(N+V+1) - sum(n*ln(cnt+1))
+    // — fewer ln() calls and one exactly-reproducible fold
+    perDocTok
+      .groupBy("id")
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sort_array(collect_list(struct(col("token"),
+          (col("n").cast("double") * log(coalesce(col("cnt"), lit(0L)) + lit(1.0)))
+            .as("term")))).as("cs"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll",
+        col("n_tokens").cast("double") * log(col("n_total") + lit(vocabSize.toDouble) + lit(1.0))
+          - aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("term")))
+      .select(col("id"), col("n_tokens"),
+        round(col("nll") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS '23): score each
+    * corpus document by how target-like its hashed unigram features are —
+    * the log-likelihood ratio between a target-set feature distribution
+    * and the corpus-wide background distribution, summed over the
+    * document's tokens. Features are md5-hashed into 4096 buckets (three
+    * leading hex nibbles — the same portable-hash family as the simhash /
+    * LSH oracles), both distributions add-one smoothed. Returns every doc
+    * with (id, n_tokens, dsir_score) at 6 dp — positive = target-like.
+    *
+    * Scale shape: both bucket tables are fixed 4096-row aggregates →
+    * broadcast; the corpus pass is one map-side-combined exchange of
+    * (id, bucket, cnt) and a sorted fold. The target set never needs to
+    * be big — that is the method's point. */
+  def dsirScores(corpus: org.apache.spark.sql.DataFrame,
+                 target: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val nBuckets = 4096
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(idCol).as("id"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .withColumn("bucket", conv(substring(md5(col("token")), 1, 3), 16, 10).cast("long"))
+    val tgt = bucketed(target).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val bg  = bucketed(corpus).groupBy("bucket").agg(count(lit(1)).as("b_cnt"))
+    val tgtTotal = tgt.agg(sum("t_cnt").as("t_total"))
+    val bgTotal  = bg.agg(sum("b_cnt").as("b_total"))
+    // λ_b = ln(t_b+1) - ln(T+B) - ln(c_b+1) + ln(C+B); the totals factor
+    // out of the per-doc fold exactly like unigramNll's denominator
+    val lam = bg.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log(coalesce(col("t_cnt"), lit(0L)) + lit(1.0))
+          - log(col("b_cnt") + lit(1.0))).as("lam_core"))
+    bucketed(corpus)
+      .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy("id")
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sort_array(collect_list(struct(col("bucket"),
+          (col("n").cast("double") * col("lam_core")).as("term")))).as("cs"))
+      .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(bgTotal))
+      .withColumn("score",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("term"))
+          + col("n_tokens").cast("double")
+            * (log(col("b_total") + lit(nBuckets.toDouble))
+              - log(col("t_total") + lit(nBuckets.toDouble))))
+      .select(col("id"), col("n_tokens"), round(col("score"), 6).as("dsir_score"))
+  }
 }

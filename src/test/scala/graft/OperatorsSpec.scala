@@ -909,4 +909,136 @@ class OperatorsSpec extends SparkSpec {
     val small = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
     assert(Sampling.capPerGroup(small, "g", "id", 10).count() == 2)
   }
+
+  // ---- line-level boilerplate removal
+
+  test("dropBoilerplateLines strips high-df lines, keeps order, counts drops") {
+    val docs = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
+      (2L, "cookie banner\nown text two"),      // trim/case: different key
+      (3L, "COOKIE BANNER\nthird body"),
+      (4L, "  COOKIE BANNER  \nfourth body\nCOOKIE BANNER"), // trim-matches; twice in one doc
+      (5L, "COOKIE BANNER")).toDF("doc_id", "text") // whole doc is boilerplate
+    val out = TextAnalysis.dropBoilerplateLines(docs, "doc_id", "text", minDf = 3)
+      .orderBy("id").as[(Long, String, Long, Long)].collect()
+    // df("COOKIE BANNER") = 4 distinct docs (1,3,4,5) >= 3 → dropped everywhere;
+    // "cookie banner" (lowercase) df=1 survives
+    assert(out(0) == ((1L, "unique alpha\nunique beta", 3L, 1L)))
+    assert(out(1) == ((2L, "cookie banner\nown text two", 2L, 0L)))
+    assert(out(2) == ((3L, "third body", 2L, 1L)))
+    // both occurrences dropped, untrimmed original lines preserved for kept
+    assert(out(3) == ((4L, "fourth body", 3L, 2L)))
+    // fully-boilerplate doc stays as a row with empty clean text
+    assert(out(4) == ((5L, "", 1L, 1L)))
+  }
+
+  // ---- unigram-LM quality scores
+
+  test("unigramNll: frequent-token docs score lower; OOV scores highest") {
+    val docs = Seq(
+      (1L, "the the the the"),          // most frequent token only
+      (2L, "the cat sat"),              // mixed
+      (3L, "zyx")                       // rare → below vocab cut when V small
+      ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    // counts: the=5, cat=1, sat=1, zyx=1 → vocab (V=2) = {the, cat}
+    assert(out.map(_._2).toSeq == Seq(4L, 3L, 1L))
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) < byId(2L) && byId(2L) < byId(3L))
+    // doc 3's token is OOV: nll = ln(N+V+1) exactly (ln(8+2+1))
+    assert(math.abs(byId(3L) - math.log(11.0)) < 1e-6)
+  }
+
+  test("dsirScores: target-like docs score above background-like docs") {
+    val corpus = Seq(
+      (1L, "aa aa bb"), (2L, "aa bb bb"), (3L, "cc cc dd"), (4L, "cc dd dd"),
+      (5L, "aa aa aa"), (6L, "dd dd dd")).toDF("doc_id", "text")
+    val target = corpus.where(col("doc_id") <= 2) // aa/bb-heavy slice
+    val out = TextAnalysis.dsirScores(corpus, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // target-likeness ordering: bb occurs only in the target slice, so the
+    // bb-bearing doc outranks aa-only; cc/dd (background-only) rank below,
+    // dd (most background-heavy) last
+    assert(out(1L) > out(5L) && out(5L) > out(3L) && out(3L) > out(6L))
+    // rerun-stable (no RNG, no partition sensitivity)
+    val again = TextAnalysis.dsirScores(corpus.repartition(7), target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == again)
+  }
+
+  // ---- exact-substring duplicate passages
+
+  test("duplicatePassages finds shared spans at the right offsets") {
+    // doc 1 and doc 2 share a 20-token run; doc 2 has a 3-token prefix so
+    // the diagonal is nonzero. doc 3 shares only a 10-token run with doc 1
+    // (< minSpanTokens=15) and must not pair.
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a0 a1 $shared a2 a3"),
+      (2L, s"b0 b1 b2 $shared b3"),
+      (3L, "c0 c1 " + (0 until 10).map(i => s"s$i").mkString(" ") + " c2 c3 c4 c5 c6"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatePassages(docs, "doc_id", "text",
+        n = 8, minSpanTokens = 15)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 2, 3, 20L)))
+  }
+
+  test("duplicatePassages: maxGramDf prunes boilerplate grams; partition-invariant") {
+    // the same 8-gram in 5 docs with maxGramDf=4 → no candidates at all
+    val boiler = (0 until 16).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 5L).map(id => (id, s"u$id $boiler")).toDF("doc_id", "text")
+    assert(Dedup.duplicatePassages(docs, "doc_id", "text", n = 8,
+      minSpanTokens = 15, maxGramDf = 4).count() == 0)
+    // raising the cap restores all 10 pairs, each with the full 16-token span
+    val pairs = Dedup.duplicatePassages(docs.repartition(7), "doc_id", "text",
+        n = 8, minSpanTokens = 15, maxGramDf = 5)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    assert(pairs.length == 10 && pairs.forall(_._5 == 16L))
+  }
+
+  test("duplicatePassages merges adjacent grams into one maximal span") {
+    // a 30-token shared run is ONE span of 30, not 23 overlapping 8-gram rows
+    val run = (0 until 30).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, run), (2L, s"x y $run")).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassages(docs, "doc_id", "text", n = 8, minSpanTokens = 15)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0, 2, 30L)))
+  }
+
+  // ---- portable HyperLogLog
+
+  test("hllProfile: estimate within the m=256 error contract; registers merge") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val prof = Sketches.hllProfile(df, Seq("g"), "v")
+      .select("exact_distinct", "est_distinct").as[(Long, Double)].head()
+    assert(prof._1 == n.toLong)
+    // standard error 1.04/sqrt(256) ~ 6.5%; assert within 4 sigma
+    assert(math.abs(prof._2 - n) / n < 0.26, s"estimate ${prof._2} too far from $n")
+    // union-by-max merge of two halves == registers of the whole
+    val a = Sketches.hllRegisters(df.where(expr("substr(v, 6) % 2 = 0")), Seq("g"), "v")
+    val b = Sketches.hllRegisters(df.where(expr("substr(v, 6) % 2 = 1")), Seq("g"), "v")
+    val merged = Sketches.hllMerge(a, b, Seq("g"))
+      .orderBy("idx").as[(String, Long, Int)].collect()
+    val whole = Sketches.hllRegisters(df, Seq("g"), "v")
+      .orderBy("idx").as[(String, Long, Int)].collect()
+    assert(merged.toSeq == whole.toSeq)
+    // idempotent: re-merging the same sketch is a no-op
+    val re = Sketches.hllMerge(Sketches.hllRegisters(df, Seq("g"), "v"),
+        Sketches.hllRegisters(df, Seq("g"), "v"), Seq("g"))
+      .orderBy("idx").as[(String, Long, Int)].collect()
+    assert(re.toSeq == whole.toSeq)
+  }
+
+  test("hllRegisters: rho is the portable leading-zero spelling, partition-invariant") {
+    val df = (1 to 200).map(i => ("g", i.toString)).toDF("g", "v")
+    val r1 = Sketches.hllRegisters(df, Seq("g"), "v")
+      .orderBy("idx").as[(String, Long, Int)].collect()
+    val r2 = Sketches.hllRegisters(df.repartition(13), Seq("g"), "v")
+      .orderBy("idx").as[(String, Long, Int)].collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.forall { case (_, idx, rho) => idx >= 0 && idx < 256 && rho >= 1 && rho <= 53 })
+  }
 }
