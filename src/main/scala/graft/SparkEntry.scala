@@ -1831,6 +1831,63 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // KMV bottom-k sketch overlap: distinct-user estimates AND pairwise
+    // Jaccard/intersection between event types from 256-long sketches —
+    // bounded-state custom aggregate (BoundedMinK), so the exchange is
+    // sketch-sized, never COUNT(DISTINCT)-sized. Exact Jaccard rides
+    // along as the error witness; everything md5-deterministic.
+    "q118_kmv_overlap" -> ((s0, d) => {
+      val s = prep(s0)
+      val ev = Tables.events(s, d)
+      val pairs = graft.operators.Sketches.kmvPairOverlap(ev, "event_type", "user_id", k = 256)
+      val du = ev.select("event_type", "user_id").distinct()
+      val cnt = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val inter = du.as("x").join(du.as("y"), Seq("user_id"))
+        .select(col("x.event_type").as("g_a"), col("y.event_type").as("g_b"))
+        .where(col("g_a") < col("g_b"))
+        .groupBy("g_a", "g_b").agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(cnt.select(col("event_type").as("g_a"), col("n").as("n_a")), Seq("g_a"))
+        .join(cnt.select(col("event_type").as("g_b"), col("n").as("n_b")), Seq("g_b"))
+        .join(inter, Seq("g_a", "g_b"), "left")
+        .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+        .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"),
+          col("est_union"), col("jacc_est"), col("inter_est"),
+          round(col("ni").cast("double")
+            / (col("n_a") + col("n_b") - col("ni")).cast("double"), 6).as("exact_jacc"))
+        .orderBy("g_a", "g_b")
+    }),
+
+    // Portable Bloom filter membership: build over 'view' users (65536
+    // bits, 3 md5 draws), probe distinct 'purchase' users — the probe is
+    // a broadcast of <= 1024 (word, mask) rows, so the corpus side never
+    // shuffles; zero false negatives by construction, false positives
+    // counted against the exact semi-join witness. The word:mask digest
+    // pins the filter itself cross-engine.
+    "q119_bloom_membership" -> ((s0, d) => {
+      val s = prep(s0)
+      val ev = Tables.events(s, d)
+      val seen = ev.where(col("event_type") === "view").select("user_id")
+      val words = graft.operators.Sketches.bloomWords(seen, Seq.empty, "user_id")
+      val probes = ev.where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      val probed = graft.operators.Sketches.bloomProbe(words, probes, Seq.empty, "user_id")
+      val stats = words.agg(
+        sum(expr("bit_count(mask)")).cast("long").as("bits_set"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("word"), col("mask")))),
+            x => concat_ws(":", x.getField("word"), x.getField("mask"))))).as("bloom_digest"))
+      val np = probes.agg(count(lit(1)).as("n_probed"))
+      val pos = probed.agg(
+        sum(when(col("bloom_positive"), lit(1L)).otherwise(lit(0L))).as("n_positive"))
+      val nt = probes.join(seen.distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("n_true"))
+      np.crossJoin(pos).crossJoin(nt).crossJoin(stats)
+        .select(col("n_probed"), col("n_positive"), col("n_true"),
+          (col("n_positive") - col("n_true")).as("n_false_pos"),
+          col("bits_set"), col("bloom_digest"))
+    }),
+
     // DSIR importance weights (hashed-unigram log-likelihood ratio vs a
     // target set = the English slice): md5-nibble feature hashing (the
     // portable-hash family), add-one smoothing, sorted-bucket folds.
@@ -3694,6 +3751,108 @@ object SparkEntry {
         |  reg_digest, exact_distinct
         |FROM calc c JOIN exact USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // Recomputes the KMV sketches (k smallest distinct 60-bit md5 hashes
+    // per event type — the unbounded window spelling stands in for the
+    // bounded aggregate), the merged-union overlap estimators, and the
+    // exact Jaccard witness, with identical constant folding.
+    "q118_kmv_overlap" ->
+      """WITH h0 AS (
+        |  SELECT DISTINCT event_type,
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS hv
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        |  FROM h0),
+        |kmv AS (
+        |  SELECT event_type, list(hv ORDER BY hv) AS s
+        |  FROM rk WHERE rk <= 256 GROUP BY event_type),
+        |pr AS (
+        |  SELECT a.event_type AS g_a, b.event_type AS g_b, a.s AS sa, b.s AS sb,
+        |    list_sort(list_distinct(list_concat(a.s, b.s)))[1:256] AS x
+        |  FROM kmv a JOIN kmv b ON a.event_type < b.event_type),
+        |est AS (
+        |  SELECT g_a, g_b,
+        |    CASE WHEN len(sa) < 256 THEN CAST(len(sa) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 / CAST(sa[256] AS DOUBLE) END AS ea,
+        |    CASE WHEN len(sb) < 256 THEN CAST(len(sb) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 / CAST(sb[256] AS DOUBLE) END AS eb,
+        |    CASE WHEN len(x) < 256 THEN CAST(len(x) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 / CAST(x[256] AS DOUBLE) END AS eu,
+        |    CAST(len(list_filter(x, v ->
+        |      list_contains(sa, v) AND list_contains(sb, v))) AS DOUBLE)
+        |      / CAST(len(x) AS DOUBLE) AS jacc
+        |  FROM pr),
+        |du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
+        |ex AS (
+        |  SELECT x.event_type AS g_a, y.event_type AS g_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.g_a, e.g_b, ROUND(ea, 4) AS est_a, ROUND(eb, 4) AS est_b,
+        |  ROUND(eu, 4) AS est_union, ROUND(jacc, 6) AS jacc_est,
+        |  ROUND(jacc * eu, 4) AS inter_est,
+        |  ROUND(CAST(coalesce(x.n_inter, 0) AS DOUBLE)
+        |    / CAST(ca.n + cb.n - coalesce(x.n_inter, 0) AS DOUBLE), 6) AS exact_jacc
+        |FROM est e
+        |JOIN cnts ca ON ca.event_type = e.g_a
+        |JOIN cnts cb ON cb.event_type = e.g_b
+        |LEFT JOIN ex x ON x.g_a = e.g_a AND x.g_b = e.g_b
+        |ORDER BY e.g_a, e.g_b""".stripMargin,
+
+    // Recomputes the Bloom filter: 3 x 16-bit md5 draws per value
+    // ("value#j"), word = pos >> 5, mask = bit_or of 1 << (pos % 32)
+    // (32-bit packing — engines disagree on shifts into the sign bit),
+    // probe = all 3 bits set (missing word rows count as misses), digest
+    // over word:mask in word order, exact semi-join witness.
+    "q119_bloom_membership" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |probes AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |js AS (SELECT unnest(range(0, 3)) AS j),
+        |spos AS (
+        |  SELECT s.user_id,
+        |    list_sum(list_transform(range(1, 5), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(s.user_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)),
+        |                CAST(i AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (4 - i) AS INT)))) AS pos
+        |  FROM seen s CROSS JOIN js),
+        |words AS (
+        |  SELECT pos >> 5 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+        |  FROM spos GROUP BY 1),
+        |ppos AS (
+        |  SELECT p.user_id,
+        |    list_sum(list_transform(range(1, 5), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(p.user_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)),
+        |                CAST(i AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (4 - i) AS INT)))) AS pos
+        |  FROM probes p CROSS JOIN js),
+        |hits AS (
+        |  SELECT p.user_id,
+        |    SUM(CASE WHEN ((w.mask >> CAST(p.pos % 32 AS INT)) & 1) = 1
+        |        THEN 1 ELSE 0 END) AS h
+        |  FROM ppos p LEFT JOIN words w ON w.word = p.pos >> 5
+        |  GROUP BY 1),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probed FROM probes),
+        |pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_positive FROM hits WHERE h = 3),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+        |       FROM probes JOIN seen USING (user_id)),
+        |ws AS (
+        |  SELECT CAST(SUM(bit_count(mask)) AS BIGINT) AS bits_set,
+        |    md5(string_agg(word || ':' || mask, ',' ORDER BY word)) AS bloom_digest
+        |  FROM words)
+        |SELECT n_probed, n_positive, n_true,
+        |  n_positive - n_true AS n_false_pos, bits_set, bloom_digest
+        |FROM np CROSS JOIN pc CROSS JOIN tr CROSS JOIN ws""".stripMargin,
 
     "q108_pdf_text_layer" ->
       """SELECT * FROM (VALUES

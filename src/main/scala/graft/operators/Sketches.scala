@@ -108,4 +108,123 @@ object Sketches {
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
     est.join(digest, groupCols).join(exact, groupCols)
   }
+
+  // ------------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k) sketch — distinct counts PLUS set
+  // overlap between groups, which HLL can only reach through lossy
+  // inclusion-exclusion. Same portable 60-bit md5 hash as the HLL.
+  // ------------------------------------------------------------------
+
+  private val HashSpace = 1.152921504606846976e18 // 2^60, exact as a double
+
+  /** KMV sketch aggregate column over an already-hashed long input: the
+    * k smallest distinct hashes, ascending. Bounded state — see
+    * [[graft.plans.BoundedMinK]] for why the window/distinct spelling is
+    * NOT this (it would shuffle every distinct hash). */
+  def kmvAgg(hashed: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(graft.plans.BoundedMinK(
+      ColumnGlue.expression(hashed), k).toAggregateExpression())
+  }
+
+  /** Per-group KMV sketches: (groupCols..., kmv array<long> ascending). */
+  def kmvSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kmvAgg(h60(col(valueCol)), k).as("kmv"))
+
+  /** Distinct-count estimate from a KMV sketch array: exact when the
+    * sketch holds fewer than k hashes (nothing was discarded), else the
+    * classic unbiased (k-1) * |H| / h_(k) with |H| = 2^60. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
+        / element_at(sketch, k).cast("double"))
+
+  /** Pairwise overlap between every two groups, from their sketches
+    * alone (Beyer et al., SIGMOD '07): merge the two sketches, keep the
+    * k smallest of the union — every one of those lies below both
+    * originals' kth order statistic, so membership tests against the
+    * per-group sketches are definitive — and estimate
+    * Jaccard = |{h in X : h in A and h in B}| / |X|,
+    * intersection = Jaccard * union-estimate. Everything is determined
+    * by the hashes: rerun-stable and recomputable by any md5 engine.
+    *
+    * Scale shape: sketches are <= k longs per group; the pair cross-join
+    * is |groups|^2 sketch rows (groups = event types, days, sources —
+    * small), never data. Returns (g_a, g_b, est_a, est_b, est_union,
+    * jacc_est 6dp, inter_est 4dp) with g_a < g_b. */
+  def kmvPairOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Int): DataFrame = {
+    val sk = kmvSketches(df, Seq(groupCol), valueCol, k)
+    val a = sk.select(col(groupCol).as("g_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col(groupCol).as("g_b"), col("kmv").as("kmv_b"))
+    val x = slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k)
+    val inBoth = size(filter(x, h =>
+      array_contains(col("kmv_a"), h) && array_contains(col("kmv_b"), h)))
+    a.crossJoin(b).where(col("g_a") < col("g_b"))
+      .withColumn("x", x)
+      .withColumn("jacc", inBoth.cast("double") / size(col("x")).cast("double"))
+      .withColumn("est_union", kmvEstimate(col("x"), k))
+      .select(col("g_a"), col("g_b"),
+        round(kmvEstimate(col("kmv_a"), k), 4).as("est_a"),
+        round(kmvEstimate(col("kmv_b"), k), 4).as("est_b"),
+        round(col("est_union"), 4).as("est_union"),
+        round(col("jacc"), 6).as("jacc_est"),
+        round(col("jacc") * col("est_union"), 4).as("inter_est"))
+  }
+
+  // ------------------------------------------------------------------
+  // Portable Bloom filter — membership probe instead of a join against
+  // the historical corpus (has-this-URL-been-crawled, is-this-doc-id
+  // already ingested). m = 65536 bits fixed (4 md5 hex nibbles index the
+  // bit space exactly — no modulo bias), numHashes independent md5
+  // draws via a "#j" suffix. Spark's own bloom_filter_agg hashes with
+  // engine-private xxHash; this one is recomputable anywhere.
+  // ------------------------------------------------------------------
+
+  /** Bit positions for one value: numHashes independent 16-bit md5 draws. */
+  def bloomPositions(v: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      conv(substring(md5(concat(v.cast("string"), lit("#"), j.cast("string"))),
+        1, 4), 16, 10).cast("long"))
+
+  /** Build per-group Bloom filters as (groupCols..., word, mask) rows:
+    * word = bit-position >> 5, mask = OR of 1L << (pos % 32) — 32 bits
+    * per word, so no shift ever reaches the sign bit (engines disagree
+    * on 1 << 63: Spark wraps, DuckDB raises) and every mask renders as
+    * the same small positive decimal everywhere. The relational spelling
+    * of the sketch — `bit_or` partials combine map-side, the exchange is
+    * bounded by 2048 words per group per partition, and two filters
+    * (days, shards, incremental batches) merge by the same
+    * groupBy-bit_or. Absent words are absent rows (all-zero masks are
+    * never materialized). */
+  def bloomWords(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 numHashes: Int = 3): DataFrame =
+    df.select(groupCols.map(col) :+
+        explode(bloomPositions(col(valueCol), numHashes)).as("pos"): _*)
+      .withColumn("word", shiftright(col("pos"), 5))
+      .withColumn("m", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(expr("bit_or(m)").as("mask"))
+
+  /** Probe values against a built filter: returns (groupCols...,
+    * valueCol, bloom_positive). A value is positive iff every one of its
+    * numHashes bits is set — no false negatives by construction; false
+    * positives at the classic (1 - e^{-kn/m})^k rate. The filter side is
+    * <= 2048 rows per group, so the probe join broadcasts: the corpus
+    * side never shuffles — the 100 TB point of the operator. */
+  def bloomProbe(words: DataFrame, probes: DataFrame, groupCols: Seq[String],
+                 valueCol: String, numHashes: Int = 3): DataFrame = {
+    val exploded = probes
+      .select((groupCols :+ valueCol).map(col) :+
+        explode(bloomPositions(col(valueCol), numHashes)).as("pos"): _*)
+      .withColumn("word", shiftright(col("pos"), 5))
+    exploded
+      .join(broadcast(words), groupCols :+ "word", "left")
+      .withColumn("hit",
+        expr("coalesce(shiftright(mask, CAST(pos % 32 AS INT)) & 1, 0)"))
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg((sum(col("hit")) === numHashes).as("bloom_positive"))
+  }
 }

@@ -1041,4 +1041,80 @@ class OperatorsSpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
     assert(r1.forall { case (_, idx, rho) => idx >= 0 && idx < 256 && rho >= 1 && rho <= 53 })
   }
+
+  // ---- KMV bottom-k sketch (bounded-state custom aggregate)
+
+  test("kmvSketches holds exactly the k smallest distinct hashes, partition-invariant") {
+    val df = ((1 to 500) ++ (1 to 500)).map(i => ("g", s"v$i")).toDF("g", "v")
+    val sk = Sketches.kmvSketches(df, Seq("g"), "v", k = 32)
+      .select("kmv").as[Seq[Long]].head()
+    // ground truth via the unbounded spelling
+    val truth = df.select(
+        expr("CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct().orderBy("h").limit(32).as[Long].collect().toSeq
+    assert(sk == truth)
+    assert(sk == sk.sorted && sk.distinct == sk)
+    val sk2 = Sketches.kmvSketches(df.repartition(17), Seq("g"), "v", k = 32)
+      .select("kmv").as[Seq[Long]].head()
+    assert(sk2 == sk)
+    // under-full group: sketch IS the full distinct hash set
+    val small = Seq(("g", "a"), ("g", "b"), ("g", "a")).toDF("g", "v")
+    assert(Sketches.kmvSketches(small, Seq("g"), "v", k = 32)
+      .select("kmv").as[Seq[Long]].head().size == 2)
+  }
+
+  test("kmvEstimate within the k=256 error contract; exact when under-full") {
+    val n = 4000
+    val df = (1 to n).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val est = Sketches.kmvSketches(df, Seq("g"), "v", k = 256)
+      .select(Sketches.kmvEstimate(col("kmv"), 256)).as[Double].head()
+    // standard error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est too far from $n")
+    val exact = Sketches.kmvSketches(df.limit(100), Seq("g"), "v", k = 256)
+      .select(Sketches.kmvEstimate(col("kmv"), 256)).as[Double].head()
+    assert(exact == 100.0)
+  }
+
+  test("kmvPairOverlap estimates Jaccard between constructed overlapping sets") {
+    // A = 1..2000, B = 1001..3000 → |A∩B|=1000, |A∪B|=3000, J=1/3
+    val df = ((1 to 2000).map(i => ("A", s"u$i")) ++
+      (1001 to 3000).map(i => ("B", s"u$i"))).toDF("g", "v")
+    val row = Sketches.kmvPairOverlap(df, "g", "v", k = 256)
+      .as[(String, String, Double, Double, Double, Double, Double)].head()
+    assert(row._1 == "A" && row._2 == "B")
+    assert(math.abs(row._6 - 1.0 / 3.0) < 0.12, s"jacc ${row._6} vs 1/3")
+    assert(math.abs(row._7 - 1000.0) / 1000.0 < 0.35, s"inter ${row._7} vs 1000")
+    // disjoint sets → exactly zero (no hash collides across 60 bits here)
+    val dj = ((1 to 500).map(i => ("A", s"x$i")) ++
+      (1 to 500).map(i => ("B", s"y$i"))).toDF("g", "v")
+    val z = Sketches.kmvPairOverlap(dj, "g", "v", k = 256)
+      .as[(String, String, Double, Double, Double, Double, Double)].head()
+    assert(z._6 == 0.0 && z._7 == 0.0)
+  }
+
+  // ---- portable Bloom filter
+
+  test("bloom: zero false negatives, plausible FPR, incremental merge") {
+    val members = (1 to 2000).map(i => ("s", s"m$i")).toDF("g", "v")
+    val words = Sketches.bloomWords(members, Seq("g"), "v")
+    assert(words.count() <= 2048)
+    // every member probes positive
+    val posCount = Sketches.bloomProbe(words, members.distinct(), Seq("g"), "v")
+      .where(col("bloom_positive")).count()
+    assert(posCount == 2000)
+    // non-members: FPR for m=65536, k=3, n=2000 is ~0.06%; 4000 probes
+    // should see a handful at most
+    val strangers = (1 to 4000).map(i => ("s", s"q$i")).toDF("g", "v")
+    val fp = Sketches.bloomProbe(words, strangers, Seq("g"), "v")
+      .where(col("bloom_positive")).count()
+    assert(fp <= 40, s"implausible false-positive count $fp")
+    // building in two halves and bit_or-merging == building whole
+    val h1 = Sketches.bloomWords(members.where(expr("substr(v,2) % 2 = 0")), Seq("g"), "v")
+    val h2 = Sketches.bloomWords(members.where(expr("substr(v,2) % 2 = 1")), Seq("g"), "v")
+    val merged = h1.unionByName(h2).groupBy("g", "word")
+      .agg(expr("bit_or(mask)").as("mask"))
+      .orderBy("word").as[(String, Long, Long)].collect()
+    val whole = words.orderBy("word").as[(String, Long, Long)].collect()
+    assert(merged.toSeq == whole.toSeq)
+  }
 }
