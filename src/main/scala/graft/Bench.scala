@@ -6,12 +6,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise model: one untimed warmup pass (JIT + codegen + file-index caches
   * load once, as they would in any long-running service), then `RUNS`
-  * timed, cache-isolated runs per query; the reported figure is the
-  * per-query MEDIAN, so a single host-load spike cannot masquerade as a
-  * regression (the round-3 lesson: two streaming queries showed 2-3x on
-  * the official artifact purely from background load). The 1-minute load
-  * average is stamped at start and end so any remaining interference is
-  * visible in the artifact itself, not just in prose. */
+  * timed, cache-isolated samples per query with the median reported — and
+  * the samples are INTERLEAVED (whole-suite pass 1, then pass 2, then
+  * pass 3) rather than back-to-back. Back-to-back samples defeat the
+  * median against real interference: a host-load event lasting a few
+  * minutes covers all three consecutive samples of every query in its
+  * window, so a contiguous block of queries reads 2-10x slow (observed
+  * twice in round 4, different blocks each run). Interleaving puts a
+  * query's samples ~minutes apart, so one interference window can
+  * contaminate at most one sample per query and the median discards it.
+  * The 1-minute load average is stamped at start and after every pass so
+  * any remaining interference is visible in the artifact itself. */
 object Bench {
   private val Runs = 3
 
@@ -48,21 +53,25 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       clearCaches()
     }
-    val results = ordered.map { case (name, fn) =>
-      val samples = (1 to Runs).map { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val passLoads = (1 to Runs).map { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
+        samples(name) ::= (System.nanoTime() - t0) / 1e9
         clearCaches()
-        t
       }
-      name -> samples.sorted.apply(Runs / 2)
+      loadAvg()
     }
-    val load1 = loadAvg()
+    val results = ordered.map { case (name, _) =>
+      name -> samples(name).sorted.apply(Runs / 2)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","loadavg_start":$load0,"loadavg_end":$load1}""")
+    val loads = passLoads.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads}""")
     spark.stop()
   }
 }

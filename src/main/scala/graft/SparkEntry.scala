@@ -1819,6 +1819,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b", "a_start", "b_start")
     }),
 
+    // The action half of q117: excise every duplicated span from the
+    // higher-id doc of each pair (keep-first), overlapping victim
+    // intervals merged, text rebuilt in order — the cleaned corpus the
+    // passage scan exists to produce. Same mutant corpus as q117.
+    "q120_passage_scrub" -> ((s0, d) => {
+      val s = prep(s0)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val clones = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("zzz0 zzz1 zzz2 "), col("text")).as("text"))
+      graft.operators.Dedup.removeDuplicatePassages(
+          docs.unionByName(clones), "doc_id", "text",
+          n = 8, minSpanTokens = 15)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("clean_digest"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Portable HyperLogLog distinct-user profile per event type: md5-hash
     // registers (engine-independent, mergeable by register-max), exact
     // integer register sums, linear-counting small-range correction. The
@@ -3751,6 +3769,73 @@ object SparkEntry {
         |  reg_digest, exact_distinct
         |FROM calc c JOIN exact USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // Recomputes the passage scan (q117's CTE chain), merges each victim
+    // doc's intervals (running-max islands), rebuilds the text without
+    // the removed token positions, digests it.
+    "q120_passage_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, 'zzz0 zzz1 zzz2 ' || text AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id AS id,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM base),
+        |tt AS (SELECT id, toks, len(toks) AS nt FROM t WHERE len(toks) >= 8),
+        |ix AS (SELECT id, toks, unnest(range(0, nt - 7)) AS i FROM tt),
+        |g AS (
+        |  SELECT id, CAST(i AS INT) AS pos,
+        |    array_to_string(toks[CAST(i + 1 AS INT) : CAST(i + 8 AS INT)], ' ') AS gram
+        |  FROM ix),
+        |usable AS (
+        |  SELECT gram FROM (SELECT DISTINCT gram, id FROM g) z
+        |  GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |p AS (SELECT g.id, g.pos, g.gram FROM g JOIN usable USING (gram)),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a,
+        |    a.pos - b.pos AS diag
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id),
+        |runs AS (
+        |  SELECT id_a, id_b, diag, pos_a,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+        |                               ORDER BY pos_a) AS grp
+        |  FROM cand),
+        |spans AS (
+        |  SELECT id_a, id_b, diag, MIN(pos_a) AS a_start,
+        |    COUNT(*) + 7 AS span_tokens
+        |  FROM runs GROUP BY id_a, id_b, diag, grp),
+        |ivs0 AS (
+        |  SELECT id_b AS id, CAST(a_start - diag AS BIGINT) AS s,
+        |    CAST(a_start - diag + span_tokens AS BIGINT) AS e
+        |  FROM spans WHERE span_tokens >= 15),
+        |mi AS (
+        |  SELECT id, s, e,
+        |    MAX(e) OVER (PARTITION BY id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM ivs0),
+        |isl AS (
+        |  SELECT id, s, e,
+        |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM mi),
+        |miv AS (SELECT id, island, MIN(s) AS s, MAX(e) AS e
+        |        FROM isl GROUP BY id, island),
+        |tok AS (SELECT id, toks, unnest(range(0, len(toks))) AS i FROM t),
+        |kept AS (
+        |  SELECT k.id, k.i, k.toks[CAST(k.i + 1 AS INT)] AS tok
+        |  FROM tok k LEFT JOIN miv v ON v.id = k.id AND k.i >= v.s AND k.i < v.e
+        |  WHERE v.id IS NULL),
+        |agg AS (SELECT id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        |        FROM kept GROUP BY id),
+        |rem AS (SELECT id, CAST(SUM(e - s) AS BIGINT) AS n_removed
+        |        FROM miv GROUP BY id)
+        |SELECT t.id AS doc_id, md5(coalesce(a.clean_text, '')) AS clean_digest,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(r.n_removed, 0) AS n_removed
+        |FROM t LEFT JOIN agg a USING (id) LEFT JOIN rem r USING (id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Recomputes the KMV sketches (k smallest distinct 60-bit md5 hashes
     // per event type — the unbounded window spelling stands in for the

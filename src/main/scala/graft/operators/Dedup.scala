@@ -378,6 +378,59 @@ object Dedup {
       .select("id_a", "id_b", "a_start", "b_start", "span_tokens")
   }
 
+  /** The ACTION half of [[duplicatePassages]]: excise every duplicated
+    * span from the HIGHER-id document of each pair (keep-first, the same
+    * min-id-keeper policy as [[dropNearDups]]), returning the cleaned
+    * corpus — what "deduplicating training data" actually ships (Lee et
+    * al., ACL '22 remove the repeated spans, not just report them).
+    *
+    * Per victim doc the removed intervals are merged first (classic
+    * running-max islands over a per-doc window — overlapping spans from
+    * different partners must not double-count), then the text is rebuilt
+    * in one pass: tokens whose position falls inside a removed interval
+    * are dropped, the rest rejoin in order.
+    *
+    * Scale shape: the span table is output-sized (duplicate pairs), its
+    * windows partition by victim doc id — granular, never global. The
+    * merged intervals collapse to ONE array row per victim doc (bounded
+    * by that doc's span count), so the rebuild join adds one exchange of
+    * interval rows keyed by id and the corpus text crosses no exchange
+    * at all when the join broadcasts (victims << corpus).
+    *
+    * Returns every input doc: (id, clean_text, n_tokens, n_removed),
+    * untouched docs with n_removed = 0. */
+  def removeDuplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 8, minSpanTokens: Int = 15,
+                              maxGramDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicatePassages(df, idCol, textCol, n, minSpanTokens, maxGramDf)
+      .select(col("id_b").as("id"), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens")).as("e"))
+    // merge overlapping intervals per doc: island = rows whose start
+    // exceeds the running max end of everything before them
+    val w = Window.partitionBy("id").orderBy("s", "e")
+    val merged = spans
+      .withColumn("prev_max_e", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1)
+          .otherwise(0)).over(w))
+      .groupBy("id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .join(broadcast(merged), Seq("id"), "left")
+      .select(col("id"),
+        array_join(filter(col("toks"), (t, i) =>
+          col("ivs").isNull || !exists(col("ivs"), v =>
+            i >= v.getField("s") && i < v.getField("e"))), " ").as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("ivs"), lit(0L),
+          (acc, v) => acc + (v.getField("e") - v.getField("s"))), lit(0L))
+          .as("n_removed"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding space with a coarse codebook, then compare

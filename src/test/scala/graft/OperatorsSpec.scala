@@ -998,6 +998,35 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.length == 10 && pairs.forall(_._5 == 16L))
   }
 
+  test("removeDuplicatePassages excises spans from the higher-id doc only") {
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a0 a1 $shared a2"),
+      (2L, s"b0 $shared b1 b2")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatePassages(docs, "doc_id", "text",
+        n = 8, minSpanTokens = 15)
+      .orderBy("id").as[(Long, String, Long, Long)].collect()
+    // doc 1 (keeper) untouched, normalized; doc 2 loses exactly the span
+    assert(out(0) == ((1L, s"a0 a1 $shared a2", 23L, 0L)))
+    assert(out(1) == ((2L, "b0 b1 b2", 23L, 20L)))
+  }
+
+  test("removeDuplicatePassages merges overlapping spans from different partners") {
+    // doc 10 copies tokens r0..r19 from doc 1 and r10..r29 from doc 2 as
+    // ONE contiguous r0..r29 run -> overlapping victim intervals [2,22)
+    // and [12,32) must merge to [2,32): 30 removed, not 40
+    val run = (0 until 30).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 20).map(i => s"r$i").mkString(" ")),
+      (2L, (10 until 30).map(i => s"r$i").mkString(" ")),
+      (10L, s"x0 x1 $run x2")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatePassages(docs, "doc_id", "text",
+        n = 8, minSpanTokens = 15)
+      .orderBy("id").as[(Long, String, Long, Long)].collect()
+    assert(out(2) == ((10L, "x0 x1 x2", 33L, 30L)))
+    assert(out(0)._4 == 0L && out(1)._4 == 0L)
+  }
+
   test("duplicatePassages merges adjacent grams into one maximal span") {
     // a 30-token shared run is ONE span of 30, not 23 overlapping 8-gram rows
     val run = (0 until 30).map(i => s"r$i").mkString(" ")
