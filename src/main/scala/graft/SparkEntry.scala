@@ -1837,6 +1837,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming windowed distinct-user sketches: per-event HLL register
+    // as a stateless projection, windowed register-MAX as the only
+    // streaming state (<= 256 ints per window x type, independent of
+    // event volume), append emission on watermark passage. Estimate +
+    // digest are a batch step over the drained registers; exact windowed
+    // distincts ride along as the error witness. The whole chain is
+    // md5-deterministic, so the oracle recomputes the registers
+    // themselves — same contract as q116, now through streaming state.
+    "q121_stream_hll_window" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sketches
+      val regs = graft.streaming.EventsStream.windowedHllRegisters(s, d, 3600)
+      val prof = Sketches.hllRegisterProfile(regs, Seq("win_start", "event_type"))
+      val exact = Tables.events(s, d)
+        .withColumn("win_start",
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+        .groupBy("win_start", "event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      prof.join(exact, Seq("win_start", "event_type"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // Portable HyperLogLog distinct-user profile per event type: md5-hash
     // registers (engine-independent, mergeable by register-max), exact
     // integer register sums, linear-counting small-range correction. The
@@ -3769,6 +3791,51 @@ object SparkEntry {
         |  reg_digest, exact_distinct
         |FROM calc c JOIN exact USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // q116's register recompute, windowed: the streaming state is just
+    // the per-(window, type) register max, so the batch SQL is identical
+    // modulo the win_start grouping key.
+    "q121_stream_hll_window" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS win_start,
+        |    event_type, user_id,
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS hv
+        |  FROM events),
+        |rr AS (
+        |  SELECT win_start, event_type, hv >> 52 AS idx,
+        |    CASE WHEN (hv & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+        |         ELSE 53 - length(bin(hv & ((CAST(1 AS BIGINT) << 52) - 1)))
+        |    END AS rho
+        |  FROM h),
+        |regs AS (
+        |  SELECT win_start, event_type, idx, CAST(MAX(rho) AS INT) AS rho
+        |  FROM rr GROUP BY win_start, event_type, idx),
+        |est AS (
+        |  SELECT win_start, event_type,
+        |    SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INT)) AS s_present,
+        |    COUNT(*) AS n_present,
+        |    md5(string_agg(idx || ':' || rho, ',' ORDER BY idx)) AS reg_digest
+        |  FROM regs GROUP BY win_start, event_type),
+        |calc AS (
+        |  SELECT win_start, event_type, reg_digest, 256 - n_present AS zeros,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 9007199254740992.0
+        |      / CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53)
+        |             AS DOUBLE) AS raw
+        |  FROM est),
+        |exact AS (
+        |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS win_start,
+        |    event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.win_start, c.event_type,
+        |  ROUND(CASE WHEN raw <= 640.0 AND zeros > 0
+        |        THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4)
+        |    AS est_distinct,
+        |  reg_digest, exact_distinct
+        |FROM calc c JOIN exact USING (win_start, event_type)
+        |ORDER BY win_start, event_type""".stripMargin,
 
     // Recomputes the passage scan (q117's CTE chain), merges each victim
     // doc's intervals (running-max islands), rebuilds the text without

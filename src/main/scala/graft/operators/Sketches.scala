@@ -36,20 +36,29 @@ object Sketches {
   private def h60(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** HLL register index of a value (top 8 hash bits) — exposed so
+    * streaming plans can compute registers as a stateless projection and
+    * keep only the windowed register-max as state. */
+  def hllIdx(v: Column): Column = shiftright(h60(v), RemBits)
+
+  /** HLL register rank of a value (leading-zero count of the 52 rank
+    * bits, + 1) — the portable `length(bin(...))` spelling. */
+  def hllRho(v: Column): Column = {
+    val rem = h60(v).bitwiseAND(lit(RemMask))
+    when(rem === 0, lit(RemBits + 1))
+      .otherwise(lit(RemBits + 1) - length(bin(rem)))
+  }
+
   /** Per-(group, register) rank rows: idx in [0, 256), rho = leading-zero
     * count of the 52 rank bits + 1 (in [1, 53]). `bin()` renders a long
     * without leading zeros on every engine, so rho = 53 - length(bin(rem))
     * is the portable spelling of the leading-zero count. */
-  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
-    val h = h60(col(valueCol))
-    val rem = h.bitwiseAND(lit(RemMask))
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.select(groupCols.map(col) :+
-        shiftright(h, RemBits).as("idx") :+
-        when(rem === 0, lit(RemBits + 1))
-          .otherwise(lit(RemBits + 1) - length(bin(rem))).as("rho"): _*)
+        hllIdx(col(valueCol)).as("idx") :+
+        hllRho(col(valueCol)).as("rho"): _*)
       .groupBy((groupCols :+ "idx").map(col): _*)
       .agg(max(col("rho")).cast("int").as("rho"))
-  }
 
   /** Merge register sets (sketch union): register-wise max. Inputs are
     * `hllRegisters`-shaped frames over the same group columns. */
@@ -67,14 +76,10 @@ object Sketches {
     * fold from identical literals. Small-range correction (linear
     * counting) applies below 2.5m when empty registers remain, as in the
     * original paper. Returns (groupCols..., est_distinct) at 4 dp. */
-  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+  private def estimateFromGrouped(grouped: DataFrame, groupCols: Seq[String],
+                                  extraCols: Seq[String]): DataFrame = {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
     val pow53 = lit(9007199254740992.0) // 2^53 as an exact double literal
-    val grouped = regs
-      .groupBy(groupCols.map(col): _*)
-      .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RemBits + 1} - rho)")).as("s_present"),
-        count(lit(1)).as("n_present"))
     grouped
       .withColumn("zeros", lit(M) - col("n_present"))
       // absent registers contribute 2^53 each (rho = 0)
@@ -86,8 +91,31 @@ object Sketches {
         round(when(col("raw") <= lit(2.5 * M) && col("zeros") > 0,
             lit(M.toDouble) * log(lit(M.toDouble) / col("zeros").cast("double")))
           .otherwise(col("raw")), 4))
-      .select((groupCols.map(col) :+ col("est_distinct")): _*)
+      .select((groupCols.map(col) :+ col("est_distinct")) ++ extraCols.map(col): _*)
   }
+
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    estimateFromGrouped(
+      regs.groupBy(groupCols.map(col): _*)
+        .agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RemBits + 1} - rho)")).as("s_present"),
+          count(lit(1)).as("n_present")),
+      groupCols, Nil)
+
+  /** Estimate + register digest from a register frame in ONE aggregation
+    * pass — one scan, and safe on sources that cannot be self-joined
+    * (e.g. a drained streaming memory table, whose View attributes fail
+    * join dedup). */
+  def hllRegisterProfile(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    estimateFromGrouped(
+      regs.groupBy(groupCols.map(col): _*)
+        .agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RemBits + 1} - rho)")).as("s_present"),
+          count(lit(1)).as("n_present"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("idx"), col("rho")))),
+              x => concat_ws(":", x.getField("idx"), x.getField("rho"))))).as("reg_digest")),
+      groupCols, Seq("reg_digest"))
 
   /** One-call profile: per-group HLL estimate side by side with the exact
     * distinct count and a register digest (md5 over "idx:rho" pairs in
@@ -97,16 +125,10 @@ object Sketches {
     * corpus is small and the estimate's error contract (±~6.5%) is the
     * property worth pinning. */
   def hllProfile(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
-    val regs = hllRegisters(df, groupCols, valueCol)
-    val est = hllEstimate(regs, groupCols)
-    val digest = regs
-      .groupBy(groupCols.map(col): _*)
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("idx"), col("rho")))),
-          x => concat_ws(":", x.getField("idx"), x.getField("rho"))))).as("reg_digest"))
+    val prof = hllRegisterProfile(hllRegisters(df, groupCols, valueCol), groupCols)
     val exact = df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
-    est.join(digest, groupCols).join(exact, groupCols)
+    prof.join(exact, groupCols)
   }
 
   // ------------------------------------------------------------------

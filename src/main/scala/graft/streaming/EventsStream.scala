@@ -112,6 +112,41 @@ object EventsStream {
     runToTable(deduped, "append", statePartitions)
   }
 
+  /** Windowed distinct-user sketches in streaming: per-event register
+    * (idx, rho) is a STATELESS projection ([[graft.operators.Sketches]]
+    * portable HLL), and the only state kept is the windowed register-max
+    * — at most 256 ints per (window, event_type), independent of how many
+    * events or distinct users the window sees. That bounded, merge-by-max
+    * state is precisely the aggregate shape streaming state stores want:
+    * `max` partials fold per micro-batch with no buffer growth, where a
+    * windowed `approx_count_distinct` would carry engine-private HLL++
+    * buffers and an exact `collect_set` would hold every key. Emission is
+    * append-mode on watermark passage, same contract as [[tumblingCounts]];
+    * the estimate/digest read is a BATCH step over the drained registers
+    * (estimation is presentation, not state). */
+  def windowedHllRegisters(spark: SparkSession, dir: String,
+                           windowSec: Int = 3600,
+                           statePartitions: Int = 8): DataFrame = {
+    import graft.operators.Sketches
+    val wmDelaySec = 3600L
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"))
+      .unionByName(drainSentinel(spark, dir, wmDelaySec + windowSec + 60)
+        .select(col("ts"), col("event_type"), lit(-1L).as("user_id")))
+      .withWatermark("ts", s"$wmDelaySec seconds")
+    val agg = evs
+      .withColumn("idx", Sketches.hllIdx(col("user_id")))
+      .withColumn("rho", Sketches.hllRho(col("user_id")))
+      .groupBy(window(col("ts"), s"$windowSec seconds"),
+        col("event_type"), col("idx"))
+      .agg(max(col("rho")).cast("int").as("rho"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("idx"), col("rho"))
+    // drain filter outside the streaming plan — see tumblingCounts
+    runToTable(agg, "append", statePartitions)
+      .where(col("event_type") =!= DrainType)
+  }
+
   /** The reference's import loop (S10 → F6 → K4) in streaming form:
     * readStream → foreachBatch MERGE into a parquet table keyed by event_id
     * and PARTITIONED BY event_date. Each micro-batch:

@@ -19,6 +19,19 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming windowed HLL registers equal the batch sketch exactly") {
+    val streamed = EventsStream.windowedHllRegisters(spark, sfDir, 3600)
+      .orderBy("win_start", "event_type", "idx").collect()
+    val batch = graft.operators.Sketches.hllRegisters(
+        Tables.events(spark, sfDir)
+          .withColumn("win_start",
+            (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")),
+        Seq("win_start", "event_type"), "user_id")
+      .orderBy("win_start", "event_type", "idx").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("sliding windows cover each event twice") {
     val slid = EventsStream.slidingCounts(spark, sfDir, 600, 300)
     val total = slid.agg(sum("n")).collect()(0).getLong(0)
