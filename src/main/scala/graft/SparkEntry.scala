@@ -1837,6 +1837,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Z-order layout quality: Morton-interleave (l_partkey, l_suppkey),
+    // fixed-width z-buckets vs natural (orderkey-order) buckets, and the
+    // per-bucket min/max spans a parquet row-group index would expose.
+    // The z layout must be narrow on BOTH dims; the natural layout is
+    // narrow only along ingest order — the measured justification for
+    // z-ordering the write side ahead of multi-dim predicate scans.
+    "q122_zorder_layout" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Layout.zOrderQuality(Tables.lineitem(s, d),
+          "l_partkey", "l_suppkey", "l_orderkey", bits = 16, bucketBits = 10)
+        .orderBy("layout")
+    }),
+
     // Streaming windowed distinct-user sketches: per-event HLL register
     // as a stateless projection, windowed register-MAX as the only
     // streaming state (<= 256 ints per window x type, independent of
@@ -3791,6 +3804,51 @@ object SparkEntry {
         |  reg_digest, exact_distinct
         |FROM calc c JOIN exact USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // Recomputes the integer z-math end to end: exact-scaling
+    // normalization (BIGINT //), Morton interleave via shifted bit
+    // picks, fixed-width buckets, exact integer span sums, one final
+    // division — identical arithmetic on both engines.
+    "q122_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+        |    MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y,
+        |    MIN(l_orderkey) AS min_o, MAX(l_orderkey) AS max_o
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT
+        |    ((l_partkey - min_x) * 65536) // (max_x - min_x + 1) AS ux,
+        |    ((l_suppkey - min_y) * 65536) // (max_y - min_y + 1) AS uy,
+        |    ((l_orderkey - min_o) * 1024) // (max_o - min_o + 1) AS nb
+        |  FROM lineitem CROSS JOIN b),
+        |z AS (
+        |  SELECT ux, uy, nb,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (((ux >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+        |      + (((uy >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT)))) AS zv
+        |  FROM u),
+        |zs AS (
+        |  SELECT zv >> 22 AS bucket, COUNT(*) AS n,
+        |    MAX(ux) - MIN(ux) + 1 AS span_x, MAX(uy) - MIN(uy) + 1 AS span_y
+        |  FROM z GROUP BY 1),
+        |ns AS (
+        |  SELECT nb AS bucket, COUNT(*) AS n,
+        |    MAX(ux) - MIN(ux) + 1 AS span_x, MAX(uy) - MIN(uy) + 1 AS span_y
+        |  FROM z GROUP BY 1),
+        |zt AS (
+        |  SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(span_x) AS BIGINT) AS sx, CAST(SUM(span_y) AS BIGINT) AS sy
+        |  FROM zs),
+        |nt AS (
+        |  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(span_x) AS BIGINT) AS sx, CAST(SUM(span_y) AS BIGINT) AS sy
+        |  FROM ns),
+        |allt AS (SELECT * FROM zt UNION ALL SELECT * FROM nt)
+        |SELECT layout, n_buckets,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(n_buckets * 65536 AS DOUBLE), 6) AS avg_span_x,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(n_buckets * 65536 AS DOUBLE), 6) AS avg_span_y
+        |FROM allt
+        |ORDER BY layout""".stripMargin,
 
     // q116's register recompute, windowed: the streaming state is just
     // the per-(window, type) register max, so the batch SQL is identical

@@ -1121,6 +1121,32 @@ class OperatorsSpec extends SparkSpec {
     assert(z._6 == 0.0 && z._7 == 0.0)
   }
 
+  // ---- z-order layout
+
+  test("zValueExpr interleaves bits correctly") {
+    val df = Seq((5L, 3L)).toDF("ux", "uy") // x=101, y=011
+    // bit layout: y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1 = 27
+    assert(df.select(Layout.zValueExpr("ux", "uy", 3)).as[Long].head() == 27L)
+    val corners = Seq((0L, 0L), (7L, 0L), (0L, 7L), (7L, 7L)).toDF("ux", "uy")
+    assert(corners.select(Layout.zValueExpr("ux", "uy", 3)).as[Long].collect().toSeq
+      == Seq(0L, 21L, 42L, 63L))
+  }
+
+  test("zOrderQuality: z-layout narrows both dims where natural narrows one") {
+    // 128x128 grid; natural order = x-major, so natural buckets are tight
+    // on x but span ALL of y; z buckets must be narrow on both
+    val grid = (for (x <- 0 until 128; y <- 0 until 128)
+      yield (x.toLong, y.toLong, (x * 128 + y).toLong))
+      .toDF("x", "y", "ord")
+    val q = Layout.zOrderQuality(grid, "x", "y", "ord", bits = 7, bucketBits = 6)
+      .orderBy("layout").as[(String, Long, Double, Double)].collect()
+    val nat = q(0); val zo = q(1)
+    assert(nat._1 == "natural" && zo._1 == "zorder")
+    assert(nat._4 > 0.9, s"natural layout should span all of y: ${nat._4}")
+    assert(zo._3 < 0.2 && zo._4 < 0.2,
+      s"z-order should be narrow on both dims: ${zo._3}, ${zo._4}")
+  }
+
   // ---- portable Bloom filter
 
   test("bloom: zero false negatives, plausible FPR, incremental merge") {
