@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
   private val machinery = Set(
     "q22_merge_upsert", "q33_stream_tumbling", "q36_dbd_financial_pipeline",
     "q43_company_financial", "q50_stream_sliding", "q51_stream_sessions",
-    "q68_csv_sink_roundtrip", "q70_stream_interval_join")
+    "q68_csv_sink_roundtrip", "q70_stream_interval_join",
+    "q121_stream_hll_window")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.filterNot(q => machinery(q._1)).map { case (name, fn) =>
@@ -74,5 +75,21 @@ class PlanAuditSpec extends SparkSpec {
     // q110: df + query map broadcast, corpus never broadcast
     val q110 = plans("q110_bm25_topk")
     assert(q110.contains("BroadcastHashJoin"), "q110 lost its broadcast joins")
+  }
+
+  test("sketch plans: model sides broadcast, bounded aggregate in place") {
+    // q119: the <= 2048-row bloom filter must ride as a broadcast into
+    // the probe join — the corpus side never shuffles for the probe
+    val q119 = plans("q119_bloom_membership")
+    assert(q119.contains("BroadcastHashJoin"), "q119 bloom probe lost its broadcast")
+    // q113: the boilerplate line set is a broadcast anti-probe
+    val q113 = plans("q113_line_boilerplate")
+    assert(q113.contains("BroadcastHashJoin"), "q113 boiler set lost its broadcast")
+    // q118: the KMV sketches must come from the bounded-state custom
+    // aggregate (object-hash path), not a window/distinct fallback
+    val q118 = plans("q118_kmv_overlap")
+    assert(q118.contains("bounded_min_k"), "q118 lost the BoundedMinK aggregate")
+    assert(q118.contains("ObjectHashAggregate"),
+      "q118 BoundedMinK fell off the object-hash aggregation path")
   }
 }
