@@ -1837,6 +1837,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Count-Min frequency sketch: 4x1024 md5-positioned counters over
+    // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
+    // point estimates for the top-10 users with the exact counts as the
+    // error witness (CMS never under-counts), counter digest pinning the
+    // sketch itself cross-engine.
+    "q123_cms_frequency" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      val counters = Sketches.cmsCounters(ev, Seq.empty, "user_id")
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("user_id")).limit(10)
+      val est = Sketches.cmsEstimate(counters, top.select("user_id"),
+        Seq.empty, "user_id")
+      val digest = counters.agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("row"), col("bucket"), col("cnt")))),
+          x => concat_ws(":", x.getField("row"), x.getField("bucket"),
+            x.getField("cnt"))))).as("cms_digest"))
+      top.join(est, Seq("user_id")).crossJoin(broadcast(digest))
+        .select(col("user_id"), col("exact_count"), col("est_count"), col("cms_digest"))
+        .orderBy(col("exact_count").desc, col("user_id"))
+    }),
+
     // Z-order layout quality: Morton-interleave (l_partkey, l_suppkey),
     // fixed-width z-buckets vs natural (orderkey-order) buckets, and the
     // per-bucket min/max spans a parquet row-group index would expose.
@@ -3804,6 +3827,46 @@ object SparkEntry {
         |  reg_digest, exact_distinct
         |FROM calc c JOIN exact USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // Recomputes the 4x1024 counter table from the same md5 positions
+    // ("value#row", 16 bits mod width), the min-over-rows estimates for
+    // the same deterministic top-10 probe set, and the counter digest.
+    "q123_cms_frequency" ->
+      """WITH js AS (SELECT unnest(range(0, 4)) AS r),
+        |pos0 AS (
+        |  SELECT e.user_id, js.r,
+        |    list_sum(list_transform(range(1, 5), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(e.user_id AS VARCHAR) || '#' || CAST(js.r AS VARCHAR)),
+        |                CAST(i AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (4 - i) AS INT)))) % 1024 AS bucket
+        |  FROM events e CROSS JOIN js),
+        |counters AS (
+        |  SELECT r AS row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pos0 GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_count DESC, user_id LIMIT 10),
+        |ppos AS (
+        |  SELECT t.user_id, js.r,
+        |    list_sum(list_transform(range(1, 5), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(t.user_id AS VARCHAR) || '#' || CAST(js.r AS VARCHAR)),
+        |                CAST(i AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (4 - i) AS INT)))) % 1024 AS bucket
+        |  FROM top t CROSS JOIN js),
+        |est AS (
+        |  SELECT p.user_id, MIN(coalesce(c.cnt, 0)) AS est_count
+        |  FROM ppos p LEFT JOIN counters c ON c.row = p.r AND c.bucket = p.bucket
+        |  GROUP BY 1),
+        |dg AS (
+        |  SELECT md5(string_agg(row || ':' || bucket || ':' || cnt, ','
+        |    ORDER BY row, bucket)) AS cms_digest
+        |  FROM counters)
+        |SELECT t.user_id, t.exact_count, e.est_count, dg.cms_digest
+        |FROM top t JOIN est e USING (user_id) CROSS JOIN dg
+        |ORDER BY t.exact_count DESC, t.user_id""".stripMargin,
 
     // Recomputes the integer z-math end to end: exact-scaling
     // normalization (BIGINT //), Morton interleave via shifted bit

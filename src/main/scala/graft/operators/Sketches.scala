@@ -230,6 +230,51 @@ object Sketches {
       .groupBy((groupCols :+ "word").map(col): _*)
       .agg(expr("bit_or(m)").as("mask"))
 
+  // ------------------------------------------------------------------
+  // Count-Min sketch — approximate FREQUENCIES, completing the family:
+  // HLL answers how-many-distinct, KMV how-much-overlap, Bloom
+  // have-we-seen-it, CMS how-often. Unlike the register sketches it is
+  // LINEAR: counters merge by plain addition (and subtract for
+  // retractions), so partial aggregation, shard union, and day-over-day
+  // accumulation are all the same groupBy-sum. depth x width counters
+  // (default 4 x 1024); estimate = min over the depth rows, so it never
+  // under-counts and over-counts by at most the collision mass
+  // (~ N·e/width with the classic bounds). Same portable md5 positions
+  // as the Bloom filter ("value#row", 16 bits mod width).
+  // ------------------------------------------------------------------
+
+  /** Per-row bucket positions of one value: row j probes bucket
+    * md5("v#j") (first 16 bits) mod width. */
+  def cmsPositions(v: Column, depth: Int, width: Int): Column =
+    transform(sequence(lit(0), lit(depth - 1)), j =>
+      pmod(conv(substring(md5(concat(v.cast("string"), lit("#"), j.cast("string"))),
+        1, 4), 16, 10).cast("long"), lit(width.toLong)))
+
+  /** Build per-group counter tables as (groupCols..., row, bucket, cnt)
+    * rows. Count partials combine map-side; the exchange is bounded by
+    * depth*width rows per group per partition. Merging two sketches
+    * (shards, days) is the same groupBy with sum(cnt). */
+  def cmsCounters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame =
+    df.select(groupCols.map(col) :+
+        posexplode(cmsPositions(col(valueCol), depth, width)).as(Seq("row", "bucket")): _*)
+      .groupBy((groupCols :+ "row" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-query estimates: min over the depth rows of each probe
+    * value's counters. Counters are <= depth*width rows per group —
+    * broadcast; the probe side never shuffles beyond its own depth-way
+    * explode. Returns (groupCols..., valueCol, est_count); the estimate
+    * is >= the true count by construction. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, groupCols: Seq[String],
+                  valueCol: String, depth: Int = 4, width: Int = 1024): DataFrame =
+    probes
+      .select((groupCols :+ valueCol).map(col) :+
+        posexplode(cmsPositions(col(valueCol), depth, width)).as(Seq("row", "bucket")): _*)
+      .join(broadcast(counters), groupCols :+ "row" :+ "bucket", "left")
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+
   /** Probe values against a built filter: returns (groupCols...,
     * valueCol, bloom_positive). A value is positive iff every one of its
     * numHashes bits is set — no false negatives by construction; false

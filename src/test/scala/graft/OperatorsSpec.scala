@@ -1121,6 +1121,37 @@ class OperatorsSpec extends SparkSpec {
     assert(z._6 == 0.0 && z._7 == 0.0)
   }
 
+  // ---- Count-Min sketch
+
+  test("cms: never under-counts, heavy keys near-exact, linear merge") {
+    // zipf-ish: key k appears 2000/k times
+    val rows = (1 to 50).flatMap(k => Seq.fill(2000 / k)(("g", s"key_$k")))
+    val df = rows.toDF("g", "v")
+    val counters = Sketches.cmsCounters(df, Seq("g"), "v")
+    val exact = df.groupBy("g", "v").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(counters, exact.select("g", "v"), Seq("g"), "v")
+    val joined = est.join(exact, Seq("g", "v"))
+      .select("v", "est_count", "exact").as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (v, e, x) =>
+      assert(e >= x, s"$v under-counted: $e < $x")
+      assert(e - x <= 100, s"$v over-counted implausibly: $e vs $x")
+    }
+    // heaviest key exact or nearly so
+    val (_, eTop, xTop) = joined.find(_._1 == "key_1").get
+    assert(eTop == xTop || eTop - xTop < 20)
+    // linearity: counters of two halves SUM to the whole (vs HLL's max)
+    val withIdx = df.withColumn("i", monotonically_increasing_id())
+    val a = Sketches.cmsCounters(withIdx.where(col("i") % 2 === 0), Seq("g"), "v")
+    val b = Sketches.cmsCounters(withIdx.where(col("i") % 2 === 1), Seq("g"), "v")
+    val merged = a.unionByName(b).groupBy("g", "row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+      .orderBy("row", "bucket").as[(String, Int, Long, Long)].collect()
+    val whole = counters.orderBy("row", "bucket")
+      .as[(String, Int, Long, Long)].collect()
+    assert(merged.toSeq == whole.toSeq)
+  }
+
   // ---- z-order layout
 
   test("zValueExpr interleaves bits correctly") {
