@@ -3995,7 +3995,7 @@ object SparkEntry {
         |    COUNT(*) + 7 AS span_tokens
         |  FROM runs GROUP BY id_a, id_b, diag, grp),
         |ivs0 AS (
-        |  SELECT id_b AS id, CAST(a_start - diag AS BIGINT) AS s,
+        |  SELECT DISTINCT id_b AS id, CAST(a_start - diag AS BIGINT) AS s,
         |    CAST(a_start - diag + span_tokens AS BIGINT) AS e
         |  FROM spans WHERE span_tokens >= 15),
         |mi AS (

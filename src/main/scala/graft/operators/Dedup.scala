@@ -403,9 +403,16 @@ object Dedup {
                               n: Int = 8, minSpanTokens: Int = 15,
                               maxGramDf: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // distinct: the same victim interval arrives once per PARTNER doc
+    // (a cloned passage shared by k sources yields k identical rows);
+    // duplicates are redundant for the merge, and identical tie rows
+    // would make the two-window island computation depend on tie order
+    // (observed: an engine ordering ties differently between the
+    // prev-max and running-sum windows splits one island in two)
     val spans = duplicatePassages(df, idCol, textCol, n, minSpanTokens, maxGramDf)
       .select(col("id_b").as("id"), col("b_start").as("s"),
         (col("b_start") + col("span_tokens")).as("e"))
+      .distinct()
     // merge overlapping intervals per doc: island = rows whose start
     // exceeds the running max end of everything before them
     val w = Window.partitionBy("id").orderBy("s", "e")
