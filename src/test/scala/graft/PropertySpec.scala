@@ -177,6 +177,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sketch merge laws hold on random value sets") {
+    import graft.operators.Sketches
+    val vals = Gen.listOfN(400, Gen.chooseNum(0, 5000))
+      .sample.getOrElse((1 to 400).toList).map(i => ("g", s"v$i"))
+    val df = vals.toDF("g", "v")
+    // multiset-exact 3-way shard (except/limit would dedup or reorder)
+    val wi = vals.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("g", "v", "i")
+    val (a, b, c) = (wi.where(col("i") % 3 === 0), wi.where(col("i") % 3 === 1),
+      wi.where(col("i") % 3 === 2))
+    // KMV: merge(merge(a,b),c) == merge(a,merge(b,c)) == sketch(whole),
+    // regardless of how the data was sharded (associativity + identity)
+    def kmv(x: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvSketches(x, Seq("g"), "v", k = 64)
+        .select("kmv").as[Seq[Long]].head()
+    def mrg(x: Seq[Long], y: Seq[Long]) = (x ++ y).distinct.sorted.take(64)
+    val whole = kmv(df)
+    assert(mrg(mrg(kmv(a), kmv(b)), kmv(c)) == whole)
+    assert(mrg(kmv(a), mrg(kmv(b), kmv(c))) == whole)
+    // HLL: register-max merge of shards == registers of the whole
+    val regs = (x: org.apache.spark.sql.DataFrame) =>
+      Sketches.hllRegisters(x, Seq("g"), "v")
+    val hMerged = regs(a).unionByName(regs(b)).unionByName(regs(c))
+      .groupBy("g", "idx").agg(max("rho").cast("int").as("rho"))
+      .orderBy("idx").as[(String, Long, Int)].collect().toSeq
+    assert(hMerged == regs(df).orderBy("idx").as[(String, Long, Int)].collect().toSeq)
+    // CMS: counter-sum merge of shards == counters of the whole
+    val cms = (x: org.apache.spark.sql.DataFrame) =>
+      Sketches.cmsCounters(x, Seq("g"), "v", depth = 2, width = 64)
+    val cMerged = cms(a).unionByName(cms(b)).unionByName(cms(c))
+      .groupBy("g", "row", "bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("row", "bucket").as[(String, Int, Long, Long)].collect().toSeq
+    assert(cMerged == cms(df).orderBy("row", "bucket")
+      .as[(String, Int, Long, Long)].collect().toSeq)
+  }
+
   test("intervalOverlapJoin equals nested-loop on random intervals") {
     val gen = Gen.listOfN(60, for {
       lo <- Gen.chooseNum(0, 200)
