@@ -1837,6 +1837,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Decontamination with a Bloom pre-filter: q90's fixture corpus, the
+    // two-phase probe pattern — corpus grams probe a broadcast bloom of
+    // the test-gram digests (no shuffle), only the survivors (matches +
+    // false-positive mass) enter the exact confirm join. No false
+    // negatives, so the result EQUALS q90's exact operator bit-for-bit;
+    // the oracle recomputes the exact answer directly, pinning that
+    // approximate-prune-exact-decide composition loses nothing.
+    "q124_decontaminate_bloom" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val test = docs.where(col("doc_id") % 97 === 0)
+      val snippet = test.where(col("doc_id") === 0)
+        .select(concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 1, 12)).as("leak"))
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(snippet))
+        .withColumn("text",
+          when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" "), col("leak")))
+            .otherwise(col("text")))
+        .drop("leak")
+      val bad = Dedup.contaminatedIdsBloomPrefilter(corpus, test, "doc_id", "text", n = 8)
+      corpus.join(bad, Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
     // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
     // point estimates for the top-10 users with the exact counts as the
@@ -3042,6 +3071,41 @@ object SparkEntry {
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     "q90_decontaminate" ->
+      """WITH snippet AS (
+        |  SELECT array_to_string(
+        |    (string_split_regex(TRIM(text), '\s+'))[1:12], ' ') AS leak
+        |  FROM documents WHERE doc_id = 0),
+        |corpus AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 31 = 0
+        |      THEN text || ' ' || (SELECT leak FROM snippet) ELSE text
+        |    END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |tkc AS (
+        |  SELECT doc_id, source,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM corpus),
+        |shc AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                          FOR i IN range(1, greatest(len(toks)-7, 0)+1)])) AS g
+        |  FROM tkc),
+        |tkt AS (
+        |  SELECT string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |sht AS (
+        |  SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                          FOR i IN range(1, greatest(len(toks)-7, 0)+1)])) AS g
+        |  FROM tkt),
+        |bad AS (SELECT DISTINCT c.doc_id, c.source FROM shc c JOIN sht t USING (g))
+        |SELECT source, COUNT(*) AS n_contaminated,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM bad GROUP BY source ORDER BY source""".stripMargin,
+
+    // The bloom pre-filter changes the PLAN, not the answer (no false
+    // negatives; survivors are confirmed exactly) — so the oracle is the
+    // exact q90 recompute verbatim.
+    "q124_decontaminate_bloom" ->
       """WITH snippet AS (
         |  SELECT array_to_string(
         |    (string_split_regex(TRIM(text), '\s+'))[1:12], ' ') AS leak

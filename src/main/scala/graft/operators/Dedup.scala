@@ -319,6 +319,43 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** [[contaminatedIds]] with a Bloom pre-filter — the two-phase probe
+    * pattern for when the test-gram set outgrows an exact broadcast:
+    * a benchmark suite's distinct 8-grams can run to 10^8 entries
+    * (gigabytes as strings, undistributable), but fits as a Bloom filter
+    * at a few bits per entry. Phase 1 broadcasts the bloom and probes
+    * every corpus gram WITHOUT a shuffle; phase 2 confirms only the
+    * survivors (true matches + the small false-positive mass) against
+    * the exact gram set, so the exact join's input shrinks by the
+    * corpus's non-matching fraction — approximate structures PRUNE,
+    * exact joins DECIDE, and the result equals [[contaminatedIds]]
+    * bit-for-bit because bloom probes have no false negatives.
+    *
+    * Grams cross both phases as md5 digests, never text (the exact join
+    * on a 32-hex-char key instead of a raw 8-gram also cuts the
+    * confirm-shuffle width ~4x for prose). */
+  def contaminatedIdsBloomPrefilter(corpus: DataFrame, testDocs: DataFrame,
+                                    idCol: String, textCol: String,
+                                    n: Int = 8): DataFrame = {
+    val testGrams = testDocs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
+      .select(md5(col("g")).as("gk"))
+      .distinct()
+    val bloom = Sketches.bloomWords(testGrams, Seq.empty, "gk")
+    val corpusGrams = corpus
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gk"))
+    val survivors = Sketches.bloomProbe(bloom, corpusGrams, Seq.empty, "gk",
+        carryCols = Seq(idCol))
+      .where(col("bloom_positive"))
+      .select(col(idCol), col("gk"))
+    survivors
+      .join(testGrams, Seq("gk"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Cross-document duplicate PASSAGES — the exact-substring half of
     * training-data dedup (Lee et al., ACL '22, "Deduplicating Training
     * Data Makes Language Models Better": document-level near-dup misses

@@ -282,16 +282,18 @@ object Sketches {
     * <= 2048 rows per group, so the probe join broadcasts: the corpus
     * side never shuffles — the 100 TB point of the operator. */
   def bloomProbe(words: DataFrame, probes: DataFrame, groupCols: Seq[String],
-                 valueCol: String, numHashes: Int = 3): DataFrame = {
+                 valueCol: String, numHashes: Int = 3,
+                 carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = (groupCols ++ carryCols) :+ valueCol
     val exploded = probes
-      .select((groupCols :+ valueCol).map(col) :+
+      .select(keep.map(col) :+
         explode(bloomPositions(col(valueCol), numHashes)).as("pos"): _*)
       .withColumn("word", shiftright(col("pos"), 5))
     exploded
       .join(broadcast(words), groupCols :+ "word", "left")
       .withColumn("hit",
         expr("coalesce(shiftright(mask, CAST(pos % 32 AS INT)) & 1, 0)"))
-      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .groupBy(keep.map(col): _*)
       .agg((sum(col("hit")) === numHashes).as("bloom_positive"))
   }
 }

@@ -1121,6 +1121,26 @@ class OperatorsSpec extends SparkSpec {
     assert(z._6 == 0.0 && z._7 == 0.0)
   }
 
+  // ---- bloom-prefiltered decontamination
+
+  test("contaminatedIdsBloomPrefilter equals the exact operator") {
+    val leak = (0 until 12).map(i => s"leak$i").mkString(" ")
+    val corpus = ((1L to 40L).map(i =>
+        (i, s"doc $i " + (0 until 20).map(j => s"w${i}_$j").mkString(" "))) ++
+      Seq((100L, s"prefix $leak suffix"), (101L, s"$leak and more")))
+      .toDF("doc_id", "text")
+    val test = Seq((900L, s"header $leak trailer")).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedIds(corpus, test, "doc_id", "text", n = 8)
+      .as[Long].collect().sorted.toSeq
+    val bloomed = Dedup.contaminatedIdsBloomPrefilter(corpus, test, "doc_id", "text", n = 8)
+      .as[Long].collect().sorted.toSeq
+    assert(exact == Seq(100L, 101L))
+    assert(bloomed == exact)
+    // and on a corpus with zero contamination both are empty
+    val clean = corpus.where(col("doc_id") < 50)
+    assert(Dedup.contaminatedIdsBloomPrefilter(clean, test, "doc_id", "text").count() == 0)
+  }
+
   // ---- Count-Min sketch
 
   test("cms: never under-counts, heavy keys near-exact, linear merge") {
