@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's injected functions to an ALREADY-built
+    * session (tests and REPLs — production wiring is
+    * `spark.sql.extensions=graft.GraftExtensions`, which Spark applies at
+    * session build). `registerFunctions` and `sessionState` are
+    * `private[sql]`, hence this lives in the glue package. */
+  def applyFunctionExtensions(spark: org.apache.spark.sql.SparkSession,
+                              ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.registerFunctions(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry)
 }
