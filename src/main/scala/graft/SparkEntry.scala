@@ -1866,6 +1866,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Record linkage (entity resolution): a dirty registry (deterministic
+    // per-id mutations: prefix noise / suffix noise / char transposition)
+    // matched against the clean master by char-3-gram Jaccard through the
+    // BIPARTITE prefix-filter join — block, exact-verify, then decide
+    // (best match per dirty record). The reference's linkage is exact-key
+    // after normalization (ImportDbdFinancial.php:149-154 tax-id canon,
+    // pdf_ocr_rm_to_json.py:219-229 prefix repair); this is the general
+    // fuzzy form for keys that don't survive OCR. The blocked join is
+    // COMPLETE at the threshold, so the oracle recomputes it all-pairs.
+    "q125_entity_linkage" -> ((s0, d) => {
+      val s = prep(s0)
+      val docs = Tables.documents(s, d)
+      def snip(c: Column): Column = substring(c, 1, 60)
+      val clean = docs.select(col("doc_id").as("cid"), snip(col("text")).as("nm"))
+      val sn = snip(col("text"))
+      val dirty = docs.select((col("doc_id") + 800000).as("rid"),
+        when(col("doc_id") % 3 === 0, concat(lit("xx "), sn))
+          .when(col("doc_id") % 3 === 1, concat(sn, lit(" ltd")))
+          .otherwise(concat(substring(sn, 1, 4), substring(sn, 6, 1),
+            substring(sn, 5, 1), substring(sn, 7, 60))).as("nm"))
+      val pairs = graft.operators.Linkage.linkPairsPrefixFilter(
+        dirty, "rid", "nm", clean, "cid", "nm", n = 3, threshold = 0.62)
+      graft.operators.Linkage.bestMatch(pairs).orderBy("left_id")
+    }),
+
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
     // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
     // point estimates for the top-10 users with the exact counts as the
@@ -3105,6 +3130,46 @@ object SparkEntry {
     // The bloom pre-filter changes the PLAN, not the answer (no false
     // negatives; survivors are confirmed exactly) — so the oracle is the
     // exact q90 recompute verbatim.
+    // All-pairs char-3-gram Jaccard between the mutated registry and the
+    // clean master (the blocked join is complete, so the cross product is
+    // a valid oracle at test scale), then best match per dirty record.
+    "q125_entity_linkage" ->
+      """WITH clean AS (
+        |  SELECT doc_id AS cid, substr(text, 1, 60) AS nm FROM documents),
+        |dirty AS (
+        |  SELECT doc_id + 800000 AS rid,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'xx ' || substr(text, 1, 60)
+        |      WHEN 1 THEN substr(text, 1, 60) || ' ltd'
+        |      ELSE substr(substr(text, 1, 60), 1, 4) ||
+        |           substr(substr(text, 1, 60), 6, 1) ||
+        |           substr(substr(text, 1, 60), 5, 1) ||
+        |           substr(substr(text, 1, 60), 7, 60)
+        |    END AS nm
+        |  FROM documents),
+        |cg AS (
+        |  SELECT cid, list_distinct([substr(nm2, i, 3)
+        |           FOR i IN range(1, greatest(len(nm2) - 2, 0) + 1)]) AS gs
+        |  FROM (SELECT cid, lower(regexp_replace(TRIM(nm), '\s+', ' ', 'g')) AS nm2
+        |        FROM clean)),
+        |dg AS (
+        |  SELECT rid, list_distinct([substr(nm2, i, 3)
+        |           FOR i IN range(1, greatest(len(nm2) - 2, 0) + 1)]) AS gs
+        |  FROM (SELECT rid, lower(regexp_replace(TRIM(nm), '\s+', ' ', 'g')) AS nm2
+        |        FROM dirty)),
+        |p AS (
+        |  SELECT d.rid AS left_id, c.cid AS right_id,
+        |    ROUND(CAST(len(list_intersect(d.gs, c.gs)) AS DOUBLE)
+        |          / len(list_distinct(d.gs || c.gs)), 6) AS jaccard
+        |  FROM dg d CROSS JOIN cg c),
+        |sel AS (SELECT * FROM p WHERE jaccard >= 0.62),
+        |r AS (SELECT left_id, right_id, jaccard,
+        |        ROW_NUMBER() OVER (PARTITION BY left_id
+        |          ORDER BY jaccard DESC, right_id) AS rnk
+        |      FROM sel)
+        |SELECT left_id, right_id, jaccard FROM r WHERE rnk = 1
+        |ORDER BY left_id""".stripMargin,
+
     "q124_decontaminate_bloom" ->
       """WITH snippet AS (
         |  SELECT array_to_string(

@@ -1223,4 +1223,38 @@ class OperatorsSpec extends SparkSpec {
     val whole = words.orderBy("word").as[(String, Long, Long)].collect()
     assert(merged.toSeq == whole.toSeq)
   }
+
+  // ---- record linkage
+
+  test("linkPairsPrefixFilter equals brute-force bipartite Jaccard") {
+    val rng = new scala.util.Random(7)
+    def word() = (1 to 6).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val cleanRows = (1L to 40L).map(i => (i, (1 to 5).map(_ => word()).mkString(" ")))
+    // dirty: 30 mutated copies + 10 unrelated strings
+    val dirtyRows = cleanRows.take(30).map { case (i, s) =>
+      (i + 1000L, "zz " + s)
+    } ++ (41L to 50L).map(i => (i + 1000L, (1 to 5).map(_ => word()).mkString(" ")))
+    val clean = cleanRows.toDF("cid", "nm")
+    val dirty = dirtyRows.toDF("rid", "nm")
+    val got = Linkage.linkPairsPrefixFilter(dirty, "rid", "nm", clean, "cid", "nm",
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the cross product with the same gram definition
+    val lg = dirty.select(col("rid"),
+      Linkage.charGramHashes(col("nm"), 3).as("g")).as[(Long, Seq[Long])].collect()
+    val rg = clean.select(col("cid"),
+      Linkage.charGramHashes(col("nm"), 3).as("g")).as[(Long, Seq[Long])].collect()
+    val want = (for {
+      (rid, ga) <- lg; (cid, gb) <- rg
+      inter = ga.toSet.intersect(gb.toSet).size
+      j = BigDecimal(inter.toDouble / (ga.size + gb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (rid, cid, j)).toSet
+    assert(got == want, s"blocked=${got.size} brute=${want.size}")
+    // every mutated record links back to its source
+    val best = Linkage.bestMatch(got.toSeq.toDF("left_id", "right_id", "jaccard"))
+      .as[(Long, Long, Double)].collect()
+    assert(best.count { case (l, r, _) => l - 1000L == r } == 30)
+  }
 }
