@@ -1891,6 +1891,21 @@ object SparkEntry {
       graft.operators.Linkage.bestMatch(pairs).orderBy("left_id")
     }),
 
+    // Model-based quality filtering: linear classifier inference over
+    // hashed token features (fasttext-style). The weight table rides as
+    // a literal expression (model-sized), the token stream folds to an
+    // exact integer margin numerator per row, nothing shuffles — a
+    // 100 TB corpus scores in one map-only pass. q126's stand-in model
+    // is w(b) = b%7 - 3 over 1024 md5 buckets so the oracle recomputes
+    // the same weights without shipping a table.
+    "q126_quality_classifier" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Scoring.hashedLinearScore(
+          Tables.documents(s, d), "doc_id", "text",
+          nBuckets = 1024, weightOf = b => b % 7 - 3, scalePow = 6)
+        .orderBy("doc_id")
+    }),
+
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
     // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
     // point estimates for the top-10 users with the exact counts as the
@@ -3169,6 +3184,26 @@ object SparkEntry {
         |      FROM sel)
         |SELECT left_id, right_id, jaccard FROM r WHERE rnk = 1
         |ORDER BY left_id""".stripMargin,
+
+    // Recomputes the hashed-feature margin exactly: same 60-bit md5
+    // bucket, same integer weights, same power-of-two divisor.
+    "q126_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, t ->
+        |      ((list_sum(list_transform(range(1, 16), i ->
+        |          (strpos('0123456789abcdef',
+        |             substr(md5(t), CAST(i AS INT), 1)) - 1)
+        |          * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT))))
+        |        % 1024) % 7) - 3)) AS BIGINT) AS raw
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  raw / 64.0 AS margin, raw > 0 AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q124_decontaminate_bloom" ->
       """WITH snippet AS (

@@ -1257,4 +1257,30 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(best.count { case (l, r, _) => l - 1000L == r } == 30)
   }
+
+  // ---- hashed-feature classifier inference
+
+  test("hashedLinearScore: exact integer margins, map-literal weights, no shuffle") {
+    val df = Seq((1L, "good text here"), (2L, "bad"), (3L, "a a a a"))
+      .toDF("id", "text")
+    // constant weight 1 → margin is exactly n_tokens / 64
+    val flat = Scoring.hashedLinearScore(df, "id", "text", 1024, _ => lit(1), 6)
+      .as[(Long, Int, Double, Boolean)].collect().sortBy(_._1)
+    assert(flat.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, 3 / 64.0), (2L, 1 / 64.0), (3L, 4 / 64.0)))
+    assert(flat.forall(_._4))
+    // a trained weight table as a map literal: known buckets weighted,
+    // everything else 0 — the broadcast-model shape
+    val bucketOfA = spark.range(1)
+      .select(Scoring.featureBucket(lit("a"), 1024)).as[Long].head()
+    val weights = typedLit(Map(bucketOfA -> -2))
+    val scored = Scoring.hashedLinearScore(df, "id", "text", 1024,
+        b => coalesce(element_at(weights, b), lit(0)), 6)
+      .as[(Long, Int, Double, Boolean)].collect().sortBy(_._1)
+    assert(scored(2) == ((3L, 4, -8 / 64.0, false))) // "a a a a" → 4 * -2
+    // scoring is map-only: no exchange anywhere in the plan
+    val plan = Scoring.hashedLinearScore(df, "id", "text", 1024, _ => lit(1), 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
