@@ -1906,6 +1906,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Link-graph PageRank as a corpus quality prior: 3 fixed iterations
+    // with dangling redistribution over a deterministic synthetic link
+    // graph (every doc links to 3 arithmetically-derived targets — the
+    // q76-mutant pattern for graph shape). Per-target contributions fold
+    // sorted-by-source so ranks are bit-identical across engines; each
+    // iteration is one edge join + one granular groupBy, and the oracle
+    // unrolls the same three iterations in SQL.
+    "q127_link_pagerank" -> ((s0, d) => {
+      val s = prep(s0)
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + col("k") * 7) % col("n")).as("dst"))
+      graft.operators.Graphs.pageRank(edges, "src", "dst",
+          iters = 3, damping = 0.85)
+        .select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
+        .orderBy("doc_id")
+    }),
+
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
     // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
     // point estimates for the top-10 users with the exact counts as the
@@ -3204,6 +3226,46 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
         |  raw / 64.0 AS margin, raw > 0 AS kept
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Three PageRank iterations unrolled; every float op is forced into
+    // the DOUBLE domain (DuckDB decimal literals would otherwise compute
+    // 1.0-0.85 exactly where IEEE doesn't), contributions fold in sorted
+    // source order, and the fixture graph has no dangling nodes so the
+    // dangling term is exactly zero on both sides.
+    "q127_link_pagerank" ->
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 31 + k * 7) % (SELECT n FROM nn) AS dst
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([CAST(1 AS BIGINT), 2, 3]) AS k)),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |pr0 AS (SELECT doc_id AS id,
+        |          CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+        |        FROM documents),
+        |s1 AS (SELECT e.dst AS id, list_sum(list(p.pr / deg.deg ORDER BY e.src)) AS s
+        |       FROM e JOIN pr0 p ON e.src = p.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |pr1 AS (SELECT p.id,
+        |          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |            + CAST(0.85 AS DOUBLE) * coalesce(s1.s, CAST(0.0 AS DOUBLE)) AS pr
+        |        FROM pr0 p LEFT JOIN s1 ON p.id = s1.id),
+        |s2 AS (SELECT e.dst AS id, list_sum(list(p.pr / deg.deg ORDER BY e.src)) AS s
+        |       FROM e JOIN pr1 p ON e.src = p.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |pr2 AS (SELECT p.id,
+        |          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |            + CAST(0.85 AS DOUBLE) * coalesce(s2.s, CAST(0.0 AS DOUBLE)) AS pr
+        |        FROM pr1 p LEFT JOIN s2 ON p.id = s2.id),
+        |s3 AS (SELECT e.dst AS id, list_sum(list(p.pr / deg.deg ORDER BY e.src)) AS s
+        |       FROM e JOIN pr2 p ON e.src = p.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |pr3 AS (SELECT p.id,
+        |          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |            + CAST(0.85 AS DOUBLE) * coalesce(s3.s, CAST(0.0 AS DOUBLE)) AS pr
+        |        FROM pr2 p LEFT JOIN s3 ON p.id = s3.id)
+        |SELECT id AS doc_id, ROUND(pr, 6) AS pr FROM pr3
+        |ORDER BY doc_id""".stripMargin,
 
     "q124_decontaminate_bloom" ->
       """WITH snippet AS (

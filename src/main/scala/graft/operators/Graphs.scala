@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation — PageRank as the domain/
+  * document quality weight that published web-corpus pipelines compute
+  * over the hyperlink graph (harmonic/PageRank centrality as a quality
+  * prior alongside the classifier and heuristic scores).
+  *
+  * Scale shape: each iteration is one join (ranks onto the edge list)
+  * plus one groupBy over edges — the standard distributed PageRank;
+  * nothing driver-side grows with the graph (N and the dangling mass
+  * are scalar aggregates). Edge-set skew (a hub page with 10^6
+  * in-links) lands in one group's collect_list; for hash-exact oracle
+  * parity the per-target fold is sorted-by-source (the q110 recipe),
+  * which bounds the struct list by in-degree. For graphs with
+  * pathological in-degree hubs, plain `sum` (order-free up to 1 ulp)
+  * is the scalable spelling — `exactFold = false` selects it.
+  */
+object Graphs {
+
+  /** Fixed-iteration PageRank over an edge list. Returns (id, pr).
+    *
+    * pr_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} pr_k(u)/deg(u) + dangling_k/N)
+    * where dangling_k is the rank mass sitting on nodes with no
+    * out-edges (redistributed uniformly, the standard correction).
+    *
+    * Determinism: with `exactFold` (default), per-target contributions
+    * fold in sorted-source order and the dangling mass folds in sorted
+    * node order, so every float add happens in one engine-independent
+    * order and a SQL oracle reproduces ranks bit-for-bit. Fixed
+    * iteration count (not convergence-tested): curation wants a stable,
+    * rerun-identical score, not a fixpoint certificate. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85,
+               exactFold: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters out of [1,50]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar driver value, O(1) memory
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (1.0 - damping) / n
+    var pr = nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val withDeg = pr.join(deg, pr("id") === deg("src"), "left")
+        .select(col("id"), col("pr"), col("deg"))
+      // dangling rank mass: nodes with no out-edges; sorted fold (or a
+      // plain sum at hub scale) — a scalar either way
+      val danglingRows = withDeg.where(col("deg").isNull)
+      val dangling =
+        if (exactFold)
+          danglingRows
+            .agg(sort_array(collect_list(struct(col("id"), col("pr")))).as("xs"))
+            .select(aggregate(col("xs"), lit(0.0),
+              (a, x) => a + x.getField("pr")).as("dm"))
+            .head().getDouble(0)
+        else danglingRows.agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      val contribs = e.join(pr, e("src") === pr("id"))
+        .join(deg, "src")
+        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+      val summed =
+        if (exactFold)
+          contribs.groupBy("dst")
+            .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+            .select(col("dst"), aggregate(col("cs"), lit(0.0),
+              (a, x) => a + x.getField("c")).as("s"))
+        else contribs.groupBy("dst").agg(sum("c").as("s"))
+      pr = nodes.join(summed, nodes("id") === summed("dst"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + lit(dangling / n))).as("pr"))
+        // cut lineage per round (the connectedComponents lesson): without
+        // this the plan doubles per iteration
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

@@ -1283,4 +1283,26 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  // ---- link-graph PageRank
+
+  test("pageRank: hand-computed ranks with dangling redistribution; mass conserved") {
+    // 4 nodes; node 4 is dangling (in-edge only)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val one = Graphs.pageRank(edges, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    // pr1(v) = 0.15/4 + 0.85*(contrib + dangling/4), dangling = pr0(4) = 0.25
+    assert(math.abs(one(1L) - 0.515625) < 1e-12)
+    assert(math.abs(one(2L) - 0.196875) < 1e-12)
+    assert(math.abs(one(3L) - 0.090625) < 1e-12)
+    assert(math.abs(one(4L) - 0.196875) < 1e-12)
+    // rank mass stays 1 across iterations (dangling correction works)
+    val three = Graphs.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect()
+    assert(math.abs(three.map(_._2).sum - 1.0) < 1e-9)
+    // exact and plain-sum spellings agree within float-reassociation noise
+    val loose = Graphs.pageRank(edges, "src", "dst", iters = 3, exactFold = false)
+      .as[(Long, Double)].collect().toMap
+    three.foreach { case (id, pr) => assert(math.abs(loose(id) - pr) < 1e-12) }
+  }
 }
