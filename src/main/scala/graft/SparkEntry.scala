@@ -1928,6 +1928,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Schema-drift monitor: key inventories of an early batch vs a late
+    // batch of the events feed (drift synthesized mutant-style: the late
+    // batch renames k→code for one event_type and adds v for half the
+    // users), classified added/removed/stable with presence counts. The
+    // reference's importers intersect incoming keys with the live table
+    // schema per batch (ImportInvoiceReport.php:59-65,149-152) — this is
+    // the monitoring view of that guard.
+    "q128_schema_drift" -> ((s0, d) => {
+      val s = prep(s0)
+      val ev = Tables.events(s, d)
+      val k = get_json_object(col("props"), "$.k")
+      val oldB = ev.where(dayofmonth(col("ts")) <= 15)
+      val newB = ev.where(dayofmonth(col("ts")) > 15)
+        .withColumn("props",
+          when(col("event_type") === "error",
+            concat(lit("{\"code\": "), k, lit("}")))
+            .when(col("user_id") % 2 === 0,
+              concat(lit("{\"k\": "), k, lit(", \"v\": 1}")))
+            .otherwise(col("props")))
+      graft.operators.Validation.jsonKeyDrift(
+          oldB, newB, Seq("event_type"), "props")
+        .orderBy("event_type", "key")
+    }),
+
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
     // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
     // point estimates for the top-10 users with the exact counts as the
@@ -3266,6 +3290,36 @@ object SparkEntry {
         |        FROM pr2 p LEFT JOIN s3 ON p.id = s3.id)
         |SELECT id AS doc_id, ROUND(pr, 6) AS pr FROM pr3
         |ORDER BY doc_id""".stripMargin,
+
+    // Same drift synthesis, then json_keys inventories full-outer-joined.
+    "q128_schema_drift" ->
+      """WITH oldb AS (
+        |  SELECT event_type, props FROM events WHERE day(ts) <= 15),
+        |newb AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'error'
+        |           THEN '{"code": ' || json_extract_string(props, '$.k') || '}'
+        |         WHEN user_id % 2 = 0
+        |           THEN '{"k": ' || json_extract_string(props, '$.k') || ', "v": 1}'
+        |         ELSE props END AS props
+        |  FROM events WHERE day(ts) > 15),
+        |io AS (SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n_old
+        |       FROM (SELECT event_type, unnest(json_keys(props)) AS key FROM oldb)
+        |       GROUP BY event_type, key),
+        |inw AS (SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n_new
+        |        FROM (SELECT event_type, unnest(json_keys(props)) AS key FROM newb)
+        |        GROUP BY event_type, key),
+        |j AS (SELECT coalesce(io.event_type, inw.event_type) AS event_type,
+        |        coalesce(io.key, inw.key) AS key,
+        |        coalesce(io.n_old, 0) AS n_old,
+        |        coalesce(inw.n_new, 0) AS n_new
+        |      FROM io FULL OUTER JOIN inw
+        |        ON io.event_type = inw.event_type AND io.key = inw.key)
+        |SELECT event_type, key, n_old, n_new,
+        |  CASE WHEN n_old = 0 THEN 'added'
+        |       WHEN n_new = 0 THEN 'removed'
+        |       ELSE 'stable' END AS status
+        |FROM j ORDER BY event_type, key""".stripMargin,
 
     "q124_decontaminate_bloom" ->
       """WITH snippet AS (

@@ -65,4 +65,39 @@ object Validation {
       col(s"__nd_$c").as("n_distinct")))
     full.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Schema-drift detection for semi-structured feeds: the per-group key
+    * inventory of an old batch full-outer-joined against a new batch's,
+    * classifying each (group, key) as added / removed / stable. The
+    * reference guards against exactly this drift by introspecting the
+    * live table schema and intersecting incoming keys with it per batch
+    * (`ImportInvoiceReport.php:59-65,149-152`); this is the monitoring
+    * view of the same concern — what changed between feeds, before the
+    * importer silently drops it.
+    *
+    * Scale shape: the wide exchange carries (group, key, count) rows
+    * after map-side combine — key inventories, never payloads; the
+    * full-outer join runs on inventory-sized tables (|groups| × |keys|).
+    * Presence COUNTS ride along so partial drift (a key present in only
+    * half the new batch) is visible, not just binary presence. */
+  def jsonKeyDrift(oldBatch: DataFrame, newBatch: DataFrame,
+                   groupCols: Seq[String], jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    def inventory(df: DataFrame): DataFrame =
+      df.select(groupCols.map(col) :+
+          explode(map_keys(from_json(col(jsonCol),
+            MapType(StringType, StringType)))).as("key"): _*)
+        .groupBy((groupCols :+ "key").map(col): _*)
+        .agg(count(lit(1)).as("n"))
+    val keys = groupCols :+ "key"
+    inventory(oldBatch).withColumnRenamed("n", "n_old")
+      .join(inventory(newBatch).withColumnRenamed("n", "n_new"), keys, "full_outer")
+      .select(keys.map(col) :+
+        coalesce(col("n_old"), lit(0L)).as("n_old") :+
+        coalesce(col("n_new"), lit(0L)).as("n_new"): _*)
+      .withColumn("status",
+        when(col("n_old") === 0, lit("added"))
+          .when(col("n_new") === 0, lit("removed"))
+          .otherwise(lit("stable")))
+  }
 }

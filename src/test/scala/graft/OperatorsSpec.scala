@@ -1305,4 +1305,18 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     three.foreach { case (id, pr) => assert(math.abs(loose(id) - pr) < 1e-12) }
   }
+
+  // ---- schema drift
+
+  test("jsonKeyDrift classifies added/removed/stable with presence counts") {
+    val oldB = Seq(("a", """{"x":1,"y":2}"""), ("a", """{"x":3}"""),
+      ("b", """{"z":0}""")).toDF("g", "props")
+    val newB = Seq(("a", """{"x":9,"w":1}"""), ("b", """{"z":5}"""))
+      .toDF("g", "props")
+    val got = Validation.jsonKeyDrift(oldB, newB, Seq("g"), "props")
+      .as[(String, String, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      ("a", "x", 2L, 1L, "stable"), ("a", "y", 1L, 0L, "removed"),
+      ("a", "w", 0L, 1L, "added"), ("b", "z", 1L, 1L, "stable")))
+  }
 }
