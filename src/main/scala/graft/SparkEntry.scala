@@ -1952,6 +1952,24 @@ object SparkEntry {
         .orderBy("event_type", "key")
     }),
 
+    // ORC sink roundtrip (the K2 pattern on the second columnar
+    // interchange format): monthly revenue aggregate written with
+    // Spark's native ORC writer, read back through a pushable filter —
+    // ORC keeps column stats, so the read-back side prunes exactly like
+    // parquet. Values must survive the format hop bit-for-bit.
+    "q129_orc_sink_roundtrip" -> ((s0, d) => {
+      val s = prep(s0)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q129_orc_${System.nanoTime()}"
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("revenue"))
+      graft.sources.Sinks.writeOrc(monthly, out)
+      s.read.orc(out)
+        .where(col("o_orderstatus") === "F")
+        .orderBy("month")
+    }),
+
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
     // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
     // point estimates for the top-10 users with the exact counts as the
@@ -3320,6 +3338,17 @@ object SparkEntry {
         |       WHEN n_new = 0 THEN 'removed'
         |       ELSE 'stable' END AS status
         |FROM j ORDER BY event_type, key""".stripMargin,
+
+    // The roundtrip target recomputed straight from parquet: if the ORC
+    // hop changed any value, the hash diverges.
+    "q129_orc_sink_roundtrip" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1, 2
+        |ORDER BY month""".stripMargin,
 
     "q124_decontaminate_bloom" ->
       """WITH snippet AS (

@@ -21,6 +21,15 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** ORC sink — the second columnar interchange format next to parquet
+    * (warehouses mixing Spark/Hive/Trino read both). Spark's native ORC
+    * writer keeps column stats, so min/max row-group pruning and
+    * predicate pushdown work on read-back just as with parquet;
+    * `sortWithinPartitions` on a filter key before this sink is the
+    * same clustering lever. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** K4/K5/K6 target: partitioned parquet table keyed by a year column.
     * Dynamic partition overwrite = the bounded-rewrite MERGE target
     * (only partitions present in `df` are replaced — the plain-Spark

@@ -197,4 +197,18 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.json(path).collect()(0)
     assert(back.getAs[String]("name") == "ผู้ขาย")
   }
+
+  test("orc sink roundtrips types and pushes filters to the orc scan") {
+    val path = s"${tmp()}/orc"
+    val df = Seq((1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "b", -2.25, java.sql.Timestamp.valueOf("2024-02-01 12:30:00")))
+      .toDF("id", "s", "v", "ts")
+    Sinks.writeOrc(df, path)
+    val back = spark.read.orc(path)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // the filter must reach the ORC scan as a pushed filter, like parquet
+    val plan = back.where(col("id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)"),
+      s"filter not pushed:\n$plan")
+  }
 }
