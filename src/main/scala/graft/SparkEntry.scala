@@ -1970,6 +1970,22 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // Stream-static enrichment: a model-sized dimension broadcast-joins
+    // the stream INSIDE the streaming plan (stateless; re-planned per
+    // micro-batch), then the watermarked windowed agg runs over enriched
+    // rows — the streaming spelling of J4. The dim join adds no state
+    // store and no stream-side shuffle.
+    "q130_stream_static_enrich" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val dim = Seq(
+        ("view", "engagement", 1L), ("click", "engagement", 3L),
+        ("purchase", "revenue", 10L), ("signup", "growth", 5L),
+        ("error", "ops", 0L)).toDF("event_type", "category", "weight")
+      graft.streaming.EventsStream.enrichedWindowTotals(s, d, dim, 600)
+        .orderBy("win_start", "category", "event_type")
+    }),
+
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
     // event user_ids (a LINEAR sketch - shards/days merge by plain sum),
     // point estimates for the top-10 users with the exact counts as the
@@ -3349,6 +3365,22 @@ object SparkEntry {
         |WHERE o_orderstatus = 'F'
         |GROUP BY 1, 2
         |ORDER BY month""".stripMargin,
+
+    // Batch recompute of the stream-static enrichment: same dim VALUES,
+    // same window arithmetic, same exact-cents weighted sum.
+    "q130_stream_static_enrich" ->
+      """WITH dim(event_type, category, weight) AS (VALUES
+        |  ('view', 'engagement', CAST(1 AS BIGINT)),
+        |  ('click', 'engagement', 3), ('purchase', 'revenue', 10),
+        |  ('signup', 'growth', 5), ('error', 'ops', 0))
+        |SELECT CAST(floor(epoch(e.ts)/600)*600 AS BIGINT) AS win_start,
+        |  coalesce(d.category, 'unknown') AS category, e.event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(e.value*d.weight*100) AS BIGINT)) AS DOUBLE)/100
+        |    AS weighted_value
+        |FROM events e LEFT JOIN dim d USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY win_start, category, event_type""".stripMargin,
 
     "q124_decontaminate_bloom" ->
       """WITH snippet AS (

@@ -99,6 +99,38 @@ object EventsStream {
       .where(col("event_type") =!= DrainType)
   }
 
+  /** Stream-static dimension enrichment: the stream broadcast-joins a
+    * static dimension INSIDE the streaming plan (stateless — no state
+    * store grows; Spark re-plans the static side per micro-batch, which
+    * is also what picks up dim-table updates between batches), then the
+    * stateful windowed agg runs over the enriched rows. This is the
+    * streaming spelling of J4 metadata enrichment: at 100 TB/day the
+    * dimension stays model-sized and broadcast, so the stream side never
+    * shuffles for the join — only for the windowed agg. */
+  def enrichedWindowTotals(spark: SparkSession, dir: String,
+                           dim: DataFrame,
+                           windowSec: Int = 600,
+                           statePartitions: Int = 8): DataFrame = {
+    val wmDelaySec = 3600L
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(drainSentinel(spark, dir, wmDelaySec + windowSec + 60))
+      .withWatermark("ts", s"$wmDelaySec seconds")
+    val joined = evs.join(broadcast(dim), Seq("event_type"), "left")
+    val agg = joined
+      .groupBy(window(col("ts"), s"$windowSec seconds"),
+        coalesce(col("category"), lit("unknown")).as("category"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Numeric.sumExactD(col("value") * col("weight"), 2)
+          .as("weighted_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("category"), col("event_type"), col("n"), col("weighted_value"))
+    // drain filter outside the streaming plan — see tumblingCounts
+    runToTable(agg, "append", statePartitions)
+      .where(col("event_type") =!= DrainType)
+  }
+
   /** Streaming exact dedup within the watermark horizon — the streaming
     * spelling of U2 (state store keeps one entry per key until the
     * watermark passes; unbounded-history dedup at 100 TB is a non-goal by

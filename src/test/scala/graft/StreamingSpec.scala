@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream-static enrichment equals the batch join+agg") {
+    import spark.implicits._
+    val dim = Seq(("view", "engagement", 1L), ("click", "engagement", 3L),
+      ("purchase", "revenue", 10L), ("signup", "growth", 5L),
+      ("error", "ops", 0L)).toDF("event_type", "category", "weight")
+    val streamed = EventsStream.enrichedWindowTotals(spark, sfDir, dim, 600)
+      .orderBy("win_start", "category", "event_type").collect()
+    val batch = Tables.events(spark, sfDir)
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600).as("win_start"),
+        coalesce(col("category"), lit("unknown")).as("category"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Numeric.sumExactD(col("value") * col("weight"), 2)
+          .as("weighted_value"))
+      .orderBy("win_start", "category", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("sliding windows cover each event twice") {
     val slid = EventsStream.slidingCounts(spark, sfDir, 600, 300)
     val total = slid.agg(sum("n")).collect()(0).getLong(0)
