@@ -1868,13 +1868,17 @@ object SparkEntry {
 
     // Record linkage (entity resolution): a dirty registry (deterministic
     // per-id mutations: prefix noise / suffix noise / char transposition)
-    // matched against the clean master by char-3-gram Jaccard through the
-    // BIPARTITE prefix-filter join — block, exact-verify, then decide
-    // (best match per dirty record). The reference's linkage is exact-key
-    // after normalization (ImportDbdFinancial.php:149-154 tax-id canon,
-    // pdf_ocr_rm_to_json.py:219-229 prefix repair); this is the general
-    // fuzzy form for keys that don't survive OCR. The blocked join is
-    // COMPLETE at the threshold, so the oracle recomputes it all-pairs.
+    // matched against the clean master by word-3-gram-shingle Jaccard
+    // through the BIPARTITE prefix-filter join — block, exact-verify,
+    // then decide (best match per dirty record). The reference's linkage
+    // is exact-key after normalization (ImportDbdFinancial.php:149-154
+    // tax-id canon, pdf_ocr_rm_to_json.py:219-229 prefix repair); this is
+    // the general fuzzy form for keys that don't survive OCR. Word
+    // shingles, not char grams: this corpus has a 126-word vocabulary, so
+    // char 3-grams are shared by everything (377 distinct grams / 5k docs
+    // → quasi-all-pairs) while shingles draw from a vocab^3 universe and
+    // stay rare. The blocked join is COMPLETE at the threshold, so the
+    // oracle recomputes it all-pairs.
     "q125_entity_linkage" -> ((s0, d) => {
       val s = prep(s0)
       val docs = Tables.documents(s, d)
@@ -1887,7 +1891,8 @@ object SparkEntry {
           .otherwise(concat(substring(sn, 1, 4), substring(sn, 6, 1),
             substring(sn, 5, 1), substring(sn, 7, 60))).as("nm"))
       val pairs = graft.operators.Linkage.linkPairsPrefixFilter(
-        dirty, "rid", "nm", clean, "cid", "nm", n = 3, threshold = 0.62)
+        dirty, "rid", "nm", clean, "cid", "nm",
+        graft.operators.Linkage.wordShingleHashes(_, 3), threshold = 0.5)
       graft.operators.Linkage.bestMatch(pairs).orderBy("left_id")
     }),
 
@@ -1984,6 +1989,46 @@ object SparkEntry {
         ("error", "ops", 0L)).toDF("event_type", "category", "weight")
       graft.streaming.EventsStream.enrichedWindowTotals(s, d, dim, 600)
         .orderBy("win_start", "category", "event_type")
+    }),
+
+    // CMS join-size estimation — the optimizer-flavored sketch use: both
+    // join sides summarize in one map-combined pass each, the inner
+    // product runs on <= depth*width sketch rows, and the full key-key
+    // join never executes. Estimate >= exact by construction (a planner
+    // choosing broadcast-vs-shuffle from it errs safe); width 65536
+    // sizes the additive N_A*N_B/width overcount to ~20% here.
+    "q131_cms_join_size" -> ((s0, d) => {
+      val s = prep(s0)
+      val Sk = graft.operators.Sketches
+      val ca = Sk.cmsCounters(
+        Tables.orders(s, d).select(col("o_orderkey").as("k")), Nil, "k", 4, 65536)
+      val cb = Sk.cmsCounters(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("k")), Nil, "k", 4, 65536)
+      val est = Sk.cmsJoinSize(ca, cb)
+      val exact = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("est_join_size"), col("exact_join_size"),
+          round(col("est_join_size").cast("double") / col("exact_join_size"), 6)
+            .as("over_ratio"))
+    }),
+
+    // Incremental-ingestion ledger: current file inventory (md5 computed
+    // in each file's own task — C48 distributed) vs the last run's
+    // manifest, full-outer classified new/changed/unchanged/deleted. The
+    // manifest has one stale digest, one current one, and one file that
+    // no longer exists on disk.
+    "q132_file_manifest_delta" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val manifest = Seq(
+        ("po_report_a.csv", "6cb4d218cc5b931b3d6a7f349b919697"),
+        ("po_report_b.csv", "00000000000000000000000000000000"),
+        ("po_report_zz.csv", "59bb60b0ccb1f7184fe01e1b63acb6ca"))
+        .toDF("file_name", "md5")
+      graft.sources.Ingest.deltaFiles(s, s"$fixtures/po_many", manifest)
+        .orderBy("file_name")
     }),
 
     // Count-Min frequency sketch: 4x1024 md5-positioned counters over
@@ -3225,9 +3270,10 @@ object SparkEntry {
     // The bloom pre-filter changes the PLAN, not the answer (no false
     // negatives; survivors are confirmed exactly) — so the oracle is the
     // exact q90 recompute verbatim.
-    // All-pairs char-3-gram Jaccard between the mutated registry and the
-    // clean master (the blocked join is complete, so the cross product is
-    // a valid oracle at test scale), then best match per dirty record.
+    // All-pairs word-3-gram-shingle Jaccard between the mutated registry
+    // and the clean master (the blocked join is complete, so the cross
+    // product is a valid oracle at test scale), then best match per
+    // dirty record.
     "q125_entity_linkage" ->
       """WITH clean AS (
         |  SELECT doc_id AS cid, substr(text, 1, 60) AS nm FROM documents),
@@ -3243,21 +3289,24 @@ object SparkEntry {
         |    END AS nm
         |  FROM documents),
         |cg AS (
-        |  SELECT cid, list_distinct([substr(nm2, i, 3)
-        |           FOR i IN range(1, greatest(len(nm2) - 2, 0) + 1)]) AS gs
-        |  FROM (SELECT cid, lower(regexp_replace(TRIM(nm), '\s+', ' ', 'g')) AS nm2
+        |  SELECT cid, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |           FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS gs
+        |  FROM (SELECT cid,
+        |          string_split(lower(regexp_replace(TRIM(nm), '\s+', ' ', 'g')), ' ') AS toks
         |        FROM clean)),
         |dg AS (
-        |  SELECT rid, list_distinct([substr(nm2, i, 3)
-        |           FOR i IN range(1, greatest(len(nm2) - 2, 0) + 1)]) AS gs
-        |  FROM (SELECT rid, lower(regexp_replace(TRIM(nm), '\s+', ' ', 'g')) AS nm2
+        |  SELECT rid, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |           FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS gs
+        |  FROM (SELECT rid,
+        |          string_split(lower(regexp_replace(TRIM(nm), '\s+', ' ', 'g')), ' ') AS toks
         |        FROM dirty)),
         |p AS (
         |  SELECT d.rid AS left_id, c.cid AS right_id,
         |    ROUND(CAST(len(list_intersect(d.gs, c.gs)) AS DOUBLE)
         |          / len(list_distinct(d.gs || c.gs)), 6) AS jaccard
-        |  FROM dg d CROSS JOIN cg c),
-        |sel AS (SELECT * FROM p WHERE jaccard >= 0.62),
+        |  FROM dg d CROSS JOIN cg c
+        |  WHERE len(d.gs) > 0 AND len(c.gs) > 0),
+        |sel AS (SELECT * FROM p WHERE jaccard >= 0.5),
         |r AS (SELECT left_id, right_id, jaccard,
         |        ROW_NUMBER() OVER (PARTITION BY left_id
         |          ORDER BY jaccard DESC, right_id) AS rnk
@@ -3381,6 +3430,55 @@ object SparkEntry {
         |FROM events e LEFT JOIN dim d USING (event_type)
         |GROUP BY 1, 2, 3
         |ORDER BY win_start, category, event_type""".stripMargin,
+
+    // Recomputes both CMS counter tables (16-bit md5 buckets), the
+    // per-row inner products, the min, and the exact join count.
+    "q131_cms_join_size" ->
+      """WITH js AS (SELECT unnest(range(0, 4)) AS r),
+        |ca AS (
+        |  SELECT r AS row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+        |    SELECT js.r,
+        |      list_sum(list_transform(range(1, 5), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' ||
+        |                      CAST(js.r AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |        * (CAST(1 AS BIGINT) << CAST(4 * (4 - i) AS INT)))) % 65536 AS bucket
+        |    FROM orders o CROSS JOIN js)
+        |  GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT r AS row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+        |    SELECT js.r,
+        |      list_sum(list_transform(range(1, 5), i ->
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(l.l_orderkey AS VARCHAR) || '#' ||
+        |                      CAST(js.r AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |        * (CAST(1 AS BIGINT) << CAST(4 * (4 - i) AS INT)))) % 65536 AS bucket
+        |    FROM lineitem l CROSS JOIN js)
+        |  GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ca.row, CAST(SUM(ca.cnt_a * cb.cnt_b) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+        |  GROUP BY ca.row),
+        |est AS (SELECT MIN(ip) AS est_join_size FROM ip),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+        |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT est.est_join_size, ex.exact_join_size,
+        |  ROUND(CAST(est.est_join_size AS DOUBLE) / ex.exact_join_size, 6)
+        |    AS over_ratio
+        |FROM est CROSS JOIN ex""".stripMargin,
+
+    // Expected ledger rows pinned as literals: the fixture files are
+    // repo-committed, so their sizes and digests are deterministic.
+    "q132_file_manifest_delta" ->
+      """SELECT * FROM (VALUES
+        |  ('po_report_a.csv', CAST(681 AS BIGINT),
+        |   '6cb4d218cc5b931b3d6a7f349b919697', 'unchanged'),
+        |  ('po_report_b.csv', CAST(526 AS BIGINT),
+        |   '59bb60b0ccb1f7184fe01e1b63acb6ca', 'changed'),
+        |  ('po_report_zz.csv', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS VARCHAR), 'deleted')
+        |) AS t(file_name, size_bytes, file_md5, status)
+        |ORDER BY file_name""".stripMargin,
 
     "q124_decontaminate_bloom" ->
       """WITH snippet AS (

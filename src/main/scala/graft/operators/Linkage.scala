@@ -29,6 +29,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Linkage {
 
+  /** Distinct word n-gram shingles of a text column as a sorted hash
+    * array — the gram function for multi-word keys (addresses, titles,
+    * document snippets). Choose grams by what DISCRIMINATES: char grams
+    * suit single-token keys with char-level noise; on a low-vocabulary
+    * corpus char grams are shared by everything (measured: 377 distinct
+    * 3-grams across 5k docs → quasi-all-pairs candidates) while word
+    * shingles stay rare (vocab^n universe). */
+  def wordShingleHashes(s: Column, n: Int): Column = {
+    val toks = Dedup.tokens(s)
+    graft.plans.VectorExpressions.shingleHashes(toks, n)
+  }
+
   /** Distinct character n-grams of a whitespace-normalized, lowercased
     * string, as a SORTED array of portable 60-bit md5 hashes (the
     * jaccardSorted kernel input shape; same hash family as the sketches,
@@ -58,11 +70,12 @@ object Linkage {
     * verify keeps the final result identical. */
   def linkPairsPrefixFilter(left: DataFrame, leftId: String, leftText: String,
                             right: DataFrame, rightId: String, rightText: String,
-                            n: Int = 3, threshold: Double = 0.55): DataFrame = {
+                            gramsOf: Column => Column,
+                            threshold: Double = 0.55): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
     def side(df: DataFrame, id: String, text: String): DataFrame =
       df.select(col(id).as("id"),
-          charGramHashes(col(text), n).as("sh"))
+          gramsOf(col(text)).as("sh"))
         .select(col("id"), col("sh"), size(col("sh")).as("sz"))
         .where(col("sz") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

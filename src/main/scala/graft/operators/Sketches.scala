@@ -275,6 +275,26 @@ object Sketches {
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
 
+  /** Join-size estimation from two CMS counter tables built with the
+    * same depth/width/hash family: |A ⋈_k B| = Σ_k f_A(k)·f_B(k), and
+    * the per-depth-row inner product Σ_b cntA[b]·cntB[b] over-estimates
+    * it by the classic additive N_A·N_B/width term — take the min over
+    * depth rows. Never under-estimates, so a planner using it to decide
+    * broadcast-vs-shuffle errs on the safe side.
+    *
+    * The 100 TB point: both relations summarize in ONE pass each
+    * (map-side-combined counters, ≤ depth·width rows per side cross the
+    * exchange), and the "join" runs on sketch rows — the full key-key
+    * join never executes. Size width to the expected frequency mass:
+    * the overcount is ~N_A·N_B/width. */
+  def cmsJoinSize(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    val a = countersA.select(col("row"), col("bucket"), col("cnt").as("cnt_a"))
+    val b = countersB.select(col("row"), col("bucket"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(min("ip").as("est_join_size"))
+  }
+
   /** Probe values against a built filter: returns (groupCols...,
     * valueCol, bloom_positive). A value is positive iff every one of its
     * numHashes bits is set — no false negatives by construction; false

@@ -182,4 +182,32 @@ object Ingest {
     (names, normalized)
   }
 
+  /** Incremental-ingestion ledger: the current file inventory under
+    * `path` (name, size, content md5 — computed inside each file's own
+    * `binaryFile` task, the C48 envelope distributed) full-outer-joined
+    * against the previous run's manifest, classifying every file as
+    * new / changed / unchanged / deleted. Feeding only the new+changed
+    * set into a pipeline makes re-runs incremental and idempotent — the
+    * engine-side spelling of the reference's md5+metadata capture
+    * (`pdf_ocr_dbd_to_json.py:97-103,445-456`), which exists precisely
+    * so re-processing can recognize files it has already seen.
+    *
+    * Scale shape: the exchange carries one (name, size, md5) row per
+    * FILE — inventory-sized, never content-sized; content bytes never
+    * leave the scan task that hashes them. */
+  def deltaFiles(spark: SparkSession, path: String,
+                 manifest: DataFrame): DataFrame = {
+    val inv = spark.read.format("binaryFile").load(path)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("size_bytes"),
+        md5(col("content")).as("file_md5"))
+    inv.join(manifest.select(col("file_name"), col("md5").as("__prev")),
+        Seq("file_name"), "full_outer")
+      .select(col("file_name"), col("size_bytes"), col("file_md5"),
+        when(col("__prev").isNull, lit("new"))
+          .when(col("file_md5").isNull, lit("deleted"))
+          .when(col("file_md5") === col("__prev"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
 }

@@ -1237,7 +1237,7 @@ class OperatorsSpec extends SparkSpec {
     val clean = cleanRows.toDF("cid", "nm")
     val dirty = dirtyRows.toDF("rid", "nm")
     val got = Linkage.linkPairsPrefixFilter(dirty, "rid", "nm", clean, "cid", "nm",
-        n = 3, threshold = 0.5)
+        Linkage.charGramHashes(_, 3), threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet
     // brute force over the cross product with the same gram definition
     val lg = dirty.select(col("rid"),
@@ -1304,6 +1304,24 @@ class OperatorsSpec extends SparkSpec {
     val loose = Graphs.pageRank(edges, "src", "dst", iters = 3, exactFold = false)
       .as[(Long, Double)].collect().toMap
     three.foreach { case (id, pr) => assert(math.abs(loose(id) - pr) < 1e-12) }
+  }
+
+  // ---- CMS join-size estimation
+
+  test("cmsJoinSize never under-estimates and tightens with width") {
+    val a = (1 to 100).flatMap(i => Seq.fill(i % 3 + 1)(i.toLong)).toDF("k")
+    val b = (50 to 150).flatMap(i => Seq.fill(i % 2 + 1)(i.toLong)).toDF("k")
+    val exact = a.join(b, "k").count()
+    def est(width: Int): Long = Sketches.cmsJoinSize(
+      Sketches.cmsCounters(a, Nil, "k", 4, width),
+      Sketches.cmsCounters(b, Nil, "k", 4, width)).as[Long].head()
+    val wide = est(65536)
+    val narrow = est(64)
+    assert(wide >= exact && narrow >= exact, "CMS inner product under-counted")
+    // 151 distinct keys in 65536 buckets: at most a stray collision
+    assert(wide <= (exact * 1.2).toLong + 1, s"wide est $wide vs exact $exact")
+    // additive error grows as the width shrinks
+    assert(narrow >= wide)
   }
 
   // ---- schema drift
