@@ -198,6 +198,30 @@ class SinksSpec extends SparkSpec {
     assert(back.getAs[String]("name") == "ผู้ขาย")
   }
 
+  test("deltaFiles classifies new/changed/unchanged/deleted against a manifest") {
+    import graft.sources.Ingest
+    val dir = new java.io.File(s"${tmp()}/delta")
+    dir.mkdirs()
+    def put(name: String, content: String): String = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      // md5 the way the inventory computes it (over content bytes)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val md5A = put("a.txt", "alpha")
+    put("b.txt", "beta-v2")
+    val md5BOld = java.security.MessageDigest.getInstance("MD5")
+      .digest("beta-v1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    put("c.txt", "carol")
+    val manifest = Seq(("a.txt", md5A), ("b.txt", md5BOld), ("gone.txt", "x"))
+      .toDF("file_name", "md5")
+    val got = Ingest.deltaFiles(spark, dir.getAbsolutePath, manifest)
+      .select("file_name", "status").as[(String, String)].collect().toMap
+    assert(got == Map("a.txt" -> "unchanged", "b.txt" -> "changed",
+      "c.txt" -> "new", "gone.txt" -> "deleted"))
+  }
+
   test("orc sink roundtrips types and pushes filters to the orc scan") {
     val path = s"${tmp()}/orc"
     val df = Seq((1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
