@@ -1616,6 +1616,18 @@ object SparkEntry {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // LEFT OUTER stream-stream interval join: unmatched purchases emit
+    // null-extended rows only when the watermark passes their eviction
+    // point (outer results are watermark-driven, not arrival-driven);
+    // the drain sentinel flushes the trailing unmatched state. NULLS
+    // FIRST ordering pinned on both engines.
+    "q133_stream_outer_join" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.clickPurchaseLeftOuterJoin(s, d, 1800)
+        .orderBy(col("user_id"), col("purchase_id"),
+          col("click_id").asc_nulls_first)
+    }),
+
     // The LLM training-data pipeline end to end: language-ID filter →
     // quality gate → exact dedup (digest groupBy, injected duplicates
     // collapse) → per-source corpus stats. Each stage is oracle-gated
@@ -3895,6 +3907,22 @@ object SparkEntry {
         | AND c.user_id = p.user_id
         | AND c.us >= p.us - 1800000000 AND c.us <= p.us
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+
+    // Batch left join with the same interval condition; the streaming
+    // side's null-extended rows must match it exactly.
+    "q133_stream_outer_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.us AS purchase_us, c.us AS click_us
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id
+        | AND c.us >= p.us - 1800000000 AND c.us <= p.us
+        |ORDER BY p.user_id, purchase_id, click_id NULLS FIRST""".stripMargin,
 
     "q69_corpus_clean_pipeline" ->
       """WITH all_docs AS (

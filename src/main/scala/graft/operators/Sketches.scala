@@ -290,9 +290,14 @@ object Sketches {
   def cmsJoinSize(countersA: DataFrame, countersB: DataFrame): DataFrame = {
     val a = countersA.select(col("row"), col("bucket"), col("cnt").as("cnt_a"))
     val b = countersB.select(col("row"), col("bucket"), col("cnt").as("cnt_b"))
-    a.join(b, Seq("row", "bucket"))
+    val ip = a.join(b, Seq("row", "bucket"))
       .groupBy("row").agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
-      .agg(min("ip").as("est_join_size"))
+    // a depth row with NO shared buckets proves the join is empty — its
+    // inner product is 0, and dropping the row (inner-join absence) would
+    // silently report min-of-the-others instead
+    countersA.select(col("row")).distinct()
+      .join(ip, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_size"))
   }
 
   /** Probe values against a built filter: returns (groupCols...,

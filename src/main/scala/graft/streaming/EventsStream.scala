@@ -415,6 +415,48 @@ object EventsStream {
         unix_micros(col("c_ts")).as("click_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the state-eviction-emits-
+    * null semantics the inner join doesn't exercise: a purchase with no
+    * qualifying click cannot emit when it arrives (a match may still
+    * come), so Spark holds it in state and emits the null-extended row
+    * only when the watermark passes its eviction point — proving outer
+    * results are driven by watermark progress, not by input order. The
+    * drain sentinel advances both watermarks past end-of-input so the
+    * trailing unmatched purchases flush; state stays O(watermark +
+    * window) per side exactly as in the inner join. */
+  def clickPurchaseLeftOuterJoin(spark: SparkSession, dir: String,
+                                 windowSec: Int = 1800,
+                                 statePartitions: Int = 8): DataFrame = {
+    val wmDelaySec = 3600L
+    val sent = drainSentinel(spark, dir, wmDelaySec + windowSec + 60)
+      .withColumn("user_id", lit(DrainUser))
+      .withColumn("event_id", lit(-1L))
+      .select("ts", "event_type", "user_id", "event_id")
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+      .unionByName(sent)
+    val clicks = evs
+      .where(col("event_type").isin("click", DrainType))
+      .select(col("ts").as("c_ts"), col("user_id").as("c_user"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", s"$wmDelaySec seconds")
+    val purchases = evs
+      .where(col("event_type").isin("purchase", DrainType))
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", s"$wmDelaySec seconds")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    runToTable(joined, "append", statePartitions)
+      .where(col("p_user") =!= DrainUser)
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("c_ts")).as("click_us"))
+  }
+
   /** Stateful sessionization over the events directory with DRAIN
     * semantics: a sentinel event past end-of-input advances the watermark
     * (multipleWatermarkPolicy=max across the two sources) so every real

@@ -1322,6 +1322,12 @@ class OperatorsSpec extends SparkSpec {
     assert(wide <= (exact * 1.2).toLong + 1, s"wide est $wide vs exact $exact")
     // additive error grows as the width shrinks
     assert(narrow >= wide)
+    // disjoint key sets: a bucket-disjoint depth row proves emptiness → 0
+    val hi = (1000000L to 1000050L).toDF("k")
+    val disjoint = Sketches.cmsJoinSize(
+      Sketches.cmsCounters(a, Nil, "k", 4, 65536),
+      Sketches.cmsCounters(hi, Nil, "k", 4, 65536)).as[Long].head()
+    assert(disjoint == 0L, s"disjoint sets should estimate 0, got $disjoint")
   }
 
   // ---- schema drift

@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "q43_company_financial", "q50_stream_sliding", "q51_stream_sessions",
     "q68_csv_sink_roundtrip", "q70_stream_interval_join",
     "q121_stream_hll_window", "q129_orc_sink_roundtrip",
-    "q130_stream_static_enrich")
+    "q130_stream_static_enrich", "q133_stream_outer_join")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.filterNot(q => machinery(q._1)).map { case (name, fn) =>

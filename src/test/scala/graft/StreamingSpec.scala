@@ -167,6 +167,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("left-outer interval join: unmatched purchases emit null rows on eviction") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+    val streamed = EventsStream.clickPurchaseLeftOuterJoin(spark, sfDir, 1800)
+      .collect().map(key).toSet
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val batch = e.as("p").filter(col("p.event_type") === "purchase")
+      .join(e.as("c").filter(col("c.event_type") === "click"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.us") >= col("p.us") - 1800000000L && col("c.us") <= col("p.us"),
+        "left_outer")
+      .select(col("p.user_id"), col("p.event_id"), col("c.event_id"))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // the outer semantics must actually fire: some purchases are unmatched
+    assert(streamed.exists(_._3 == Long.MinValue))
+    // and the inner matches are a strict subset
+    assert(streamed.exists(_._3 != Long.MinValue))
+  }
+
   test("per-batch incremental cost measured separately from setup (4-batch run)") {
     // the bench lines for the streaming queries are dominated by
     // AvailableNow setup (planning + state-store init + drain); what a
