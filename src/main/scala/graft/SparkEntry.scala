@@ -1628,6 +1628,28 @@ object SparkEntry {
           col("click_id").asc_nulls_first)
     }),
 
+    // Targeted delete (GDPR-erasure shape): the table is laid out on the
+    // delete key (repartitionByRange — the write-time clustering lever),
+    // so the victims locate into few files; only those files rewrite,
+    // survivors stay byte-identical on disk. The oracle checks the
+    // post-delete table state and the deleted-row count; the
+    // files-rewritten bound is asserted in OperatorsSpec (file layout is
+    // engine-specific).
+    "q134_targeted_delete" -> ((s0, d) => {
+      val s = prep(s0)
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q134_del_${System.nanoTime()}"
+      Tables.orders(s, d).repartitionByRange(8, col("o_custkey"))
+        .write.parquet(out)
+      val victims = Seq(7L, 13L, 42L).toDF("o_custkey")
+      val stats = graft.operators.Merge.targetedDelete(s, out, "o_custkey", victims)
+      val post = s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("revenue"))
+      post.crossJoin(broadcast(stats.select(col("rows_deleted"))))
+        .orderBy("o_orderstatus")
+    }),
+
     // The LLM training-data pipeline end to end: language-ID filter →
     // quality gate → exact dedup (digest groupBy, injected duplicates
     // collapse) → per-source corpus stats. Each stage is oracle-gated
@@ -3923,6 +3945,22 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND c.us >= p.us - 1800000000 AND c.us <= p.us
         |ORDER BY p.user_id, purchase_id, click_id NULLS FIRST""".stripMargin,
+
+    // Post-delete table state + deleted-row count recomputed from the
+    // source table; if the swap lost or duplicated a survivor row the
+    // aggregate diverges.
+    "q134_targeted_delete" ->
+      """WITH post AS (
+        |  SELECT * FROM orders WHERE o_custkey NOT IN (7, 13, 42)),
+        |del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_deleted FROM orders
+        |  WHERE o_custkey IN (7, 13, 42))
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue,
+        |  del.rows_deleted
+        |FROM post CROSS JOIN del
+        |GROUP BY o_orderstatus, del.rows_deleted
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q69_corpus_clean_pipeline" ->
       """WITH all_docs AS (

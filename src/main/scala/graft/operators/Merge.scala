@@ -114,4 +114,66 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tsCol)
   }
+
+  /** Targeted delete on a plain-parquet table — the delete-compliance
+    * (GDPR erasure) shape at 100 TB: rewrite ONLY the physical files
+    * that contain a victim key, leave every other file untouched.
+    *
+    * Phases:
+    *   1. LOCATE — one scan filtered to the victim keys (row-group
+    *      min/max pruning serves this; with the table laid out on the
+    *      delete key — the q122 z-order/range-sort lever — victims
+    *      cluster into few files). The exchange carries distinct file
+    *      NAMES, bounded by file count.
+    *   2. REWRITE — read only the affected files, anti-join the victims,
+    *      write survivors to a dot-prefixed staging dir (invisible to
+    *      readers).
+    *   3. SWAP — move staged part-files in under unique names, THEN
+    *      delete the affected originals: all non-victim data stays
+    *      visible at every instant (a concurrent reader may transiently
+    *      double-count survivors of the swap — the documented trade for
+    *      running on plain parquet; a transactional table format makes
+    *      this step atomic).
+    * A crash before the swap leaves the table unchanged (staging is
+    * dot-prefixed); a crash mid-swap is repaired by re-running the same
+    * delete — victims are gone from staged files, so the rewrite is
+    * idempotent.
+    *
+    * Returns one stats row: (files_total, files_rewritten, rows_deleted,
+    * rows_kept_rewritten). Victim sets ride as a plain semi/anti join —
+    * AQE broadcasts them when small; a forced broadcast would OOM on a
+    * large erasure backlog. */
+  def targetedDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                     keyCol: String, victims: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesTotal = fs.listStatus(target)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val table = spark.read.parquet(path)
+    val vkeys = victims.select(col(keyCol)).distinct()
+    val affected = table.join(vkeys, Seq(keyCol), "left_semi")
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    if (affected.isEmpty)
+      return Seq((filesTotal.toLong, 0L, 0L, 0L))
+        .toDF("files_total", "files_rewritten", "rows_deleted", "rows_kept_rewritten")
+    val sub = spark.read.parquet(affected.toSeq: _*)
+    val kept = sub.join(vkeys, Seq(keyCol), "left_anti")
+      .select(table.columns.map(col): _*)
+    val subCount = sub.count()
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(target, s".delstage_$token")
+    kept.write.parquet(stage.toString)
+    val keptCount = spark.read.parquet(stage.toString).count()
+    // swap: add survivors first (unique names), then drop the originals
+    fs.listStatus(stage).filter(_.getPath.getName.startsWith("part-"))
+      .foreach { s =>
+        fs.rename(s.getPath, new Path(target, s"del_$token-${s.getPath.getName}"))
+      }
+    affected.foreach { f => fs.delete(new Path(new java.net.URI(f).getPath), false) }
+    fs.delete(stage, true)
+    Seq((filesTotal.toLong, affected.length.toLong, subCount - keptCount, keptCount))
+      .toDF("files_total", "files_rewritten", "rows_deleted", "rows_kept_rewritten")
+  }
 }

@@ -1306,6 +1306,37 @@ class OperatorsSpec extends SparkSpec {
     three.foreach { case (id, pr) => assert(math.abs(loose(id) - pr) < 1e-12) }
   }
 
+  // ---- targeted delete
+
+  test("targetedDelete rewrites only victim-bearing files; idempotent rerun") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdel").toString
+    val rows = (0L until 800L).map(i => (i, s"v$i"))
+    rows.toDF("k", "payload").repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    def files(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => s"${f.getName}:${f.lastModified}:${f.length}").toSet
+    val before = files()
+    // victims sit in a narrow key range → few files affected
+    val victims = Seq(10L, 11L, 12L).toDF("k")
+    val stats = Merge.targetedDelete(spark, dir, "k", victims)
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats._3 == 3, s"expected 3 deleted rows, got $stats")
+    assert(stats._2 >= 1 && stats._2 <= 2,
+      s"range-clustered victims should touch 1-2 of 8 files, got ${stats._2}")
+    // untouched files are byte-identical (same name, mtime, size)
+    val after = files()
+    assert((before intersect after).size == before.size - stats._2.toInt)
+    // table state: victims gone, everything else intact
+    val back = spark.read.parquet(dir).as[(Long, String)].collect()
+    assert(back.length == 797 && !back.exists(r => Set(10L, 11L, 12L)(r._1)))
+    assert(back.toMap == rows.filterNot(r => Set(10L, 11L, 12L)(r._1)).toMap)
+    // rerun: nothing left to delete, zero files touched
+    val again = Merge.targetedDelete(spark, dir, "k", victims)
+      .as[(Long, Long, Long, Long)].head()
+    assert(again._2 == 0 && again._3 == 0)
+  }
+
   // ---- CMS join-size estimation
 
   test("cmsJoinSize never under-estimates and tightens with width") {
