@@ -1650,6 +1650,24 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Small-file compaction: a fragmented table (64 tiny part files, the
+    // streaming-ingest pathology) compacts to right-sized files — only
+    // sub-threshold files are read or touched; content must survive the
+    // rewrite bit-for-bit (the oracle recomputes the post-compaction
+    // aggregate from the source). File-count collapse is asserted in
+    // OperatorsSpec (layout is engine-specific).
+    "q135_compact_small_files" -> ((s0, d) => {
+      val s = prep(s0)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q135_cmp_${System.nanoTime()}"
+      Tables.orders(s, d).repartition(64).write.parquet(out)
+      graft.operators.Merge.compactSmallFiles(s, out,
+        smallBytes = 512L * 1024 * 1024, targetBytes = 512L * 1024 * 1024)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // The LLM training-data pipeline end to end: language-ID filter →
     // quality gate → exact dedup (digest groupBy, injected duplicates
     // collapse) → per-source corpus stats. Each stage is oracle-gated
@@ -3960,6 +3978,15 @@ object SparkEntry {
         |  del.rows_deleted
         |FROM post CROSS JOIN del
         |GROUP BY o_orderstatus, del.rows_deleted
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // Compaction must not change a single value: the aggregate over the
+    // compacted table equals the aggregate over the source.
+    "q135_compact_small_files" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+        |FROM orders
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
     "q69_corpus_clean_pipeline" ->

@@ -176,4 +176,48 @@ object Merge {
     Seq((filesTotal.toLong, affected.length.toLong, subCount - keptCount, keptCount))
       .toDF("files_total", "files_rewritten", "rows_deleted", "rows_kept_rewritten")
   }
+
+  /** Small-file compaction — the maintenance op that keeps a 100 TB
+    * table scannable: streaming ingest and partitioned MERGEs leave
+    * thousands of KB-sized part files, and every future scan pays one
+    * task + one open per file. Compaction reads ONLY the files below
+    * `smallBytes`, rewrites their union into ceil(bytes/targetBytes)
+    * right-sized files (coalesce — a rebalance, no shuffle), and swaps
+    * them in staged (survivors added before originals drop, same
+    * visibility contract as [[targetedDelete]]). Files already at size
+    * are never touched — compaction cost tracks the SMALL fraction, not
+    * the table.
+    *
+    * Returns one stats row: (files_before, files_compacted, files_added,
+    * rows_moved). Idempotent: a second run finds nothing under the
+    * threshold (newly written files exceed it) and does zero work. */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                        smallBytes: Long, targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(smallBytes <= targetBytes, "small threshold above target size")
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(target).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val small = dataFiles.filter(_.getLen < smallBytes)
+    if (small.length <= 1)
+      return Seq((dataFiles.length.toLong, 0L, 0L, 0L))
+        .toDF("files_before", "files_compacted", "files_added", "rows_moved")
+    val totalBytes = small.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val sub = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(target, s".compact_$token")
+    sub.coalesce(nOut).write.parquet(stage.toString)
+    val moved = spark.read.parquet(stage.toString).count()
+    val staged = fs.listStatus(stage).filter(_.getPath.getName.startsWith("part-"))
+    staged.foreach { s =>
+      fs.rename(s.getPath, new Path(target, s"cmp_$token-${s.getPath.getName}"))
+    }
+    small.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(stage, true)
+    Seq((dataFiles.length.toLong, small.length.toLong, staged.length.toLong, moved))
+      .toDF("files_before", "files_compacted", "files_added", "rows_moved")
+  }
 }

@@ -1337,6 +1337,27 @@ class OperatorsSpec extends SparkSpec {
     assert(again._2 == 0 && again._3 == 0)
   }
 
+  // ---- small-file compaction
+
+  test("compactSmallFiles collapses fragments, preserves content, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val rows = (0L until 500L).map(i => (i, s"p$i"))
+    rows.toDF("k", "payload").repartition(16).write.mode("overwrite").parquet(dir)
+    def nFiles(): Int = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles() == 16)
+    val st = Merge.compactSmallFiles(spark, dir, 1L << 20, 1L << 20)
+      .as[(Long, Long, Long, Long)].head()
+    assert(st == ((16L, 16L, 1L, 500L)), s"unexpected stats $st")
+    assert(nFiles() == 1)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect()
+    assert(back.length == 500 && back.toMap == rows.toMap)
+    // second run: single file left — nothing to compact
+    val again = Merge.compactSmallFiles(spark, dir, 1L << 20, 1L << 20)
+      .as[(Long, Long, Long, Long)].head()
+    assert(again == ((1L, 0L, 0L, 0L)))
+  }
+
   // ---- CMS join-size estimation
 
   test("cmsJoinSize never under-estimates and tightens with width") {

@@ -229,4 +229,39 @@ class PropertySpec extends SparkSpec {
       .select("an", "bn").as[(String, String)].collect().sorted.toSeq
     assert(got == want)
   }
+
+  test("linkPairsPrefixFilter is complete on random corpora at random thresholds") {
+    val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val name = Gen.chooseNum(2, 6).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    for (threshold <- Seq(0.3, 0.5, 0.8)) {
+      val ls = Gen.listOfN(25, name).sample.getOrElse(Nil)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val rs = Gen.listOfN(25, name).sample.getOrElse(Nil)
+        .zipWithIndex.map { case (s, i) => (100L + i, s) }
+      // seed guaranteed matches: copy a few left names to the right side
+      val rsAll = rs ++ ls.take(5).map { case (i, s) => (200L + i, s) }
+      val l = ls.toDF("lid", "nm")
+      val r = rsAll.toDF("rid", "nm")
+      val gramFn = operators.Linkage.charGramHashes(_: org.apache.spark.sql.Column, 3)
+      val got = operators.Linkage
+        .linkPairsPrefixFilter(l, "lid", "nm", r, "rid", "nm", gramFn, threshold)
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      // brute force over the cross product with the same grams
+      val lg = l.select(col("lid"), gramFn(col("nm")).as("g"))
+        .as[(Long, Seq[Long])].collect()
+      val rg = r.select(col("rid"), gramFn(col("nm")).as("g"))
+        .as[(Long, Seq[Long])].collect()
+      val want = (for {
+        (lid, ga) <- lg; (rid, gb) <- rg
+        if ga.nonEmpty && gb.nonEmpty
+        inter = ga.toSet.intersect(gb.toSet).size
+        j = BigDecimal(inter.toDouble / (ga.size + gb.size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= threshold
+      } yield (lid, rid)).toSet
+      assert(got == want, s"t=$threshold: blocked ${got.size} != brute ${want.size}")
+      assert(want.nonEmpty, s"t=$threshold: degenerate fixture, no pairs")
+    }
+  }
 }
