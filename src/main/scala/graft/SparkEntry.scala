@@ -1668,6 +1668,46 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Snapshot diff (change-data-feed emission): two keyed table states
+    // full-outer joined, each key classified inserted/deleted/updated/
+    // unchanged with a null-safe column compare. The new snapshot is
+    // synthesized mutant-style (every 101st key dropped, every 37th
+    // status flipped, every 211th re-inserted under a fresh key).
+    "q136_snapshot_diff" -> ((s0, d) => {
+      val s = prep(s0)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val inserted = o.where(col("o_orderkey") % 211 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val n = o.where(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 37 === 0,
+            concat(col("o_orderstatus"), lit("X")))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(inserted)
+      graft.operators.Merge.snapshotDiff(o, n, Seq("o_orderkey"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .orderBy("change_type")
+    }),
+
+    // Referential-integrity audit: lineitem→orders and orders→customer
+    // hold by construction; events.user_id→customer is the broken one
+    // (the event stream knows users the master table doesn't) — the
+    // orphan count and key-sum witness quantify it.
+    "q137_fk_audit" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Validation.fkAudit(Seq(
+          ("lineitem.orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"),
+          ("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"),
+          ("events.user_id->customer", Tables.events(s, d), "user_id",
+            Tables.customer(s, d), "c_custkey")))
+        .orderBy("relationship")
+    }),
+
     // The LLM training-data pipeline end to end: language-ID filter →
     // quality gate → exact dedup (digest groupBy, injected duplicates
     // collapse) → per-source corpus stats. Each stage is oracle-gated
@@ -3988,6 +4028,53 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // The same mutation plan classified directly: deletion wins over
+    // update (a dropped key can't also flip), inserts are the fresh keys.
+    "q136_snapshot_diff" ->
+      """WITH d AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN 'deleted'
+        |         WHEN o_orderkey % 37 = 0 THEN 'updated'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'inserted' AS change_type
+        |  FROM orders WHERE o_orderkey % 211 = 0)
+        |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "q137_fk_audit" ->
+      """WITH rel AS (
+        |  SELECT 'lineitem.orderkey->orders' AS relationship,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |    (SELECT CAST(coalesce(SUM(l_orderkey), 0) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS orphan_key_sum
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders r
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = r.o_custkey)),
+        |    (SELECT CAST(coalesce(SUM(o_custkey), 0) AS BIGINT) FROM orders r
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = r.o_custkey))
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = e.user_id)),
+        |    (SELECT CAST(coalesce(SUM(user_id), 0) AS BIGINT) FROM events e
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = e.user_id)))
+        |SELECT relationship, n_child, n_orphans, orphan_key_sum FROM rel
+        |ORDER BY relationship""".stripMargin,
 
     "q69_corpus_clean_pipeline" ->
       """WITH all_docs AS (

@@ -220,4 +220,41 @@ object Merge {
     Seq((dataFiles.length.toLong, small.length.toLong, staged.length.toLong, moved))
       .toDF("files_before", "files_compacted", "files_added", "rows_moved")
   }
+
+  /** Snapshot diff — change-data-feed emission between two keyed table
+    * states: full-outer join on the natural key, classify each key as
+    * inserted / deleted / updated / unchanged (null-safe column
+    * compare, the scd2 change predicate). The audit/replication
+    * primitive the reference approximates by re-importing and counting
+    * (`count_req` vs `count_output`, `PublicApiController.php:296-299`)
+    * — this emits WHICH keys changed and how, and its output feeds
+    * [[compactChangelog]]/[[upsert]] downstream.
+    *
+    * One shuffle per side on the key; comparing columns row-wise costs
+    * nothing extra. `valueCols` defaults to every non-key column shared
+    * by both snapshots (schema drift between snapshots is q128's job —
+    * here extra columns on one side are ignored). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String],
+                   valueCols: Seq[String] = Nil): DataFrame = {
+    val vals =
+      if (valueCols.nonEmpty) valueCols
+      else oldSnap.columns.toSeq.intersect(newSnap.columns.toSeq)
+        .filterNot(keys.contains)
+    val o = oldSnap.select((keys ++ vals).map(col): _*)
+      .withColumn("__old", lit(true))
+    val n = newSnap.select((keys ++ vals).map(col): _*)
+      .withColumn("__new", lit(true))
+    val renamedO = vals.foldLeft(o)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val renamedN = vals.foldLeft(n)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+    val changed = vals.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    renamedO.join(renamedN, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, lit("inserted"))
+          .when(col("__new").isNull, lit("deleted"))
+          .when(changed, lit("updated"))
+          .otherwise(lit("unchanged")))
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
 }

@@ -80,6 +80,25 @@ object Validation {
     * full-outer join runs on inventory-sized tables (|groups| × |keys|).
     * Presence COUNTS ride along so partial drift (a key present in only
     * half the new batch) is visible, not just binary presence. */
+  /** Referential-integrity audit over declared FK relationships: per
+    * relationship, the child row count and the orphan count (child keys
+    * with no parent — a left-anti join, the F11/J1 existence guard
+    * inverted into a metric). `orphan_key_sum` rides along as a cheap
+    * content witness so two runs finding "5 orphans" can be compared.
+    * Each relationship costs one anti-join on its key — the parent side
+    * is distinct-projected first, so the join input is key-sized. */
+  def fkAudit(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    rels.map { case (name, child, fk, parent, pk) =>
+      val c = child.select(col(fk).cast("long").as("k")).where(col("k").isNotNull)
+      val orphans = c.join(parent.select(col(pk).cast("long").as("k")).distinct(),
+        Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child")).crossJoin(
+        orphans.agg(count(lit(1)).as("n_orphans"),
+          coalesce(sum("k"), lit(0L)).cast("long").as("orphan_key_sum")))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"), col("orphan_key_sum"))
+    }.reduce(_ unionByName _)
+
   def jsonKeyDrift(oldBatch: DataFrame, newBatch: DataFrame,
                    groupCols: Seq[String], jsonCol: String): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}

@@ -1337,6 +1337,29 @@ class OperatorsSpec extends SparkSpec {
     assert(again._2 == 0 && again._3 == 0)
   }
 
+  // ---- snapshot diff / fk audit
+
+  test("snapshotDiff classifies keys with null-safe compares") {
+    val oldS = Seq((1L, Some("a"), 10), (2L, None: Option[String], 20),
+      (3L, Some("c"), 30), (4L, Some("d"), 40)).toDF("k", "s", "v")
+    val newS = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
+      (3L, None: Option[String], 30), (5L, Some("e"), 50)).toDF("k", "s", "v")
+    val got = Merge.snapshotDiff(oldS, newS, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    // null→value and value→null are both updates (null-safe <=>), not noise
+    assert(got == Map(1L -> "unchanged", 2L -> "updated", 3L -> "updated",
+      4L -> "deleted", 5L -> "inserted"))
+  }
+
+  test("fkAudit counts orphans per relationship with a key-sum witness") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((1L, "x"), (2L, "y"), (9L, "z"), (10L, "w"))
+      .toDF("fk", "payload")
+    val got = Validation.fkAudit(Seq(("child->parent", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("child->parent", 4L, 2L, 19L)))
+  }
+
   // ---- small-file compaction
 
   test("compactSmallFiles collapses fragments, preserves content, idempotent") {
