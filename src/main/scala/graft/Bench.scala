@@ -49,8 +49,16 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val load0 = loadAvg()
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // a throwing query must read as an ERROR in the artifact, never as a
+    // (fast) timing — round 4's events-schema breakage benched 7 exceptions
+    // as 0.06s "speedups". Failed samples record -1 and the message lands
+    // in an errors map; the warmup failure alone already marks the query.
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case t: Throwable =>
+        errors(name) = t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
       clearCaches()
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -58,20 +66,41 @@ object Bench {
     val passLoads = (1 to Runs).map { _ =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        samples(name) ::= (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            errors.getOrElseUpdate(name,
+              t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+            false
+          }
+        samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         clearCaches()
       }
       loadAvg()
     }
     val results = ordered.map { case (name, _) =>
-      name -> samples(name).sorted.apply(Runs / 2)
+      val ss = samples(name)
+      // any failed sample poisons the median to -1: a query that flakes
+      // mid-bench is not "measured", it is broken
+      name -> (if (ss.exists(_ < 0) || errors.contains(name)) -1.0
+               else ss.sorted.apply(Runs / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val good = results.filter(_._2 >= 0)
+    val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
     val loads = passLoads.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads}""")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads}"""
+    println(line)
+    // the driver captures only a log tail; persist the full line in-repo so
+    // round-over-round comparison never depends on tail-capture luck
+    try {
+      val out = java.nio.file.Paths.get("bench_full_last.json")
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

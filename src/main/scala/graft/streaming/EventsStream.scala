@@ -46,9 +46,9 @@ object EventsStream {
   private def eventsStream(spark: SparkSession, dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Start-run-drain a streaming query into a memory table.
@@ -312,11 +312,16 @@ object EventsStream {
     * on the final batch (the Flink drain-on-stop pattern), so append-mode
     * windows finalize and event-time timeouts fire on a finite run. A live
     * deployment simply omits the sentinel. */
-  /** Max `ts` (nanos) across the parquet footers — O(files) metadata
-    * reads, no row scan (the column statistics the writer already
-    * computed). Falls back to a scan if any footer lacks ts stats. */
-  private def maxTsNanosFromFooters(spark: SparkSession, dir: String): Option[Long] = try {
+  /** Max `ts` as EPOCH SECONDS across the parquet footers — O(files)
+    * metadata reads, no row scan (the column statistics the writer already
+    * computed). The raw footer long is in whatever unit the column's
+    * logical type declares (NANOS for the old testdata, MICROS for the
+    * regenerated `timestamp[us]` shape) — divide accordingly rather than
+    * assuming nanos. Falls back to a scan if any footer lacks ts stats. */
+  private def maxTsEpochSecFromFooters(spark: SparkSession, dir: String): Option[Long] = try {
     import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.TimeUnit
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = root.getFileSystem(conf)
@@ -332,10 +337,21 @@ object EventsStream {
           b.getColumns.asScala
             .find(_.getPath.toDotString == "ts")
             .flatMap { c =>
+              val perSec = c.getPrimitiveType.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit match {
+                    case TimeUnit.MILLIS => Some(1000L)
+                    case TimeUnit.MICROS => Some(1000000L)
+                    case TimeUnit.NANOS  => Some(1000000000L)
+                  }
+                // untagged int64 (legacy nanos-as-long testdata)
+                case null => Some(1000000000L)
+                case _    => None
+              }
               val st = c.getStatistics
               if (st == null || !st.hasNonNullValue) None
-              else st.genericGetMax match {
-                case l: java.lang.Long => Some(l.longValue())
+              else (st.genericGetMax, perSec) match {
+                case (l: java.lang.Long, Some(d)) => Some(l.longValue() / d)
                 case _ => None
               }
             }
@@ -353,10 +369,11 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // empty input → max(ts) is NULL; fall back to epoch 0 so the drain
     // wrappers return an empty result instead of throwing on .getLong
-    val maxEpochSec = maxTsNanosFromFooters(spark, dir)
-      .map(_ / 1000000000L)
-      .orElse(Option(spark.read.parquet(s"$dir/events.parquet")
-        .agg(max(expr("ts div 1000000000"))).first().get(0))
+    val maxEpochSec = maxTsEpochSecFromFooters(spark, dir)
+      .orElse(Option(
+        graft.core.Tables.normalizeEventTs(
+            spark.read.parquet(s"$dir/events.parquet"))
+          .agg(max(unix_seconds(col("ts")))).first().get(0))
         .map(_.asInstanceOf[Long]))
       .getOrElse(0L)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

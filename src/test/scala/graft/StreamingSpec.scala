@@ -96,11 +96,10 @@ class StreamingSpec extends SparkSpec {
     assert(before.size > 1, "need several date partitions for this test")
     // second input: only the earliest day's events, as a single
     // events.parquet file (the stream source globs that exact name)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val minDay = raw.agg(min(expr("ts div 86400000000000"))).first().getLong(0)
+    val raw = Tables.events(spark, sfDir) // schema-adaptive ts
+    val minDay = raw.agg(min(expr("unix_seconds(ts) div 86400"))).first().getLong(0)
     val inDir = s"$base/in"
-    raw.where(expr("ts div 86400000000000") === minDay)
+    raw.where(expr("unix_seconds(ts) div 86400") === minDay)
       .coalesce(1).write.parquet(s"$inDir.stage")
     val part = new java.io.File(s"$inDir.stage").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
@@ -198,9 +197,7 @@ class StreamingSpec extends SparkSpec {
     // split, batch by batch
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val tmp = java.nio.file.Files.createTempDirectory("graft_bt").toString + "/in"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.events(spark, sfDir) // schema-adaptive ts
       .select("ts", "event_type", "value")
       .repartition(4).write.parquet(tmp)
     val schema = spark.read.parquet(tmp).schema
