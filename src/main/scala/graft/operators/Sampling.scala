@@ -22,10 +22,14 @@ object Sampling {
     * reduced mod 2^31 so the multiply stays below Long.MaxValue: Spark
     * would silently wrap on overflow while ANSI engines (DuckDB's BIGINT)
     * raise — the reduction keeps both engines on the same arithmetic for
-    * ANY id, including ids >= 2^32 and negatives (pmod, not %). */
+    * ANY id, including ids >= 2^32 and negatives. The power-of-two mods
+    * are spelled as bitmasks (`x & (2^k - 1)` == non-negative mod 2^k for
+    * any two's-complement long), which computes the identical value in
+    * one AND instead of pmod's two mods + add; the masked product is
+    * non-negative, so the final bucket mod is a plain `%`. */
   def multiplicativeBucket(id: Column, buckets: Int): Column =
-    pmod(pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L)), lit(buckets))
+    ((id.cast("long").bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+      .bitwiseAND(lit(4294967295L)) % lit(buckets.toLong))
       .cast("int")
 
   /** Map a bucket column to split names by cumulative fractions, e.g.
