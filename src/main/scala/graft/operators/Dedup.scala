@@ -238,17 +238,20 @@ object Dedup {
     // pair-generation lineage (e.g. the whole prefix-filter join).
     // Catalyst analysis + cache canonicalization over that tree dominated
     // runtime (measured: 82s loop → 9s with checkpoints at sf0.1).
-    // localCheckpoint(eager) materializes to executor-local blocks and
-    // replaces the plan with a leaf — the iterative-algorithm pattern
-    // GraphX uses. Superseded checkpoint blocks are released by the
-    // ContextCleaner once unreferenced.
+    // Checkpoints.cut materializes eagerly and replaces the plan with a
+    // leaf — the iterative-algorithm pattern GraphX uses. Local blocks by
+    // default; set spark.graft.reliableCheckpoint=true (+ a DFS
+    // setCheckpointDir) on a cluster so an executor loss mid-iteration
+    // doesn't abort the job (see graft.core.Checkpoints). Superseded
+    // checkpoint blocks are released by the ContextCleaner once
+    // unreferenced.
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.cut)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoints.cut)
     // Convergence via the label-sum fixpoint: min-propagation only ever
     // LOWERS labels, so an unchanged sum means an unchanged labeling —
     // one cheap aggregation per round instead of a self-join diff.
@@ -275,7 +278,7 @@ object Dedup {
         .join(parents, Seq("component"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("cc2"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoints.cut)
       val curSum = labelSum(next)
       labels = next
       converged = curSum == prevSum

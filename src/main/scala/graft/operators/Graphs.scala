@@ -76,7 +76,7 @@ object Graphs {
             (coalesce(col("s"), lit(0.0)) + lit(dangling / n))).as("pr"))
         // cut lineage per round (the connectedComponents lesson): without
         // this the plan doubles per iteration
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoints.cut)
     }
     pr
   }

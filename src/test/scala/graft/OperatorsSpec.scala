@@ -174,6 +174,38 @@ class OperatorsSpec extends SparkSpec {
     assert(comp.size == 200 && comp.values.forall(_ == 0L))
   }
 
+  test("reliable-checkpoint mode without a checkpoint dir fails loudly") {
+    // must run BEFORE any test sets the context checkpoint dir (ScalaTest
+    // runs tests in registration order); skip if some earlier suite set it
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    spark.conf.set(graft.core.Checkpoints.ReliableConf, "true")
+    try {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val e = intercept[IllegalArgumentException] {
+          graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+        }
+        assert(e.getMessage.contains("setCheckpointDir"))
+      }
+    } finally spark.conf.set(graft.core.Checkpoints.ReliableConf, "false")
+  }
+
+  test("connectedComponents: reliable-checkpoint mode produces the same labels via the DFS path") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.core.Checkpoints.ReliableConf, "true")
+    try {
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the cut really went through the reliable path: blocks on "DFS"
+      val written = new java.io.File(ckDir).listFiles()
+      assert(written != null && written.nonEmpty,
+        "reliable mode must write checkpoint blocks to the checkpoint dir")
+    } finally spark.conf.set(graft.core.Checkpoints.ReliableConf, "false")
+  }
+
   test("connectedComponents: non-convergence fails loudly, not silently") {
     val chain = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
