@@ -1708,6 +1708,34 @@ object SparkEntry {
         .orderBy("relationship")
     }),
 
+    // K4/K5 staged partitioned commit, oracle-gated end to end: a full
+    // per-status monthly aggregate lands via writePartitionedStaged
+    // (stage → per-partition atomic rename swap), then a SECOND staged
+    // write replaces only the 'F' partition with a re-filtered aggregate
+    // — the keyed-replace shape of the reference's import loop. The
+    // readback must show the replaced F content next to the untouched
+    // first-write partitions; the second write also runs the crash-repair
+    // scan over the live table. Crash-injection coverage stays in
+    // SinksSpec; this row pins the VALUES that survive the swap.
+    "q138_staged_partition_roundtrip" -> ((s0, d) => {
+      val s = prep(s0)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q138_${System.nanoTime()}"
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderstatus"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("revenue"))
+      graft.sources.Sinks.writePartitionedStaged(
+        agg(Tables.orders(s, d)), out, "o_orderstatus")
+      graft.sources.Sinks.writePartitionedStaged(
+        agg(Tables.orders(s, d)
+          .where(col("o_orderstatus") === "F" && col("o_totalprice") < 200000)),
+        out, "o_orderstatus")
+      s.read.parquet(out)
+        .select(col("o_orderstatus"), col("month"),
+          col("n_orders"), col("revenue"))
+        .orderBy("o_orderstatus", "month")
+    }),
+
     // The LLM training-data pipeline end to end: language-ID filter →
     // quality gate → exact dedup (digest groupBy, injected duplicates
     // collapse) → per-source corpus stats. Each stage is oracle-gated
@@ -1848,6 +1876,33 @@ object SparkEntry {
         .toDF("file", "page", "pass_idx", "text")
       graft.sources.OcrConnector
         .mergeOcrPasses(passes, "file", "page", "pass_idx", "text")
+        .orderBy("file", "page")
+    }),
+
+    // S6 end to end: the local rasterize→multi-pass-OCR→voting-merge
+    // pipeline over the fixture PDFs, with DETERMINISTIC STUB rasterizer
+    // and engine (the real pdf2image/Tesseract legs are external by
+    // design — documented in the Scaladoc; the pass texts here replicate
+    // the reference's duplicate-pass-drop + correction-pass shape). What
+    // this row gates is the Spark plumbing: binaryFiles fan-out, page ×
+    // pass row shaping, the q112-gated voting merge composed on top, and
+    // that no file lands in the reject channel.
+    "q139_local_ocr_pipeline" -> ((s0, d) => {
+      val s = prep(s0)
+      val raster = (bytes: Array[Byte], dpi: Int) =>
+        (1 to 2).map(p => Array(p.toByte)).toSeq // STUB: 2 "page images"
+      val ocr = (img: Array[Byte], pass: Int) => {
+        val p = img(0).toInt
+        pass match {
+          case 0 => s"page $p text"
+          case 1 => s"page $p text" // identical pass: voting merge drops it
+          case _ => s"page $p corrected"
+        }
+      }
+      graft.sources.OcrConnector
+        .localOcrPdfs(s, s"$fixtures/*.pdf", dpi = 150, nPasses = 3, raster, ocr)
+        .select(regexp_extract(col("source_file"), "([^/]+)$", 1).as("file"),
+          col("page"), col("text"), col("reject_reason"))
         .orderBy("file", "page")
     }),
 
@@ -3496,6 +3551,27 @@ object SparkEntry {
         |       ELSE 'stable' END AS status
         |FROM j ORDER BY event_type, key""".stripMargin,
 
+    // The staged-commit table recomputed straight from parquet: non-F
+    // partitions hold the first write's full aggregate, F holds the
+    // second write's filtered replacement — any swap defect (lost
+    // partition, stale backup, half-renamed stage) diverges the hash.
+    "q138_staged_partition_roundtrip" ->
+      """WITH full_agg AS (
+        |  SELECT o_orderstatus, date_trunc('month', o_orderdate) AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  GROUP BY 1, 2),
+        |f_agg AS (
+        |  SELECT o_orderstatus, date_trunc('month', o_orderdate) AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 200000
+        |  GROUP BY 1, 2)
+        |SELECT * FROM full_agg
+        |UNION ALL SELECT * FROM f_agg
+        |ORDER BY o_orderstatus, month""".stripMargin,
+
     // The roundtrip target recomputed straight from parquet: if the ORC
     // hop changed any value, the hash diverges.
     "q129_orc_sink_roundtrip" ->
@@ -4175,6 +4251,21 @@ object SparkEntry {
         |  FROM firsts GROUP BY file, page)
         |SELECT p.file, p.page, COALESCE(m.text, '') AS text
         |FROM pages p LEFT JOIN merged m USING (file, page)
+        |ORDER BY file, page""".stripMargin,
+
+    // The stubbed passes are pure functions of (page, pass), so the
+    // expected merged table enumerates exactly: per fixture PDF, 2 pages,
+    // pass 0 text + pass 2 correction (pass 1 duplicate dropped), nothing
+    // rejected.
+    "q139_local_ocr_pipeline" ->
+      """WITH files(file) AS (VALUES
+        |  ('invoice_table.pdf'), ('pdf_edge.pdf'), ('rm_pages.pdf')),
+        |pages(page) AS (VALUES (CAST(1 AS BIGINT)), (2))
+        |SELECT file, page,
+        |  'page ' || page || ' text' || chr(10) ||
+        |    'page ' || page || ' corrected' AS text,
+        |  CAST(NULL AS VARCHAR) AS reject_reason
+        |FROM files CROSS JOIN pages
         |ORDER BY file, page""".stripMargin,
 
     "q111_semantic_dedup" ->

@@ -130,6 +130,60 @@ object OcrConnector {
       .drop("__text")
   }
 
+  /** S6: the LOCAL offline OCR pipeline — rasterize → multi-pass OCR →
+    * voting merge — with the rasterizer and per-pass engine pluggable,
+    * mirroring the S8 transport pattern. The reference leg
+    * (pdf_ocr_rm_to_json.py:81-115) shells out to pdf2image + OpenCV
+    * preprocessing (Otsu / adaptive threshold / bilateral) + Tesseract;
+    * none of those are library dependencies here, so a deployment passes
+    * functions wrapping them, while everything Spark-side is real and
+    * tested: the `binaryFiles` fan-out (one task per scan, no driver
+    * loop), per-(page, pass) row shaping, the [[mergeOcrPasses]] voting
+    * merge, and the reject channel for rasterizer/engine failures.
+    *
+    * `rasterizer(pdfBytes, dpi)` returns one image per page;
+    * `ocrPass(imageBytes, passIdx)` runs preprocessing variant `passIdx`
+    * and OCRs it. Both run inside the file's task, so a directory of
+    * scans parallelizes across executors exactly like [[ocrFiles]]. */
+  def localOcrPdfs(spark: SparkSession, path: String, dpi: Int, nPasses: Int,
+                   rasterizer: (Array[Byte], Int) => Seq[Array[Byte]],
+                   ocrPass: (Array[Byte], Int) => String): DataFrame = {
+    require(nPasses >= 1, s"nPasses must be >= 1: $nPasses")
+    val passSchema = StructType(Seq(
+      StructField("source_file", StringType, nullable = false),
+      StructField("page", LongType, nullable = true),
+      StructField("pass_idx", IntegerType, nullable = true),
+      StructField("text", StringType, nullable = true),
+      StructField("reject_reason", StringType, nullable = true)))
+    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+      try {
+        val pages = rasterizer(pds.toArray(), dpi)
+        pages.zipWithIndex.flatMap { case (img, p) =>
+          (0 until nPasses).map { i =>
+            try Row(file, (p + 1).toLong, i, ocrPass(img, i), null)
+            catch { case e: Exception =>
+              Row(file, (p + 1).toLong, i, null,
+                s"ocr_pass_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+        }
+      } catch { case e: Exception =>
+        Seq(Row(file, null, null, null,
+          s"rasterize_error: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+    val passes = spark.createDataFrame(rows, passSchema)
+    val merged = mergeOcrPasses(
+        passes.where(col("reject_reason").isNull),
+        "source_file", "page", "pass_idx", "text")
+      .withColumn("reject_reason", lit(null).cast(StringType))
+    val rejects = passes.where(col("reject_reason").isNotNull)
+      .select(col("source_file"), col("page"),
+        lit(null).cast(StringType).as("text"), col("reject_reason"))
+    merged.select("source_file", "page", "text", "reject_reason")
+      .unionByName(rejects)
+  }
+
   def ocrFiles(spark: SparkSession, path: String, url: String, apiKey: String,
                taskType: String,
                transport: OcrRequest => (Int, String)): DataFrame = {

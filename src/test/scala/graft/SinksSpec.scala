@@ -191,6 +191,34 @@ class SinksSpec extends SparkSpec {
     assert(down(0).getString(1) == null && down(0).getString(2) == "ocr_http_503")
   }
 
+  test("S6 local OCR pipeline: rasterize fan-out, pass merge, per-failure-mode rejects") {
+    import graft.sources.OcrConnector
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/good.pdf"), "pdf-a".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.pdf"), "broken".getBytes)
+    val raster = (bytes: Array[Byte], dpi: Int) =>
+      if (new String(bytes).startsWith("broken"))
+        throw new IllegalArgumentException("not a pdf")
+      else Seq(Array[Byte](1), Array[Byte](2))
+    val ocr = (img: Array[Byte], pass: Int) =>
+      if (img(0) == 2 && pass == 1) throw new RuntimeException("engine oom")
+      else s"p${img(0)} pass$pass"
+    val got = OcrConnector.localOcrPdfs(spark, dir, 150, 2, raster, ocr)
+      .withColumn("file", regexp_extract(col("source_file"), "([^/]+)$", 1))
+      .collect().map(r => (r.getString(4),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      // good.pdf: both passes distinct → newline-joined in pass order
+      ("good.pdf", 1L, "p1 pass0\np1 pass1", null),
+      // page 2's failing pass rejects alone; the surviving pass still merges
+      ("good.pdf", 2L, "p2 pass0", null),
+      ("good.pdf", 2L, null, "ocr_pass_error: RuntimeException: engine oom"),
+      // rasterizer failure → one file-level reject, no partial pages
+      ("bad.pdf", -1L, null,
+        "rasterize_error: IllegalArgumentException: not a pdf")))
+  }
+
   test("json-records sink preserves non-ASCII") {
     val path = s"${tmp()}/json"
     Sinks.writeJsonRecords(Seq(("ผู้ขาย", 1)).toDF("name", "n"), path)
