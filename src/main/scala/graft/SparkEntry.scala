@@ -1879,6 +1879,38 @@ object SparkEntry {
         .orderBy("file", "page")
     }),
 
+    // Incremental cross-delivery dedup — the 100 TB shape: the corpus is
+    // present ONLY as its persisted MinHash index (text never re-read),
+    // and a new delivery dedups against it by band-join + integer
+    // slot-match verify. Portable md5+affine signatures make the whole
+    // decision — signatures, banding, est-Jaccard, both drop rules —
+    // recomputable in SQL, so this is hash-gated end to end. The batch
+    // mixes near-dups of indexed docs (' tail' suffix), brand-new docs
+    // (id-interleaved tokens: no shared grams across docs), and an exact
+    // intra-batch duplicate pair per source doc.
+    "q140_incremental_dedup" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val corpus = Tables.documents(s, d).select("doc_id", "text")
+      val index = Dedup.minhashIndexPortable(corpus, "doc_id", "text",
+        n = 3, k = 16, bands = 4)
+      def fresh(id: Column) = concat_ws(" ", lit("fresh"), id, lit("passage"),
+        id, lit("alpha"), id, lit("beta"), id, lit("gamma"), id)
+      val nearOld = corpus.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      val brandNew = corpus.where(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          fresh(col("doc_id") + 500000).as("text"))
+      val intraDup = corpus.where(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          fresh(col("doc_id") + 500000).as("text"))
+      val newBatch = nearOld.unionByName(brandNew).unionByName(intraDup)
+      Dedup.incrementalNearDupDrops(newBatch, index, "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy("id")
+    }),
+
     // S6 end to end: the local rasterize→multi-pass-OCR→voting-merge
     // pipeline over the fixture PDFs, with DETERMINISTIC STUB rasterizer
     // and engine (the real pdf2image/Tesseract legs are external by
@@ -4252,6 +4284,89 @@ object SparkEntry {
         |SELECT p.file, p.page, COALESCE(m.text, '') AS text
         |FROM pages p LEFT JOIN merged m USING (file, page)
         |ORDER BY file, page""".stripMargin,
+
+    // Full signature recomputation in SQL: md5 nibbles Horner-reduced mod
+    // the Mersenne prime 2^31-1 (the weights are 2^(4*(16-i)) mod p —
+    // 2^31 = 1 mod p collapses them to small powers of two), affine slot
+    // permutations, per-band slices, band-join candidates, integer
+    // slot-match verify >= ceil(0.5*16) = 8, then both drop rules.
+    "q140_incremental_dedup" ->
+      """WITH newbatch AS (
+        |  SELECT doc_id + 400000 AS doc_id, text || ' tail' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    concat_ws(' ', 'fresh', CAST(doc_id + 500000 AS VARCHAR), 'passage',
+        |      CAST(doc_id + 500000 AS VARCHAR), 'alpha', CAST(doc_id + 500000 AS VARCHAR),
+        |      'beta', CAST(doc_id + 500000 AS VARCHAR), 'gamma', CAST(doc_id + 500000 AS VARCHAR))
+        |  FROM documents WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000,
+        |    concat_ws(' ', 'fresh', CAST(doc_id + 500000 AS VARCHAR), 'passage',
+        |      CAST(doc_id + 500000 AS VARCHAR), 'alpha', CAST(doc_id + 500000 AS VARCHAR),
+        |      'beta', CAST(doc_id + 500000 AS VARCHAR), 'gamma', CAST(doc_id + 500000 AS VARCHAR))
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |all_docs AS (
+        |  SELECT 'old' AS src, doc_id, text FROM documents
+        |  UNION ALL SELECT 'new', doc_id, text FROM newbatch),
+        |toks AS (
+        |  SELECT src, doc_id,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM all_docs),
+        |grams AS (
+        |  SELECT src, doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ')
+        |            FOR i IN range(1, greatest(len(t)-2, 0)+1)]) AS g
+        |  FROM toks),
+        |gh AS (
+        |  SELECT src, doc_id,
+        |    CAST((
+        |      (strpos('0123456789abcdef', substr(md5(g), 1, 1))-1)*536870912 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 2, 1))-1)*33554432 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 3, 1))-1)*2097152 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 4, 1))-1)*131072 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 5, 1))-1)*8192 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 6, 1))-1)*512 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 7, 1))-1)*32 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 8, 1))-1)*2 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 9, 1))-1)*268435456 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 10, 1))-1)*16777216 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 11, 1))-1)*1048576 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 12, 1))-1)*65536 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 13, 1))-1)*4096 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 14, 1))-1)*256 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 15, 1))-1)*16 +
+        |      (strpos('0123456789abcdef', substr(md5(g), 16, 1))-1)
+        |    ) % 2147483647 AS BIGINT) AS hp
+        |  FROM grams),
+        |slots AS (
+        |  SELECT src, doc_id, s,
+        |    MIN(((s+1)*hp + (s*2654435761) % 2147483647) % 2147483647) AS v
+        |  FROM gh CROSS JOIN (SELECT unnest(range(16)) AS s) ss
+        |  GROUP BY src, doc_id, s),
+        |sig AS (SELECT src, doc_id, list(v ORDER BY s) AS sig
+        |        FROM slots GROUP BY src, doc_id),
+        |bands AS (
+        |  SELECT src, doc_id, b, sig[b*4+1 : b*4+4] AS band_sig, sig
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |old_hits AS (
+        |  SELECT DISTINCT nb.doc_id AS id
+        |  FROM bands nb JOIN bands ob
+        |    ON nb.b = ob.b AND nb.band_sig = ob.band_sig
+        |  WHERE nb.src = 'new' AND ob.src = 'old'
+        |    AND len([i FOR i IN range(1, 17) IF nb.sig[i] = ob.sig[i]]) >= 8),
+        |intra AS (
+        |  SELECT DISTINCT b2.doc_id AS id
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.b = b2.b AND b1.band_sig = b2.band_sig
+        |      AND b1.doc_id < b2.doc_id
+        |  WHERE b1.src = 'new' AND b2.src = 'new'
+        |    AND len([i FOR i IN range(1, 17) IF b1.sig[i] = b2.sig[i]]) >= 8)
+        |SELECT id, 'matches_indexed' AS reason FROM old_hits
+        |UNION ALL
+        |SELECT id, 'intra_batch' FROM intra
+        |WHERE id NOT IN (SELECT id FROM old_hits)
+        |ORDER BY id""".stripMargin,
 
     // The stubbed passes are pure functions of (page, pass), so the
     // expected merged table enumerates exactly: per fixture PDF, 2 pages,

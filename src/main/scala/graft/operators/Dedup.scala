@@ -651,4 +651,76 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Persistable MinHash index of a corpus batch: one row per (doc, band),
+    * carrying the band's signature slice (the LSH blocking key) and the
+    * full k-slot signature (the verify payload). Built on the PORTABLE
+    * md5+affine signature ([[graft.plans.VectorExpressions.minhashSigPortable]])
+    * so an index written today is probeable — and re-verifiable — by any
+    * engine later, which is what an index that outlives its writer needs.
+    *
+    * This is the 100 TB dedup shape the whole-corpus pair joins can't
+    * reach: the accumulated corpus is represented by `bands × (k+r)` longs
+    * per doc (text never stored, never re-read), and each new delivery
+    * joins against it by (band_idx, band_sig). Partition/bucket the
+    * persisted table by `band_sig` so delivery-time probes co-locate. */
+  def minhashIndexPortable(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    import graft.plans.VectorExpressions
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .withColumn("sig", VectorExpressions.minhashSigPortable(col("toks"), n, k))
+      .drop("toks")
+      .withColumn("band_idx", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("band_sig", slice(col("sig"), col("band_idx") * r + 1, lit(r)))
+      .select("id", "band_idx", "band_sig", "sig")
+  }
+
+  /** Incremental near-dup dedup: which docs of a NEW delivery to drop,
+    * given the accumulated corpus only as its [[minhashIndexPortable]]
+    * table. Candidates must share an LSH band (join on band_idx+band_sig —
+    * the index's layout key), then verify as estimated Jaccard: the count
+    * of agreeing signature slots, compared as INTEGERS against
+    * ceil(threshold*k) so both engines decide ties identically.
+    *
+    * Drop rules, deterministic:
+    *   - `matches_indexed`: the doc est-matches ANY indexed doc;
+    *   - `intra_batch`: otherwise, the doc est-matches a SMALLER-id doc in
+    *     its own batch (greedy min-dominance — chains over-drop toward the
+    *     smallest id, the standard greedy; component-exact clustering is
+    *     [[dropNearDups]]' job when the full pair set is wanted).
+    *
+    * Scale: the index never re-reads text; the new batch's signatures
+    * shuffle once (band join); both verifies carry 2k longs per candidate.
+    * Returns (id, reason). */
+  def incrementalNearDupDrops(newDocs: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, k: Int = 32, bands: Int = 8,
+                              threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    val minMatches = math.ceil(threshold * k).toInt
+    def estMatches(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val newIdx = minhashIndexPortable(newDocs, idCol, textCol, n, k, bands)
+    val oldHits = newIdx
+      .join(index.select(col("band_idx"), col("band_sig"),
+        col("sig").as("old_sig")), Seq("band_idx", "band_sig"))
+      .where(estMatches(col("sig"), col("old_sig")) >= minMatches)
+      .select("id").distinct()
+    val a = newIdx.select(col("band_idx"), col("band_sig"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = newIdx.select(col("band_idx"), col("band_sig"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val intraLosers = a.join(b, Seq("band_idx", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .where(estMatches(col("sig_a"), col("sig_b")) >= minMatches)
+      .select(col("id_b").as("id")).distinct()
+    oldHits.withColumn("reason", lit("matches_indexed"))
+      .unionByName(
+        intraLosers.join(oldHits, Seq("id"), "left_anti")
+          .withColumn("reason", lit("intra_batch")))
+  }
 }

@@ -296,6 +296,51 @@ object VectorOps {
     keys
   }
 
+  /** Portable k-slot MinHash signature over word n-grams, built ONLY from
+    * `md5(gram)` + affine arithmetic so any SQL engine recomputes it
+    * bit-for-bit (the [[md5Top64]] portability contract, extended to a
+    * full signature):
+    *
+    *   hp     = (unsigned md5-top-64 of the gram) mod p,  p = 2^31 - 1
+    *   sig[s] = min over grams of ((s+1) * hp + (s * 2654435761) mod p) mod p
+    *
+    * (s+1) <= k <= 2^20 keeps the product below 2^63 for both engines'
+    * ANSI arithmetic; the affine maps are universal-hash permutations mod
+    * the Mersenne prime. xxhash-based [[minhashBandKeys]] stays the faster
+    * library default; this variant exists so an incremental dedup INDEX
+    * persisted by one engine can be probed-and-verified by another. Empty
+    * gram sets (< n tokens) yield an empty array. */
+  def minhashSigPortable(arr: ArrayData, n: Int, k: Int): Array[Long] = {
+    val sz = arr.numElements()
+    val grams = sz - (n - 1)
+    if (grams <= 0) return Array.emptyLongArray
+    val P = 2147483647L
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](sz)
+    var i = 0
+    while (i < sz) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    i = 0
+    while (i < grams) {
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      val hp = java.lang.Long.remainderUnsigned(
+        md5Top64(org.apache.spark.unsafe.types.UTF8String.concatWs(SpaceSep, parts: _*)), P)
+      var s = 0
+      while (s < k) {
+        val v = ((s + 1).toLong * hp + (s.toLong * 2654435761L) % P) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
   /** Overlapping token-window chunks (the RAG/pretraining chunker):
     * windows of `size` tokens starting every `step` tokens, the last
     * window clipped at the end; a document shorter than `size` yields one
@@ -455,6 +500,20 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class PortableMinhashSig(child: Expression, n: Int, k: Int)
+      extends UnaryExpression {
+    require(n >= 1 && k >= 1 && k <= (1 << 20), s"bad n=$n k=$k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.minhashSigPortable(v.asInstanceOf[ArrayData], n, k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.minhashSigPortable($a, $n, $k));")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class TokenChunks(child: Expression, size: Int, step: Int)
       extends UnaryExpression {
     require(size > 0 && step > 0, s"size $size / step $step must be positive")
@@ -507,4 +566,6 @@ object VectorExpressions {
     column(MinhashBandKeys(expression(tokens), n, k, bands))
   def tokenChunks(tokens: Column, size: Int, step: Int): Column =
     column(TokenChunks(expression(tokens), size, step))
+  def minhashSigPortable(tokens: Column, n: Int, k: Int): Column =
+    column(PortableMinhashSig(expression(tokens), n, k))
 }

@@ -218,6 +218,39 @@ class OperatorsSpec extends SparkSpec {
     assert(partial.count() == 150L + 1)
   }
 
+  test("incremental dedup: a new delivery dedups against the stored index alone") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark execution engines at scale"))
+      .toDF("id", "text")
+    val index = Dedup.minhashIndexPortable(corpus, "id", "text", n = 3, k = 16, bands = 4)
+    // the index carries signatures only — never text
+    assert(index.columns.toSet == Set("id", "band_idx", "band_sig", "sig"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tail"),
+      (11L, "fresh unique eleven alpha beta gamma delta epsilon zeta eta"),
+      (12L, "fresh unique eleven alpha beta gamma delta epsilon zeta eta"))
+      .toDF("id", "text")
+    val drops = Dedup.incrementalNearDupDrops(batch, index, "id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 10 near-dups indexed doc 1; 12 exactly duplicates its batch-mate 11
+    // (the smaller id survives); 11 itself is genuinely new and survives
+    assert(drops == Set((10L, "matches_indexed"), (12L, "intra_batch")))
+    // survivors extend the index WITHOUT touching old text — the next
+    // delivery then catches duplicates of them
+    val extended = index.unionByName(
+      Dedup.minhashIndexPortable(batch.where(col("id") === 11L),
+        "id", "text", n = 3, k = 16, bands = 4))
+    val next = Seq((20L, "fresh unique eleven alpha beta gamma delta epsilon zeta eta"))
+      .toDF("id", "text")
+    val drops2 = Dedup.incrementalNearDupDrops(next, extended, "id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(drops2 == Set((20L, "matches_indexed")))
+  }
+
   test("hot-band cap: a boilerplate-heavy corpus skips degenerate buckets instead of going quadratic") {
     // 1000 near-identical docs (pure boilerplate) + 2 genuine near-dups on
     // distinct text: every boilerplate band bucket blows past the cap and
