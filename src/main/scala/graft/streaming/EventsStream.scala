@@ -61,12 +61,23 @@ object EventsStream {
     * the interval join spend 10 of 12 seconds on store machinery; 8 runs
     * the same query in 3). The conf is captured at query START, so
     * restoring after start() cannot affect the running query. */
+  // memory-sink tables accumulate per call; cap the leak at one pending
+  // table by dropping the previous run's (consumers hold their result as
+  // a DataFrame over the sink's rows; dropping the VIEW of an earlier
+  // query that someone still lazily holds is the documented tradeoff —
+  // consume results before starting the next streaming query)
+  private val lastMemTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private def runToTable(df: DataFrame, mode: String,
                          statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
     val name = s"events_stream_${System.nanoTime()}"
+    val prev = lastMemTable.getAndSet(name)
+    if (prev != null)
+      try spark.catalog.dropTempView(prev) catch { case _: Exception => () }
     val q =
       try {
         spark.conf.set(key, statePartitions)
