@@ -782,6 +782,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF+PQ ANN — the third ANN variant (brute force q30, multiprobe LSH
+    // q31, IVF q53): corpus vectors quantize to 4 sub-space codes against
+    // md5-order-sampled codebooks and are DROPPED before the probe join;
+    // candidates score by asymmetric distance from codes alone. Same
+    // sampled-codebook determinism as q53, so the full output (codes,
+    // probe set, approx cosines, ranks) is hash-gated.
+    "q141_pq_topk" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKSampled(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", 5, dim = 64, m = 16, codesPerSub = 32,
+          nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("rnk"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Embedding-cosine near-dup pairs — exact AND scale-safe: block-pair
     // partitioned join (each task holds two hash buckets; no corpus
     // broadcast). Same complete semantics as the brute-force oracle;
@@ -5030,6 +5048,90 @@ object SparkEntry {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    // IVF+PQ recomputed end to end: same coarse codebook/probes as q53,
+    // then per-subspace (4-dim slices, 32 codewords) sampled codebooks, L2-argmin codes
+    // via d2' = |c|^2 - 2 x_s . c with (d2, j) ties, and the asymmetric
+    // score from codes alone - sums ordered by subspace to match the
+    // engine's left-to-right double adds.
+    "q141_pq_topk" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |         v AS cv
+        |  FROM vecs
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cscore AS (
+        |  SELECT vv.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(vv.v, c.cv), z -> z[1] * z[2]))
+        |      / (sqrt(list_sum(list_transform(vv.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM vecs vv CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id AS corpus_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM cscore) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM cscore WHERE vec_id < 20) t
+        |  WHERE rn <= 4),
+        |subs AS (SELECT unnest(range(16)) AS s),
+        |pqsample AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, v
+        |  FROM vecs
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |pqn AS (
+        |  SELECT j, s, v[(s*4+1):(s*4+4)] AS c,
+        |    list_sum(list_transform(v[(s*4+1):(s*4+4)], x -> x * x)) AS cc
+        |  FROM pqsample CROSS JOIN subs),
+        |xsub AS (
+        |  SELECT vec_id AS corpus_id, s, v[(s*4+1):(s*4+4)] AS xs
+        |  FROM vecs CROSS JOIN subs),
+        |enc AS (
+        |  SELECT corpus_id, s, j, c, cc FROM (
+        |    SELECT x.corpus_id, x.s, p.j, p.c, p.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY x.corpus_id, x.s
+        |        ORDER BY p.cc - 2*list_sum(list_transform(list_zip(x.xs, p.c),
+        |                                   z -> z[1] * z[2])), p.j) AS rn
+        |    FROM xsub x JOIN pqn p ON p.s = x.s) t
+        |  WHERE rn = 1),
+        |qn AS (
+        |  SELECT vec_id AS query_id,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+        |  FROM vecs WHERE vec_id < 20),
+        |qsub AS (
+        |  SELECT vec_id AS query_id, s, v[(s*4+1):(s*4+4)] AS qs
+        |  FROM vecs CROSS JOIN subs WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT p.query_id, a.corpus_id
+        |  FROM probes p JOIN assigned a ON p.cid = a.cid
+        |  WHERE a.corpus_id <> p.query_id),
+        |terms AS (
+        |  SELECT pr.query_id, pr.corpus_id, e.s,
+        |    list_sum(list_transform(list_zip(q.qs, e.c), z -> z[1] * z[2])) AS term,
+        |    e.cc
+        |  FROM pairs pr
+        |  JOIN enc e ON e.corpus_id = pr.corpus_id
+        |  JOIN qsub q ON q.query_id = pr.query_id AND q.s = e.s),
+        |scored AS (
+        |  SELECT t.query_id, t.corpus_id,
+        |    list_sum(list(t.term ORDER BY t.s))
+        |      / (qn.qnorm * sqrt(list_sum(list(t.cc ORDER BY t.s)))) AS cos
+        |  FROM terms t JOIN qn ON qn.query_id = t.query_id
+        |  GROUP BY t.query_id, t.corpus_id, qn.qnorm),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, corpus_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, corpus_id, ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
     "q54_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),
         |pairs AS (

@@ -298,6 +298,92 @@ object Similarity {
     ivfTopKWithCodebook(corpus, queries, idCol, vecCol, k, cents, nProbe)
   }
 
+  /** IVF+PQ ANN (FAISS IVFPQ shape; Jégou et al., PAMI '11, "Product
+    * Quantization for Nearest Neighbor Search") — the memory-bounded scale
+    * path: each corpus vector is encoded ONCE into `m` per-subspace code
+    * indices (L2 argmin against md5-order-sampled sub-codebooks), and only
+    * (corpus_id, coarse cid, codes) crosses the probe join — the vectors
+    * themselves never shuffle and need not even be stored. Queries score
+    * candidates asymmetrically: approx cosine = Σ_s dot(q_s, cb_s[code_s])
+    * / (|q|·|x̂|), the reconstruction norm |x̂| derived from codes alone.
+    * At 100 TB the probe exchange carries m+1 small ints per candidate
+    * instead of `dim` floats, and the index is ~m bytes/vector.
+    *
+    * Every step — md5-order sampling, L2 argmin with (d2, j) ties, the
+    * sequential-double dot spelling — is recomputable in plain SQL, so the
+    * FULL output is oracle-checkable exactly like [[ivfTopKSampled]]
+    * (which remains the exact-re-rank path when vectors are affordable;
+    * recall here is additionally bounded by code granularity). */
+  def pqTopKSampled(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dim: Int, m: Int = 4,
+                    codesPerSub: Int = 16, nCentroids: Int = 16,
+                    nProbe: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val subDim = dim / m
+    val coarse = sampledCodebook(corpus, idCol, vecCol, nCentroids)
+    val sampled = sampledCodebook(corpus, idCol, vecCol, codesPerSub)
+    // per-subspace codebooks + their (sequentially-summed) squared norms
+    val cbs: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(s => sampled.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val norm2: Array[Seq[Double]] =
+      cbs.map(_.toSeq.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+    val widen = (c: Column) => transform(c, x => x.cast("double"))
+
+    def subCols(vd: Column, prefix: String)(df: DataFrame): DataFrame =
+      (0 until m).foldLeft(df) { (acc, s) =>
+        acc.withColumn(s"$prefix$s", slice(vd, s * subDim + 1, subDim))
+      }
+    // L2 argmin over the subspace codebook: d2' = |c|^2 - 2·x_s·c (the
+    // |x_s|^2 term is constant under the argmin), ties to the lower code
+    def codeFor(s: Int, xs: Column): Column = {
+      val scored = array(cbs(s).zipWithIndex.map { case (cvec, j) =>
+        val c = typedlit(cvec)
+        struct((lit(norm2(s)(j)) - lit(2.0) * vdot(xs, c)).as("d2"),
+          lit(j).as("j"))
+      }: _*)
+      val sorted = array_sort(scored, (l, r) =>
+        when(l.getField("d2") < r.getField("d2"), -1)
+          .when(l.getField("d2") > r.getField("d2"), 1)
+          .when(l.getField("j") < r.getField("j"), -1)
+          .when(l.getField("j") > r.getField("j"), 1)
+          .otherwise(0))
+      element_at(sorted, 1).getField("j")
+    }
+
+    val enc = subCols(col("__vd"), "__x")(
+        corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+          .withColumn("__vd", widen(col("cv"))))
+      .withColumn("cid", nearestCentroid(col("__vd"), coarse))
+      .withColumn("codes",
+        array((0 until m).map(s => codeFor(s, col(s"__x$s"))): _*))
+      // THE PQ point: vectors dropped before any exchange
+      .select("corpus_id", "cid", "codes")
+
+    val probes = subCols(col("__qd"), "__q")(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+          .withColumn("__qd", widen(col("qv"))))
+      .withColumn("qnorm", sqrt(vdot(col("__qd"), col("__qd"))))
+      .withColumn("cid", explode(nearestCentroids(col("__qd"), coarse, nProbe)))
+      .drop("qv", "__qd")
+
+    val ip = (0 until m).map { s =>
+      vdot(col(s"__q$s"), element_at(typedlit(cbs(s).toSeq),
+        element_at(col("codes"), s + 1) + 1))
+    }.reduceLeft(_ + _)
+    val xnorm2 = (0 until m).map { s =>
+      element_at(typedlit(norm2(s)), element_at(col("codes"), s + 1) + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    enc.join(probes, Seq("cid"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", when(col("qnorm") === 0.0 || sqrt(xnorm2) === 0.0,
+        lit(0.0)).otherwise(ip / (col("qnorm") * sqrt(xnorm2))))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
+  }
+
   private def ivfTopKWithCodebook(corpus: DataFrame, queries: DataFrame,
                                   idCol: String, vecCol: String, k: Int,
                                   cents: Array[Seq[Double]], nProbe: Int): DataFrame = {

