@@ -723,4 +723,80 @@ object Dedup {
         intraLosers.join(oldHits, Seq("id"), "left_anti")
           .withColumn("reason", lit("intra_batch")))
   }
+
+  /** One delivery of the continuous-ingestion dedup: drop the batch's
+    * near-dups against the accumulated index, upsert survivors into the
+    * output table (hash-bucket partitioned, bounded touch), then append
+    * their index rows. WRITE ORDER IS THE CRASH CONTRACT: output first,
+    * keyed upsert → replaying a batch that crashed before the index
+    * append re-survives the same docs and rewrites identical output rows
+    * (idempotent), then appends their index rows; a replay AFTER both
+    * writes drops the docs as `matches_indexed` and touches nothing.
+    * Index rows may duplicate under replay — every index consumer
+    * (distinct-id verifies in [[incrementalNearDupDrops]]) tolerates
+    * duplicate rows by construction, which is what lets the index stay
+    * APPEND-ONLY (no O(index) rewrite per delivery). */
+  def dedupBatchAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+                             outPath: String, indexPath: String,
+                             n: Int = 3, k: Int = 32, bands: Int = 8,
+                             threshold: Double = 0.6,
+                             nBuckets: Int = 16): Unit = {
+    val ss = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val index =
+        try ss.read.parquet(indexPath)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          minhashIndexPortable(b.limit(0), idCol, textCol, n, k, bands) }
+      val drops = incrementalNearDupDrops(b, index, idCol, textCol,
+        n, k, bands, threshold)
+      val kept = b.join(drops.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        .persist()
+      try {
+        if (!kept.isEmpty) {
+          val keptB = kept.withColumn("__bucket",
+            pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+          val buckets = keptB.select("__bucket").distinct().collect()
+            .map(_.getLong(0))
+          val existing =
+            try Some(ss.read.parquet(outPath)
+              .where(col("__bucket").isin(buckets.toSeq: _*)))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          val merged = existing match {
+            case Some(e) => Merge.upsert(e, keptB, Seq(idCol))
+            case None    => keptB
+          }
+          graft.sources.Sinks.writePartitionedStaged(merged, outPath, "__bucket")
+          minhashIndexPortable(kept, idCol, textCol, n, k, bands)
+            .write.mode("append").parquet(indexPath)
+        }
+      } finally kept.unpersist()
+    } finally b.unpersist()
+  }
+
+  /** Continuous-ingestion dedup: the streaming composition of
+    * [[incrementalNearDupDrops]] — each micro-batch of documents dedups
+    * against everything that survived ANY earlier batch, via the
+    * accumulated index (bootstrapped empty; text is never re-read).
+    * foreachBatch is the read-merge-write seam; per-batch semantics and
+    * the crash/replay contract live in [[dedupBatchAgainstIndex]].
+    * Returns the started query — callers drain with AvailableNow
+    * (`availableNow = true`, the finite-backlog shape) or drive batches
+    * and stop (tests, live streams). */
+  def streamingIncrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+                                outPath: String, indexPath: String,
+                                n: Int = 3, k: Int = 32, bands: Int = 8,
+                                threshold: Double = 0.6, nBuckets: Int = 16,
+                                availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedupBatchAgainstIndex(batch.toDF(), idCol, textCol, outPath, indexPath,
+          n, k, bands, threshold, nBuckets)
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .start()
+  }
 }
