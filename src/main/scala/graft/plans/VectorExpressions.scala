@@ -164,6 +164,39 @@ object VectorOps {
     out
   }
 
+  /** One-pass PQ encoder: per subspace `s`, the code index minimizing
+    * d2' = |c|^2 - 2·x_s·c over the flat codebook (layout [s][j][d]), with
+    * FIRST minimum winning ties — arithmetic identical, value for value,
+    * to the Column spelling (literal norm2 minus 2·sequential-dot), so a
+    * SQL oracle recomputing the same formula agrees exactly. Exists
+    * because the HOF spelling paid m interpreted array_sort comparators
+    * per row (the q29 lambda lesson, again). `a` must be a DOUBLE array. */
+  def pqEncode(a: ArrayData, cb: Array[Double], norm2: Array[Double],
+               m: Int, codes: Int, subDim: Int): Array[Int] = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestV = Double.PositiveInfinity
+      var j = 0
+      while (j < codes) {
+        val base = (s * codes + j) * subDim
+        var dot = 0.0
+        var d = 0
+        while (d < subDim) {
+          dot += a.getDouble(s * subDim + d) * cb(base + d)
+          d += 1
+        }
+        val v = norm2(s * codes + j) - 2.0 * dot
+        if (v < bestV) { bestV = v; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD '03): hash every
     * k-gram of the token array (xxhash64, seed 42), slide a window of `w`
     * hashes, keep each window's minimum (rightmost on ties) — the standard
@@ -500,6 +533,23 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class PqEncode(child: Expression, cb: Array[Double],
+                      norm2: Array[Double], m: Int, codes: Int, subDim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.pqEncode(v.asInstanceOf[ArrayData], cb, norm2, m, codes, subDim))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+      val n2Ref = ctx.addReferenceObj("pqnorm2", norm2, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.pqEncode($a, $cbRef, $n2Ref, $m, $codes, $subDim));")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class PortableMinhashSig(child: Expression, n: Int, k: Int)
       extends UnaryExpression {
     require(n >= 1 && k >= 1 && k <= (1 << 20), s"bad n=$n k=$k")
@@ -568,4 +618,7 @@ object VectorExpressions {
     column(TokenChunks(expression(tokens), size, step))
   def minhashSigPortable(tokens: Column, n: Int, k: Int): Column =
     column(PortableMinhashSig(expression(tokens), n, k))
+  def pqEncode(vec: Column, cb: Array[Double], norm2: Array[Double],
+               m: Int, codes: Int, subDim: Int): Column =
+    column(PqEncode(expression(vec), cb, norm2, m, codes, subDim))
 }
