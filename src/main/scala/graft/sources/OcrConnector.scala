@@ -93,12 +93,6 @@ object OcrConnector {
     StructField("text", StringType, nullable = true),
     StructField("reject_reason", StringType, nullable = true)))
 
-  /** Distributed acquisition: every file under `path` is shaped, posted
-    * through `transport` inside its own task, and extracted —
-    * (source_file, text, reject_reason), with non-2xx/throwing transports
-    * landing in the reject channel. `transport` must be serializable
-    * (a plain function; the real one closes over a java.net.http client
-    * created per partition). */
   /** S6's relational slice: multi-pass OCR voting merge. The reference
     * rasterizes each page, OCRs several preprocessed variants (Otsu /
     * adaptive-threshold / bilateral), keeps each pass's stripped text if
@@ -184,6 +178,12 @@ object OcrConnector {
       .unionByName(rejects)
   }
 
+  /** Distributed acquisition: every file under `path` is shaped, posted
+    * through `transport` inside its own task, and extracted —
+    * (source_file, text, reject_reason), with non-2xx/throwing transports
+    * landing in the reject channel. `transport` must be serializable
+    * (a plain function; the real one closes over a java.net.http client
+    * created per partition). */
   def ocrFiles(spark: SparkSession, path: String, url: String, apiKey: String,
                taskType: String,
                transport: OcrRequest => (Int, String)): DataFrame = {
