@@ -350,8 +350,10 @@ object Dedup {
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gk"))
-    val survivors = Sketches.bloomProbe(bloom, corpusGrams, Seq.empty, "gk",
-        carryCols = Seq(idCol))
+    // literal-array probe: the filter is bounded at 2048 words, so the
+    // corpus side filters inside its own scan stage — zero exchange
+    // before the (rare-survivor) exact confirm join
+    val survivors = Sketches.bloomProbeLiteral(bloom, corpusGrams, "gk")
       .where(col("bloom_positive"))
       .select(col(idCol), col("gk"))
     survivors

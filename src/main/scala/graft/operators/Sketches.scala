@@ -306,6 +306,32 @@ object Sketches {
     * positives at the classic (1 - e^{-kn/m})^k rate. The filter side is
     * <= 2048 rows per group, so the probe join broadcasts: the corpus
     * side never shuffles — the 100 TB point of the operator. */
+  /** Ungrouped probe with the filter COLLECTED to a literal: the 16-bit
+    * position domain bounds ANY filter at 2048 words (16 KB), so it rides
+    * the plan as an array literal and membership becomes a pure codegen
+    * projection — no explode, no join, no exchange on the probe side
+    * (the join spelling pays a 3× explode plus a probe-side groupBy to
+    * AND the hits, a full shuffle of every probe row; measured 2.4× the
+    * plain broadcast-join decontamination at sf0.1 before this).
+    * Identical decisions to [[bloomProbe]]: all `numHashes` bits set.
+    * Building the literal is one bounded job over the (small) filter
+    * side — the same boundedness the broadcast in [[bloomProbe]] needs. */
+  def bloomProbeLiteral(words: DataFrame, probes: DataFrame, valueCol: String,
+                        numHashes: Int = 3): DataFrame = {
+    val arr = new Array[Long](2048)
+    words.select(col("word"), col("mask")).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val filterLit = typedlit(arr.toSeq)
+    val positive = (0 until numHashes).map { j =>
+      val pos = conv(substring(md5(concat(col(valueCol).cast("string"),
+        lit("#"), lit(j.toString))), 1, 4), 16, 10).cast("long")
+      call_function("shiftright",
+        element_at(filterLit, (pos / 32).cast("int") + 1),
+        (pos % 32).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    probes.withColumn("bloom_positive", positive)
+  }
+
   def bloomProbe(words: DataFrame, probes: DataFrame, groupCols: Seq[String],
                  valueCol: String, numHashes: Int = 3,
                  carryCols: Seq[String] = Nil): DataFrame = {
