@@ -177,6 +177,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("portable minhash signature laws: range, determinism, containment monotonicity") {
+    import graft.plans.VectorExpressions
+    val P = 2147483647L
+    val words = Gen.listOfN(40,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+        "theta", "iota", "kappa", "lambda", "mu"))
+    val cases = (1 to 8).flatMap { _ =>
+      for (a <- words.sample; b <- words.sample if a.length >= 3)
+        yield (a, b)
+    }
+    assert(cases.nonEmpty)
+    cases.foreach { case (a, b) =>
+      val sigs = Seq((1L, a.mkString(" ")), (2L, a.mkString(" ")),
+        (3L, (a ++ b).mkString(" "))).toDF("id", "text")
+        .withColumn("toks", graft.operators.Dedup.tokens(col("text")))
+        .withColumn("sig", VectorExpressions.minhashSigPortable(col("toks"), 3, 16))
+        .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
+      // every slot value sits in [0, p); k slots exactly
+      assert(sigs(1L).length == 16 && sigs(1L).forall(v => v >= 0 && v < P))
+      // identical text → identical signature (the index contract)
+      assert(sigs(1L) == sigs(2L))
+      // superset grams can only LOWER each slot min (monotonicity — the
+      // property that makes est-jaccard of a doc vs its extension high)
+      assert(sigs(1L).zip(sigs(3L)).forall { case (s1, s3) => s3 <= s1 })
+    }
+  }
+
   test("sketch merge laws hold on random value sets") {
     import graft.operators.Sketches
     val vals = Gen.listOfN(400, Gen.chooseNum(0, 5000))
