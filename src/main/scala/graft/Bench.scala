@@ -57,7 +57,7 @@ object Bench {
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case t: Throwable =>
-        errors(name) = t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+        errors(name) = t.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
       }
       clearCaches()
     }
@@ -70,7 +70,7 @@ object Bench {
           try { fn(spark, sfDir).count(); true }
           catch { case t: Throwable =>
             errors.getOrElseUpdate(name,
-              t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+              t.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
             false
           }
         samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

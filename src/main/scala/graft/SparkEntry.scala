@@ -36,6 +36,21 @@ object SparkEntry {
   // graft.functions.Numeric).
   private def dec2(c: Column): Column = graft.functions.Numeric.quantizeD(c, 2)
   private def sum2(c: Column): Column = graft.functions.Numeric.sumExactD(c, 2)
+
+  /** Per-JVM scratch dir for the write-roundtrip queries: pid-scoped so
+    * parallel JVMs (driver verify + a dev bench) don't collide, and WIPED
+    * on each use — a nanoTime-suffixed path per run accumulated unbounded
+    * tmpdir garbage across bench passes (warmup + 3 timed runs each). */
+  private def scratch(tag: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p.toString
+  }
   private def sum6(c: Column): Column = graft.functions.Numeric.sumExactD(c, 6)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1656,7 +1671,7 @@ object SparkEntry {
     "q134_targeted_delete" -> ((s0, d) => {
       val s = prep(s0)
       import s.implicits._
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q134_del_${System.nanoTime()}"
+      val out = scratch("q134_del")
       Tables.orders(s, d).repartitionByRange(8, col("o_custkey"))
         .write.parquet(out)
       val victims = Seq(7L, 13L, 42L).toDF("o_custkey")
@@ -1676,7 +1691,7 @@ object SparkEntry {
     // OperatorsSpec (layout is engine-specific).
     "q135_compact_small_files" -> ((s0, d) => {
       val s = prep(s0)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q135_cmp_${System.nanoTime()}"
+      val out = scratch("q135_cmp")
       Tables.orders(s, d).repartition(64).write.parquet(out)
       graft.operators.Merge.compactSmallFiles(s, out,
         smallBytes = 512L * 1024 * 1024, targetBytes = 512L * 1024 * 1024)
@@ -1737,7 +1752,7 @@ object SparkEntry {
     // SinksSpec; this row pins the VALUES that survive the swap.
     "q138_staged_partition_roundtrip" -> ((s0, d) => {
       val s = prep(s0)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q138_${System.nanoTime()}"
+      val out = scratch("q138")
       def agg(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("o_orderstatus"),
           date_trunc("month", col("o_orderdate")).as("month"))
@@ -1806,7 +1821,7 @@ object SparkEntry {
       val s = prep(s0)
       // per-invocation path: a shared fixed path would let two concurrent
       // runs clobber each other mid-overwrite
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q68_csv_${System.nanoTime()}"
+      val out = scratch("q68_csv")
       graft.sources.Sinks.writeCsv(
         Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"), out)
       s.read.option("header", "true").csv(out)
@@ -2161,7 +2176,7 @@ object SparkEntry {
     // parquet. Values must survive the format hop bit-for-bit.
     "q129_orc_sink_roundtrip" -> ((s0, d) => {
       val s = prep(s0)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q129_orc_${System.nanoTime()}"
+      val out = scratch("q129_orc")
       val monthly = Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
           col("o_orderstatus"))

@@ -23,6 +23,15 @@ import org.apache.spark.sql.DataFrame
   * this fails loudly (not a silent local fallback) if they didn't, because
   * a user who asked for fault tolerance and silently didn't get it would
   * discover that only when the multi-hour job aborts.
+  *
+  * STORAGE LIFECYCLE of the reliable mode: Spark does NOT delete reliable
+  * checkpoint files on its own — the dir grows by one labels-table-sized
+  * snapshot per iteration until the application ends. Point
+  * `setCheckpointDir` at a per-job path and delete it after the job, or
+  * submit with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (a static conf) to let the ContextCleaner reap superseded snapshots.
+  * The growth is O(iterations × |labels|) — ids and component longs, tiny
+  * next to the corpus — but unmanaged it accumulates across jobs.
   */
 object Checkpoints {
   val ReliableConf = "spark.graft.reliableCheckpoint"

@@ -242,9 +242,9 @@ object Dedup {
     // leaf — the iterative-algorithm pattern GraphX uses. Local blocks by
     // default; set spark.graft.reliableCheckpoint=true (+ a DFS
     // setCheckpointDir) on a cluster so an executor loss mid-iteration
-    // doesn't abort the job (see graft.core.Checkpoints). Superseded
-    // checkpoint blocks are released by the ContextCleaner once
-    // unreferenced.
+    // doesn't abort the job. Superseded LOCAL checkpoint blocks are
+    // released by the ContextCleaner; reliable-mode snapshots are NOT
+    // auto-deleted — see graft.core.Checkpoints for the dir lifecycle.
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
@@ -700,13 +700,22 @@ object Dedup {
   def incrementalNearDupDrops(newDocs: DataFrame, index: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 3, k: Int = 32, bands: Int = 8,
-                              threshold: Double = 0.6): DataFrame = {
+                              threshold: Double = 0.6): DataFrame =
+    nearDupDropsFromIndex(
+      minhashIndexPortable(newDocs, idCol, textCol, n, k, bands),
+      index, k, threshold)
+
+  /** The drop decision given an ALREADY-BUILT batch index — split out so
+    * [[dedupBatchAgainstIndex]] can build each batch's signatures exactly
+    * once (they were being recomputed for the survivor append, doubling
+    * the dominant tokenize/md5 cost per delivery). */
+  private def nearDupDropsFromIndex(newIdx: DataFrame, index: DataFrame,
+                                    k: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
     val minMatches = math.ceil(threshold * k).toInt
     def estMatches(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)
-    val newIdx = minhashIndexPortable(newDocs, idCol, textCol, n, k, bands)
     val oldHits = newIdx
       .join(index.select(col("band_idx"), col("band_sig"),
         col("sig").as("old_sig")), Seq("band_idx", "band_sig"))
@@ -745,13 +754,15 @@ object Dedup {
                              nBuckets: Int = 16): Unit = {
     val ss = batch.sparkSession
     val b = batch.persist()
+    // signatures built ONCE per batch and reused for both the drop
+    // decision and the survivor index append
+    val newIdx = minhashIndexPortable(b, idCol, textCol, n, k, bands).persist()
     try {
       val index =
         try ss.read.parquet(indexPath)
         catch { case _: org.apache.spark.sql.AnalysisException =>
-          minhashIndexPortable(b.limit(0), idCol, textCol, n, k, bands) }
-      val drops = incrementalNearDupDrops(b, index, idCol, textCol,
-        n, k, bands, threshold)
+          newIdx.limit(0) }
+      val drops = nearDupDropsFromIndex(newIdx, index, k, threshold)
       val kept = b.join(drops.select(col("id").as(idCol)), Seq(idCol), "left_anti")
         .persist()
       try {
@@ -769,11 +780,11 @@ object Dedup {
             case None    => keptB
           }
           graft.sources.Sinks.writePartitionedStaged(merged, outPath, "__bucket")
-          minhashIndexPortable(kept, idCol, textCol, n, k, bands)
+          newIdx.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
             .write.mode("append").parquet(indexPath)
         }
       } finally kept.unpersist()
-    } finally b.unpersist()
+    } finally { newIdx.unpersist(); b.unpersist() }
   }
 
   /** Continuous-ingestion dedup: the streaming composition of

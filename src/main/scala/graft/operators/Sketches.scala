@@ -205,11 +205,16 @@ object Sketches {
   // engine-private xxHash; this one is recomputable anywhere.
   // ------------------------------------------------------------------
 
+  /** Bit position of draw `j` for one value — THE hash definition; both
+    * the build (via [[bloomPositions]]) and the literal probe derive from
+    * it, so the two can never drift apart. */
+  private def bloomPosition(v: Column, j: Column): Column =
+    conv(substring(md5(concat(v.cast("string"), lit("#"), j.cast("string"))),
+      1, 4), 16, 10).cast("long")
+
   /** Bit positions for one value: numHashes independent 16-bit md5 draws. */
   def bloomPositions(v: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      conv(substring(md5(concat(v.cast("string"), lit("#"), j.cast("string"))),
-        1, 4), 16, 10).cast("long"))
+    transform(sequence(lit(0), lit(numHashes - 1)), j => bloomPosition(v, j))
 
   /** Build per-group Bloom filters as (groupCols..., word, mask) rows:
     * word = bit-position >> 5, mask = OR of 1L << (pos % 32) — 32 bits
@@ -319,12 +324,15 @@ object Sketches {
   def bloomProbeLiteral(words: DataFrame, probes: DataFrame, valueCol: String,
                         numHashes: Int = 3): DataFrame = {
     val arr = new Array[Long](2048)
+    // OR, not overwrite: a filter formed by unioning bloomWords outputs
+    // without re-aggregating may carry duplicate word rows, and dropping
+    // either row's bits would create false negatives
     words.select(col("word"), col("mask")).collect()
-      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      .foreach(r => arr(r.getLong(0).toInt) |= r.getLong(1))
     val filterLit = typedlit(arr.toSeq)
     val positive = (0 until numHashes).map { j =>
-      val pos = conv(substring(md5(concat(col(valueCol).cast("string"),
-        lit("#"), lit(j.toString))), 1, 4), 16, 10).cast("long")
+      // same bloomPosition definition as the build — no drift possible
+      val pos = bloomPosition(col(valueCol), lit(j))
       call_function("shiftright",
         element_at(filterLit, (pos / 32).cast("int") + 1),
         (pos % 32).cast("int")).bitwiseAND(lit(1L)) === lit(1L)

@@ -166,7 +166,12 @@ object OcrConnector {
           s"rasterize_error: ${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
     }
+    // persist before branching: the merged and reject branches of the
+    // union would otherwise EACH recompute the rasterize+OCR RDD — with
+    // real pdf2image/Tesseract that doubles the dominant cost, and a
+    // transient per-pass failure could land differently in the two scans
     val passes = spark.createDataFrame(rows, passSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged = mergeOcrPasses(
         passes.where(col("reject_reason").isNull),
         "source_file", "page", "pass_idx", "text")

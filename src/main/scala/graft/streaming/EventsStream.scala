@@ -328,12 +328,20 @@ object EventsStream {
     * computed). The raw footer long is in whatever unit the column's
     * logical type declares (NANOS for the old testdata, MICROS for the
     * regenerated `timestamp[us]` shape) — divide accordingly rather than
-    * assuming nanos. Falls back to a scan if any footer lacks ts stats. */
+    * assuming nanos. An `isAdjustedToUTC = false` column (Spark's
+    * TIMESTAMP_NTZ) stores WALL-CLOCK values; `normalizeEventTs` casts
+    * those through the session time zone, so this path applies the same
+    * shift — otherwise the drain sentinel would sit a UTC-offset behind
+    * the true max event instant and trailing windows would never
+    * finalize. Falls back to a scan if any footer lacks ts stats. */
   private def maxTsEpochSecFromFooters(spark: SparkSession, dir: String): Option[Long] = try {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import LogicalTypeAnnotation.TimeUnit
     val conf = spark.sparkContext.hadoopConfiguration
+    val sessionZone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
     val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = root.getFileSystem(conf)
     val files = (if (fs.getFileStatus(root).isDirectory)
@@ -348,21 +356,28 @@ object EventsStream {
           b.getColumns.asScala
             .find(_.getPath.toDotString == "ts")
             .flatMap { c =>
-              val perSec = c.getPrimitiveType.getLogicalTypeAnnotation match {
+              // (seconds divisor, stored-as-wall-clock?)
+              val unitInfo = c.getPrimitiveType.getLogicalTypeAnnotation match {
                 case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                  t.getUnit match {
-                    case TimeUnit.MILLIS => Some(1000L)
-                    case TimeUnit.MICROS => Some(1000000L)
-                    case TimeUnit.NANOS  => Some(1000000000L)
+                  val d = t.getUnit match {
+                    case TimeUnit.MILLIS => 1000L
+                    case TimeUnit.MICROS => 1000000L
+                    case TimeUnit.NANOS  => 1000000000L
                   }
-                // untagged int64 (legacy nanos-as-long testdata)
-                case null => Some(1000000000L)
+                  Some((d, !t.isAdjustedToUTC))
+                // untagged int64 (legacy nanos-as-long testdata): epoch nanos
+                case null => Some((1000000000L, false))
                 case _    => None
               }
               val st = c.getStatistics
               if (st == null || !st.hasNonNullValue) None
-              else (st.genericGetMax, perSec) match {
-                case (l: java.lang.Long, Some(d)) => Some(l.longValue() / d)
+              else (st.genericGetMax, unitInfo) match {
+                case (l: java.lang.Long, Some((d, wallClock))) =>
+                  val raw = l.longValue() / d
+                  if (!wallClock) Some(raw)
+                  else Some(java.time.LocalDateTime
+                    .ofEpochSecond(raw, 0, java.time.ZoneOffset.UTC)
+                    .atZone(sessionZone).toEpochSecond)
                 case _ => None
               }
             }

@@ -411,7 +411,7 @@ class OperatorsSpec extends SparkSpec {
     // storage trade); the floor pins "useful", measured ≈0.5+ here
     val recall = (exact & got).size.toDouble / exact.size
     info(s"ivf+pq recall: $recall")
-    assert(recall >= 0.3, s"recall $recall at m=4, 16 codes, nProbe=3/8")
+    assert(recall >= 0.3, s"recall $recall at m=16, 32 codes, nProbe=3/8")
   }
 
   test("blocked embedding near-dup equals the broadcast exact result") {
