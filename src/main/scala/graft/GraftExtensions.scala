@@ -85,5 +85,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bounded_min_k(hash, k) - KMV bottom-k sketch aggregate (k smallest distinct)") {
       e => BoundedMinK(e.head, intLit(e(1), "bounded_min_k", 1))
     }
+    register(ext, "graft_minhash_sig",
+      "graft_minhash_sig(tokens, n, k) - portable md5+affine k-slot MinHash signature") {
+      e => VectorExpressions.PortableMinhashSig(e.head,
+        intLit(e(1), "graft_minhash_sig", 1), intLit(e(2), "graft_minhash_sig", 2))
+    }
+    register(ext, "graft_winnow",
+      "graft_winnow(tokens, k, w) - winnowing document fingerprint hashes") {
+      e => VectorExpressions.Winnow(e.head,
+        intLit(e(1), "graft_winnow", 1), intLit(e(2), "graft_winnow", 2))
+    }
   }
 }

@@ -42,6 +42,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(1).getSeq[Long](1) == Seq(42L))
   }
 
+  test("round-5 kernels resolve from SQL: minhash signature and winnow") {
+    val r = spark.sql(
+      """SELECT graft_minhash_sig(split('a b c d e', ' '), 3, 8) AS sig,
+        |       graft_winnow(split('a b c d e f g', ' '), 3, 2) AS fp""".stripMargin)
+      .collect().head
+    val sig = r.getSeq[Long](0)
+    assert(sig.length == 8 && sig.forall(v => v >= 0 && v < 2147483647L))
+    assert(r.getSeq[Long](1).nonEmpty)
+  }
+
   test("literal-parameter misuse fails at resolution with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes(array('a'), h) FROM VALUES (1) AS t(h)")
