@@ -314,6 +314,30 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // The GENERAL two-table as-of join (q18 covers the same-table window
+    // trick): every view picks its user's most recent purchase at-or-
+    // before it, 7-day tolerance, null-extended — one exchange, linear
+    // per-key scan, no BroadcastNestedLoopJoin. The purchase side dedups
+    // (user, ts) first so the pick is unique and the oracle (DuckDB's
+    // native ASOF LEFT JOIN) agrees row for row.
+    "q142_asof_join" -> ((s0, d) => {
+      val s = prep(s0)
+      val e = Tables.events(s, d)
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.operators.RangeJoin.asofJoinBackward(views, purchases,
+          Seq("user_id"), "ts", "ts",
+          toleranceUs = Some(7L * 86400L * 1000000L))
+        .select(col("user_id"), col("view_id"),
+          unix_micros(col("ts")).as("view_us"),
+          col("asof_purchase_id").as("purchase_id"),
+          unix_micros(col("asof_ts")).as("purchase_us"))
+        .orderBy("user_id", "view_id")
+    }),
+
     // Grouping sets / rollup (subtotal pivot family).
     "q19_rollup_revenue" -> ((s0, d) => {
       val s = prep(s0)
@@ -2695,6 +2719,24 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN recomputes the operator directly;
+    // the 7-day tolerance applies AFTER the pick (equivalent — any other
+    // candidate is older than the most recent one).
+    "q142_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts, MAX(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT v.user_id, v.view_id, epoch_us(v.ts) AS view_us,
+        |  CASE WHEN p.ts >= v.ts - INTERVAL 7 DAY THEN p.purchase_id END AS purchase_id,
+        |  CASE WHEN p.ts >= v.ts - INTERVAL 7 DAY THEN epoch_us(p.ts) END AS purchase_us
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND p.ts <= v.ts
+        |ORDER BY v.user_id, v.view_id""".stripMargin,
 
     "q18_asof_click_purchase" ->
       """SELECT user_id, event_id, last_click_id FROM (

@@ -66,4 +66,62 @@ object RangeJoin {
         col("__bucket") === floor(greatest(col(aLo), col(bLo)) / step).cast("long"))
       .drop("__bucket")
   }
+
+  /** Backward as-of join (the trades-to-quotes / metrics-to-deployments
+    * shape): each left row picks the single MOST RECENT right row of the
+    * same key with `right.time <= left.time` — equality matches — and is
+    * null-extended when none exists, or when the match is older than
+    * `toleranceUs` (checking tolerance after picking the most recent is
+    * equivalent to picking within tolerance: any other candidate is older
+    * still). Right payload columns emit under `rightPrefix`.
+    *
+    * Scale shape: the naive spelling is a non-equi join Spark plans as
+    * BroadcastNestedLoopJoin. This is instead ONE exchange — both sides
+    * hash-partition on the key, the window scans each key's time-merged
+    * sequence linearly carrying one last-seen right row. At equal
+    * timestamps right rows order before left rows (so equality matches);
+    * several right rows on the SAME (key, time) resolve to an unspecified
+    * winner — pre-dedup the right side when that pair isn't unique.
+    * Time columns may be timestamps (compared as unix micros) or any
+    * integral type (compared as-is; `toleranceUs` is then in the same
+    * unit). */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       toleranceUs: Option[Long] = None,
+                       rightPrefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    require(keys.nonEmpty, "asofJoinBackward needs at least one key column")
+    def timeUs(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType))
+      case LongType | IntegerType | ShortType | ByteType => col(c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asofJoinBackward: time column $c has unsupported type $other")
+    }
+    val lSide = left.select(keys.map(col) ++ Seq(
+      timeUs(left, leftTime).as("__t"), lit(1).as("__is_l"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(right.schema).as("__r")): _*)
+    val rSide = right.select(keys.map(col) ++ Seq(
+      timeUs(right, rightTime).as("__t"), lit(0).as("__is_l"),
+      lit(null).cast(left.schema).as("__l"),
+      struct(right.columns.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__mt",
+        last(when(col("__is_l") === 0, col("__t")), ignoreNulls = true).over(w))
+      .where(col("__is_l") === 1)
+    val inTol = toleranceUs match {
+      case Some(tol) => col("__mt").isNotNull && col("__mt") >= col("__t") - tol
+      case None      => col("__mt").isNotNull
+    }
+    val leftCols = left.columns.map(c => col("__l").getField(c).as(c))
+    val rightCols = right.columns.map(c =>
+      when(inTol, col("__m").getField(c)).as(s"$rightPrefix$c"))
+    matched.select(leftCols ++ rightCols: _*)
+  }
 }

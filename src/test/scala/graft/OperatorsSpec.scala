@@ -392,6 +392,29 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall at nProbe=3/8")
   }
 
+  test("asofJoinBackward: most-recent pick, equality, tolerance, null extension") {
+    import graft.operators.RangeJoin
+    val trades = Seq((1L, 100L, "t1"), (1L, 50L, "t2"), (2L, 70L, "t3"),
+      (3L, 10L, "t4")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, 80L, 9.5), (1L, 100L, 9.9), (1L, 20L, 9.0),
+      (2L, 999L, 1.0)).toDF("k", "t", "px")
+    val got = RangeJoin.asofJoinBackward(trades, quotes, Seq("k"), "t", "t")
+      .select(col("trade"), col("asof_t"), col("asof_px"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(got == Set(
+      ("t1", 100L, 9.9), // equality matches, and beats the earlier 80
+      ("t2", 20L, 9.0),  // most recent <= 50
+      ("t3", -1L, -1.0), // only future quotes: null-extended
+      ("t4", -1L, -1.0)))// key with no quotes at all
+    // tolerance: the 20-quote is 30 old at t=50 — a 25 window voids it
+    val tol = RangeJoin.asofJoinBackward(trades, quotes, Seq("k"), "t", "t",
+        toleranceUs = Some(25L))
+      .where(col("trade") === "t2").collect().head
+    assert(tol.isNullAt(tol.fieldIndex("asof_px")))
+  }
+
   test("pqTopKSampled recalls exact neighbors from codes alone") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)
