@@ -338,6 +338,88 @@ object SparkEntry {
         .orderBy("user_id", "view_id")
     }),
 
+    // Nearest as-of join: each view pairs with its user's CLOSEST
+    // purchase within 1 day — either direction, backward wins ties.
+    // Same no-join single-exchange window shape as q142; the oracle
+    // recomputes the pick per row with a LATERAL min-distance subquery.
+    "q144_asof_nearest" -> ((s0, d) => {
+      val s = prep(s0)
+      val e = Tables.events(s, d)
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.operators.RangeJoin.asofJoinNearest(views, purchases,
+          Seq("user_id"), "ts", "ts",
+          toleranceUs = Some(86400L * 1000000L))
+        .select(col("user_id"), col("view_id"),
+          unix_micros(col("ts")).as("view_us"),
+          col("asof_purchase_id").as("purchase_id"),
+          unix_micros(col("asof_ts")).as("purchase_us"))
+        .orderBy("user_id", "view_id")
+    }),
+
+    // Full MERGE / CDC-apply: a changelog carrying updates (seq 1),
+    // deletes (seq 2), a resurrection wave (seq 3) and fresh inserts
+    // advances the orders snapshot in one pass — per-key latest-wins
+    // compaction, tombstones erase, later re-inserts resurrect. The
+    // base table never shuffles; only the changelog compacts by key.
+    "q143_cdc_apply" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Merge
+      val o = Tables.orders(s, d)
+      val upd = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("seq", lit(1)).withColumn("op", lit("U"))
+      val del = o.where(col("o_orderkey") % 11 === 0)
+        .withColumn("seq", lit(2)).withColumn("op", lit("D"))
+      val res = o.where(col("o_orderkey") % 22 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("seq", lit(3)).withColumn("op", lit("I"))
+      val ins = o.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("seq", lit(1)).withColumn("op", lit("I"))
+      val log = upd.unionByName(del).unionByName(res).unionByName(ins)
+      Merge.applyChangelog(o, log, Seq("o_orderkey"), Seq("seq"),
+          col("op") === "D")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum2(col("o_totalprice")).as("total"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Bucketed co-located join: both sides written bucketBy the join key
+    // (same bucket count) → the sort-merge join runs with ZERO Exchange
+    // below it — the 100 TB answer to a fact-dim join repeated every
+    // delivery. BucketedJoinSpec asserts the shuffle-free plan; the
+    // oracle recomputes the join from the raw parquet (bucketing cannot
+    // change the answer, only the plan).
+    "q145_bucketed_join" -> ((s0, d) => {
+      val s = prep(s0)
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+      Tables.orders(s, d).write.format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", scratch("bkt_orders"))
+        .mode("overwrite").saveAsTable("graft_bkt_orders")
+      Tables.customer(s, d).write.format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", scratch("bkt_customer"))
+        .mode("overwrite").saveAsTable("graft_bkt_customer")
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum2(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Grouping sets / rollup (subtotal pivot family).
     "q19_rollup_revenue" -> ((s0, d) => {
       val s = prep(s0)
@@ -2737,6 +2819,65 @@ object SparkEntry {
         |FROM v ASOF LEFT JOIN p
         |  ON v.user_id = p.user_id AND p.ts <= v.ts
         |ORDER BY v.user_id, v.view_id""".stripMargin,
+
+    // Nearest pick recomputed per row: min |distance| within tolerance,
+    // earlier ts on ties (= the operator's backward-wins rule).
+    "q144_asof_nearest" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts, MAX(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT v.user_id, v.view_id, epoch_us(v.ts) AS view_us,
+        |  m.purchase_id, m.purchase_us
+        |FROM v LEFT JOIN LATERAL (
+        |  SELECT p.purchase_id, epoch_us(p.ts) AS purchase_us
+        |  FROM p
+        |  WHERE p.user_id = v.user_id
+        |    AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 86400000000
+        |  ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), p.ts
+        |  LIMIT 1) m ON TRUE
+        |ORDER BY v.user_id, v.view_id""".stripMargin,
+
+    // The full three-clause MERGE recomputed set-wise: same synthetic
+    // changelog, per-key latest by seq, tombstones erase, survivors
+    // union with the untouched base.
+    "q143_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, 'U' AS st, o_totalprice + 10 AS pr, 1 AS seq, FALSE AS del
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2, TRUE
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'R', o_totalprice, 3, FALSE
+        |  FROM orders WHERE o_orderkey % 22 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 1, FALSE
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM chg) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus AS st, o.o_totalprice AS pr
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = o.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, st, pr FROM latest WHERE NOT del)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(pr*100) AS BIGINT)) AS DOUBLE)/100 AS total,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bucketing changes the plan, never the answer: plain join + agg.
+    "q145_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q18_asof_click_purchase" ->
       """SELECT user_id, event_id, last_click_id FROM (

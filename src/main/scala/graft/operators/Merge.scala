@@ -81,6 +81,41 @@ object Merge {
       .where(!coalesce(deletePred, lit(false)))
   }
 
+  /** Full MERGE / CDC-apply: advance a base snapshot by an append-only
+    * changelog carrying inserts, updates AND deletes — the three-clause
+    * `MERGE INTO` (WHEN MATCHED UPDATE / WHEN MATCHED AND tombstone
+    * DELETE / WHEN NOT MATCHED INSERT) that `upsert` (no deletes) and
+    * `compactChangelog` (no base) each cover half of.
+    *
+    * The changelog compacts FIRST (latest row per key in `ordCols` order,
+    * tombstones competing like any other row — a delete followed by a
+    * re-insert resurrects the key), then one anti-join removes every
+    * touched key from the base and the surviving non-tombstone rows union
+    * in. Scale: the base never shuffles — the touched-key set is the
+    * compacted changelog's keys, broadcast by AQE when the batch is small
+    * relative to the table; the only wide exchange is the changelog's own
+    * per-key compaction window. `log` must carry all of `base`'s columns
+    * (extra changelog-only columns — op flags, sequence numbers — are
+    * allowed and dropped from the result). */
+  def applyChangelog(base: DataFrame, log: DataFrame, keys: Seq[String],
+                     ordCols: Seq[String],
+                     deletePred: org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "applyChangelog needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ordCols.map(c => col(c).desc): _*)
+    val latest = log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val untouched = base.join(
+      latest.select(keys.map(col): _*), keys, "left_anti")
+    val survivors = latest
+      // NULL predicate is NOT a tombstone — keep the row (same contract
+      // as compactChangelog)
+      .where(!coalesce(deletePred, lit(false)))
+      .select(base.columns.map(col): _*)
+    untouched.unionByName(survivors)
+  }
+
   /** SCD type-2 history build from a stream of keyed snapshots: collapse
     * consecutive snapshots whose tracked attributes are unchanged, then
     * stamp each surviving version with its validity interval

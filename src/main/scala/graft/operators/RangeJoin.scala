@@ -124,4 +124,75 @@ object RangeJoin {
       when(inTol, col("__m").getField(c)).as(s"$rightPrefix$c"))
     matched.select(leftCols ++ rightCols: _*)
   }
+
+  /** Nearest as-of join: each left row picks the single right row of the
+    * same key CLOSEST in time — either direction — null-extended when no
+    * candidate lies within `toleranceUs` (None = unbounded). Ties in
+    * distance go to the backward (earlier-or-equal) candidate, so an
+    * exact-timestamp match always wins.
+    *
+    * Same single-exchange shape as [[asofJoinBackward]]: union both
+    * sides, hash-partition on the key, and resolve BOTH directional
+    * candidates in one window pass — `last` over the preceding frame for
+    * the backward pick, `first` over the following frame for the forward
+    * pick — then take the nearer. No join operator at all, so no
+    * BroadcastNestedLoopJoin risk and the exchange carries each row once.
+    * Several right rows on the same (key, time) resolve to an unspecified
+    * winner — pre-dedup the right side when that pair isn't unique. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      toleranceUs: Option[Long] = None,
+                      rightPrefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    require(keys.nonEmpty, "asofJoinNearest needs at least one key column")
+    def timeUs(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType))
+      case LongType | IntegerType | ShortType | ByteType => col(c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asofJoinNearest: time column $c has unsupported type $other")
+    }
+    val lSide = left.select(keys.map(col) ++ Seq(
+      timeUs(left, leftTime).as("__t"), lit(1).as("__is_l"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(right.schema).as("__r")): _*)
+    val rSide = right.select(keys.map(col) ++ Seq(
+      timeUs(right, rightTime).as("__t"), lit(0).as("__is_l"),
+      lit(null).cast(left.schema).as("__l"),
+      struct(right.columns.map(col): _*).as("__r")): _*)
+    // Right rows at equal __t sort before left rows, so an exact-time
+    // right row lands in the backward frame (equality matches backward,
+    // distance 0 — it wins regardless of direction).
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_l"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isR = col("__is_l") === 0
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__mbt",
+        last(when(isR, col("__t")), ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(col("__r"), ignoreNulls = true).over(wf))
+      .withColumn("__mft",
+        first(when(isR, col("__t")), ignoreNulls = true).over(wf))
+      .where(col("__is_l") === 1)
+    val distB = col("__t") - col("__mbt")   // >= 0; null when no backward
+    val distF = col("__mft") - col("__t")   // >= 0; null when no forward
+    val inTol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      dist => toleranceUs match {
+        case Some(tol) => dist.isNotNull && dist <= tol
+        case None      => dist.isNotNull
+      }
+    val bOk = inTol(distB)
+    val fOk = inTol(distF)
+    // backward wins ties (distB <= distF), and wins outright when forward
+    // is absent/out-of-tolerance
+    val useB = bOk && (!fOk || distB <= distF)
+    val pick  = when(useB, col("__mb")).when(fOk, col("__mf"))
+    val leftCols = left.columns.map(c => col("__l").getField(c).as(c))
+    val rightCols = right.columns.map(c =>
+      pick.getField(c).as(s"$rightPrefix$c"))
+    matched.select(leftCols ++ rightCols: _*)
+  }
 }

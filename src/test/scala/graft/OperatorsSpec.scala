@@ -415,6 +415,56 @@ class OperatorsSpec extends SparkSpec {
     assert(tol.isNullAt(tol.fieldIndex("asof_px")))
   }
 
+  test("asofJoinNearest: direction pick, backward tie-break, tolerance") {
+    import graft.operators.RangeJoin
+    val left = Seq((1L, 100L, "a"), (1L, 50L, "b"), (1L, 7L, "c"),
+      (2L, 10L, "d"), (3L, 5L, "e")).toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 1.0), (1L, 104L, 2.0), (1L, 40L, 3.0),
+      (1L, 60L, 4.0), (2L, 200L, 5.0)).toDF("k", "t", "px")
+    def run(tol: Option[Long]) =
+      RangeJoin.asofJoinNearest(left, right, Seq("k"), "t", "t", tol)
+        .select(col("tag"), col("asof_px"))
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSet
+    assert(run(None) == Set(
+      ("a", 2.0),  // forward 104 (dist 4) beats backward 90 (dist 10)
+      ("b", 3.0),  // backward 40 and forward 60 both dist 10 — backward wins
+      ("c", 3.0),  // no backward at all: forward candidate used
+      ("d", 5.0),  // unbounded tolerance reaches the far future quote
+      ("e", -1.0)))// key with no right rows
+    // tolerance 50 voids d's only candidate (dist 190)
+    assert(run(Some(50L)) == Set(
+      ("a", 2.0), ("b", 3.0), ("c", 3.0), ("d", -1.0), ("e", -1.0)))
+    // exact-time right row matches at distance 0
+    val eq = RangeJoin.asofJoinNearest(
+      Seq((9L, 70L, "x")).toDF("k", "t", "tag"),
+      Seq((9L, 70L, 7.7), (9L, 71L, 8.8)).toDF("k", "t", "px"),
+      Seq("k"), "t", "t", Some(0L)).collect().head
+    assert(eq.getDouble(eq.fieldIndex("asof_px")) == 7.7)
+  }
+
+  test("applyChangelog: update, delete, resurrect, insert, untouched base") {
+    import graft.operators.Merge
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("id", "name", "v")
+    val log = Seq(
+      (2L, "b2", 21.0, 1, "U"),  // update
+      (3L, "c", 30.0, 1, "D"),   // delete
+      (4L, "d", 40.0, 1, "D"),   // delete…
+      (4L, "d2", 42.0, 2, "I"),  // …then resurrect (later seq wins)
+      (5L, "e", 50.0, 1, "I"),   // fresh insert
+      (5L, "e2", 51.0, 2, "U"))  // updated within the same batch
+      .toDF("id", "name", "v", "seq", "op")
+    val got = Merge.applyChangelog(base, log, Seq("id"), Seq("seq"),
+        col("op") === "D")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, "a", 10.0),   // untouched
+      (2L, "b2", 21.0),  // updated
+      (4L, "d2", 42.0),  // delete superseded by re-insert
+      (5L, "e2", 51.0))) // inserted then updated, latest wins
+  }
+
   test("pqTopKSampled recalls exact neighbors from codes alone") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)
