@@ -420,6 +420,38 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Vocabulary build + fixed-vocab encode: corpus token counts pruned
+    // to minCount, ranked (count desc, token) and capped, then every doc
+    // encoded against the broadcast vocab — OOV tokens fall into stable
+    // negative md5 buckets. The id_checksum (exact sum of emitted ids)
+    // makes any ranking or hashing drift a value diff.
+    "q146_vocab_map" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.buildVocab(docs, "text",
+        minCount = 5L, maxSize = 1000)
+      TextAnalysis.vocabTokenStats(docs, "doc_id", "text", vocab,
+          nOovBuckets = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Time-grid resample + forward-fill: each user's purchases snapped
+    // to an hourly grid spanning their own [first, last] bucket, last
+    // observation per bucket wins (ts, event_id tie order), gaps carry
+    // the previous value. Grid rows are GENERATED per key from two
+    // scalars (sequence+explode) — no calendar table, no cross join —
+    // and the span agg, bucket pick and ffill window share one exchange.
+    "q147_resample_ffill" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Reshape
+      Reshape.resampleFfill(
+          Tables.events(s, d).where(col("event_type") === "purchase"),
+          "user_id", "ts", "value", "event_id", stepSec = 3600L)
+        .orderBy("user_id", "bucket_ts")
+    }),
+
     // Grouping sets / rollup (subtotal pivot family).
     "q19_rollup_revenue" -> ((s0, d) => {
       val s = prep(s0)
@@ -2878,6 +2910,59 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Vocab ranking recomputed with the same (count desc, token) order;
+    // the OOV bucket is the 3-nibble md5 Horner sum mod 64, negated.
+    "q146_vocab_map" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                       t -> t <> '')) AS token
+        |  FROM documents),
+        |vc AS (
+        |  SELECT token, COUNT(*) AS cnt FROM toks
+        |  GROUP BY token HAVING COUNT(*) >= 5),
+        |vocab AS (
+        |  SELECT token,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS token_id
+        |  FROM vc ORDER BY cnt DESC, token LIMIT 1000),
+        |mapped AS (
+        |  SELECT t.doc_id, v.token_id,
+        |    COALESCE(v.token_id,
+        |      -1 - (((strpos('0123456789abcdef', substr(md5(t.token),1,1))-1)*256
+        |           + (strpos('0123456789abcdef', substr(md5(t.token),2,1))-1)*16
+        |           + (strpos('0123456789abcdef', substr(md5(t.token),3,1))-1)) % 64))
+        |      AS tid
+        |  FROM toks t LEFT JOIN vocab v USING (token))
+        |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(token_id) AS n_known,
+        |  COUNT(*) - COUNT(token_id) AS n_oov,
+        |  CAST(SUM(tid) AS BIGINT) AS id_checksum
+        |FROM mapped GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Hourly grid per user via generate_series over that user's own
+    // span; last-per-bucket by (ts, event_id); IGNORE NULLS carry.
+    "q147_resample_ffill" ->
+      """WITH p AS (
+        |  SELECT user_id, value, ts, event_id,
+        |    CAST(floor(epoch_us(ts)/1000000) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'purchase'),
+        |obs AS (
+        |  SELECT user_id, b, value AS obs FROM (
+        |    SELECT user_id, sec - (sec % 3600) AS b, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, sec - (sec % 3600)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM p) t WHERE rn = 1),
+        |spans AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS b
+        |  FROM spans)
+        |SELECT g.user_id, g.b AS bucket_ts,
+        |  LAST_VALUE(o.obs IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  o.obs IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+        |ORDER BY g.user_id, g.b""".stripMargin,
 
     "q18_asof_click_purchase" ->
       """SELECT user_id, event_id, last_click_id FROM (

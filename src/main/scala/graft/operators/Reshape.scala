@@ -43,4 +43,41 @@ object Reshape {
       .groupBy(groupCols.map(col): _*)
       .agg(transform(array_sort(collect_list(col("__p"))),
         x => x.getField("__v")).as("items"))
+
+  /** Time-grid resample + forward-fill: snap each key's observations to a
+    * regular `stepSec` grid spanning that key's own [min, max] bucket,
+    * keep the LAST observation per bucket (ties broken by `tieCol` desc),
+    * and forward-fill empty buckets from the previous value. Emits
+    * (key, bucket_ts, value, is_observed) — the gap-fill / downsample
+    * shape feeding any fixed-cadence model input or dashboard.
+    *
+    * Scale shape: three narrow steps on one hash exchange by key — the
+    * per-key span aggregation, the per-bucket last-pick, and the ffill
+    * window all partition identically, so AQE plans ONE shuffle. The
+    * grid explode is generated, not joined: `sequence()` materializes
+    * each key's buckets from two scalars, bounded by span/step — no
+    * calendar table, no cross join. */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, tieCol: String,
+                    stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"step must be positive: $stepSec")
+    val step = lit(stepSec)
+    val sec = floor(unix_micros(col(tsCol).cast("timestamp")) / lit(1000000L))
+      .cast("long")
+    val bucket = sec - pmod(sec, step)
+    val perBucket = df
+      .withColumn("__b", bucket)
+      .withColumn("__pick", struct(col(tsCol).as("__t"),
+        col(tieCol).as("__tie"), col(valCol).as("__v")))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(max(col("__pick")).getField("__v").as("__obs"))
+    val grids = perBucket.groupBy(col(keyCol))
+      .agg(min("__b").as("__lo"), max("__b").as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), step)).as("__b"))
+    grids.join(perBucket, Seq(keyCol, "__b"), "left")
+      .select(col(keyCol), col("__b").as("bucket_ts"),
+        ffill(col("__obs"), Seq(col(keyCol)), col("__b")).as("value"),
+        col("__obs").isNotNull.as("is_observed"))
+  }
 }

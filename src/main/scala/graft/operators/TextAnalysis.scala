@@ -485,4 +485,60 @@ object TextAnalysis {
               - log(col("t_total") + lit(nBuckets.toDouble))))
       .select(col("id"), col("n_tokens"), round(col("score"), 6).as("dsir_score"))
   }
+
+  /** Corpus vocabulary build: token frequencies over the whole corpus,
+    * pruned to `minCount`, ranked (count desc, token asc — deterministic)
+    * and capped at `maxSize`. Returns (token, cnt, token_id) with ids
+    * 0..maxSize-1 — the tokenizer-training prep step of an LLM data
+    * pipeline (the id table feeds [[vocabTokenStats]] and any
+    * fixed-vocab encoder).
+    *
+    * Scale shape: the only wide exchange is the token-count aggregation
+    * (map-side combined — the exchange carries one row per DISTINCT
+    * token per partition, never the token stream). The rank window runs
+    * single-partition, but on the minCount-pruned candidate set — vocab-
+    * sized (≤ a few 100k rows), the same bounded-small-side reasoning as
+    * the IVF codebook; the orderBy+limit prunes it to `maxSize` before
+    * any downstream broadcast. */
+  def buildVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long, maxSize: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    df.select(
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token")).limit(maxSize)
+      .withColumn("token_id", row_number().over(w) - 1)
+  }
+
+  /** Encode each document against a fixed vocabulary: known tokens map to
+    * their vocab id, out-of-vocabulary tokens to a stable negative bucket
+    * `-1 - (md5(token) mod nOovBuckets)` (fasttext-style hash fallback,
+    * portable md5 family). Emits per-doc (id, n_tokens, n_known, n_oov,
+    * id_checksum) — the checksum is the exact sum of emitted ids, so any
+    * drift in vocab ranking or OOV hashing shows up as a value diff.
+    *
+    * Scale shape: vocab broadcasts (bounded by buildVocab's cap); the
+    * token stream never shuffles — one map-side explode + broadcast-hash
+    * lookup, then a per-doc aggregation map-side-combined on the doc id
+    * the stream is already clustered by. */
+  def vocabTokenStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, vocab: org.apache.spark.sql.DataFrame,
+                      nOovBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+        .as("token"))
+    toks.join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"),
+        lit(-1L) - conv(substring(md5(col("token")), 1, 3), 16, 10)
+          .cast("long") % nOovBuckets))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("token_id")).as("n_known"),
+        (count(lit(1)) - count(col("token_id"))).as("n_oov"),
+        sum(col("tid")).as("id_checksum"))
+  }
 }

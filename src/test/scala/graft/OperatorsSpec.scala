@@ -443,6 +443,50 @@ class OperatorsSpec extends SparkSpec {
     assert(eq.getDouble(eq.fieldIndex("asof_px")) == 7.7)
   }
 
+  test("buildVocab + vocabTokenStats: rank order, cap, OOV buckets, checksum") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "aa bb aa cc"), (2L, "aa bb zz"), (3L, "aa  bb\tcc qq"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 2L, maxSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList
+    // counts: aa=4 bb=3 cc=2 (zz/qq below minCount); cap 2 keeps aa,bb
+    assert(vocab == List(("aa", 4L, 0), ("bb", 3L, 1)))
+    val v = TextAnalysis.buildVocab(docs, "text", 2L, 10)
+    val stats = TextAnalysis.vocabTokenStats(docs, "doc_id", "text", v, 64)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: 4 tokens all known; doc2: zz OOV; doc3: qq OOV
+    assert(stats.map(t => (t._1, t._2, t._3, t._4)).toList ==
+      List((1L, 4L, 4L, 0L), (2L, 3L, 2L, 1L), (3L, 4L, 3L, 1L)))
+    // OOV ids are stable negatives in [-64, -1]
+    val chk = TextAnalysis.vocabTokenStats(docs, "doc_id", "text", v, 64)
+      .where(col("id") === 2L).collect().head.getLong(4)
+    val known = 0L + 1L // aa + bb ids in doc2
+    assert(chk < known && chk >= known - 64)
+  }
+
+  test("resampleFfill: grid span, last-per-bucket, gap carry, flags") {
+    import graft.operators.Reshape
+    val df = Seq(
+      // key 1: observations in buckets 0 and 30 (step 10) — gaps at 10,20
+      (1L, 3L, 100L, 5.0), (1L, 7L, 101L, 6.0), (1L, 31L, 102L, 9.0),
+      // key 2: single observation — one-bucket grid
+      (2L, 15L, 103L, 2.0))
+      .toDF("k", "sec", "eid", "v")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = Reshape.resampleFfill(df, "k", "ts", "v", "eid", stepSec = 10L)
+      .orderBy("k", "bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toList
+    assert(got == List(
+      (1L, 0L, 6.0, true),   // bucket 0: later (sec 7, eid 101) wins
+      (1L, 10L, 6.0, false), // gap carries
+      (1L, 20L, 6.0, false),
+      (1L, 30L, 9.0, true),
+      (2L, 10L, 2.0, true)))
+  }
+
   test("applyChangelog: update, delete, resurrect, insert, untouched base") {
     import graft.operators.Merge
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
