@@ -437,6 +437,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SCD2 point-in-time lookup: build the type-2 dimension from a
+    // snapshot stream (per-customer priority, latest order per date
+    // wins, consecutive unchanged snaps collapse), then every lineitem
+    // fact picks the version valid AT ITS SHIP TIME via the backward
+    // as-of join — contiguous validity makes most-recent-valid_from the
+    // valid version; facts before a customer's first version null out.
+    // The warehouse time-travel shape: one exchange for the dimension
+    // build, one for the fact lookup.
+    "q148_scd2_lookup" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Merge, RangeJoin}
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val snaps = o.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("snap_ts"),
+          col("o_orderpriority"))
+      val dim = Merge.scd2(snaps, "o_custkey", "snap_ts",
+          Seq("o_orderpriority"))
+        .select(col("o_custkey"), col("valid_from"),
+          col("o_orderpriority").as("prio"))
+      val facts = Tables.lineitem(s, d)
+        .join(o.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      RangeJoin.asofJoinBackward(facts, dim, Seq("o_custkey"),
+          "l_shipdate", "valid_from")
+        .groupBy(col("asof_prio").as("prio"))
+        .agg(count(lit(1)).as("n"), sum6(col("rev")).as("revenue"))
+        .orderBy(col("prio").asc_nulls_first)
+    }),
+
     // Time-grid resample + forward-fill: each user's purchases snapped
     // to an hourly grid spanning their own [first, last] bucket, last
     // observation per bucket wins (ts, event_id tie order), gaps carry
@@ -2938,6 +2972,33 @@ object SparkEntry {
         |  COUNT(*) - COUNT(token_id) AS n_oov,
         |  CAST(SUM(tid) AS BIGINT) AS id_checksum
         |FROM mapped GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SCD2 rebuilt with lag change-detection; the point-in-time pick is
+    // DuckDB's native ASOF LEFT JOIN on valid_from (contiguous validity
+    // makes most-recent-valid_from the valid version).
+    "q148_scd2_lookup" ->
+      """WITH snaps AS (
+        |  SELECT o_custkey, o_orderdate AS snap_ts, o_orderpriority FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) t WHERE rn = 1),
+        |ver AS (
+        |  SELECT o_custkey, snap_ts AS valid_from, o_orderpriority FROM (
+        |    SELECT o_custkey, snap_ts, o_orderpriority,
+        |      LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY snap_ts) AS prev,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY snap_ts) AS rn
+        |    FROM snaps) t
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+        |facts AS (
+        |  SELECT o_custkey, l_shipdate,
+        |    l_extendedprice*(1-l_discount) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT v.o_orderpriority AS prio, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(rev*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS revenue
+        |FROM facts f ASOF LEFT JOIN ver v
+        |  ON f.o_custkey = v.o_custkey AND v.valid_from <= f.l_shipdate
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // Hourly grid per user via generate_series over that user's own
     // span; last-per-bucket by (ts, event_id); IGNORE NULLS carry.
