@@ -1350,6 +1350,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
     }),
 
+    // Quality-keeper dedup: same near-dup clusters as q94, but each
+    // cluster keeps its LONGEST member (ties → smallest id) — the
+    // production policy (keep the best page, not the first-crawled).
+    // The suffix-extended mutants beat their originals here, inverting
+    // q94's min-id outcome — the two queries together pin both policies.
+    "q149_dedup_keep_best" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val m1 = base.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+      val corpus = base.unionByName(m1)
+      val pairs = Dedup.jaccardPairsPrefixFilter(corpus, "doc_id", "text", 3, 0.5)
+      val nTok = size(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= "")).cast("long")
+      Dedup.dropNearDupsKeepBest(corpus, "doc_id", pairs, nTok)
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum(nTok).as("tok_sum"))
+    }),
+
     // Corpus assembly v2 — the release pipeline over the round-3 ops:
     // decontaminate (drop docs leaking test 8-grams) → quality-weighted
     // resample (hash coin) → per-source token budget → shard stats.
@@ -3654,6 +3676,53 @@ object SparkEntry {
         |losers AS (SELECT id FROM comp WHERE id <> component)
         |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM all_docs WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // q94's recursive-CTE components with the keeper rule swapped:
+    // per component keep max token count, ties → smallest id.
+    "q149_dedup_keep_best" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' extra suffix token'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM all_docs) t0),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+        |ntok AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         t -> t <> '')) AS BIGINT) AS nt
+        |  FROM all_docs),
+        |ranked AS (
+        |  SELECT c.id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.component
+        |                       ORDER BY n.nt DESC, c.id ASC) AS rk
+        |  FROM comp c JOIN ntok n ON n.doc_id = c.id),
+        |losers AS (SELECT id FROM ranked WHERE rk > 1)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(a.doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(n.nt) AS BIGINT) AS tok_sum
+        |FROM all_docs a JOIN ntok n ON n.doc_id = a.doc_id
+        |WHERE a.doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "q95_corpus_assembly" ->
       """WITH snippet AS (

@@ -526,6 +526,33 @@ object Dedup {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDups]] with a QUALITY keeper: per duplicate cluster keep
+    * the row maximizing `score` (ties → smallest id) instead of the
+    * smallest id — the production dedup policy (keep the best page, not
+    * the first-crawled one). `score` is evaluated against `df`.
+    *
+    * Scale shape: identical to dropNearDups plus one component-keyed
+    * aggregation — scores join the (id, component) labels (component
+    * tables are pair-participant-sized, far below the corpus), the
+    * keeper argmax is a map-side-combined struct max per component, and
+    * the loser set anti-joins back. Text/payload columns never shuffle;
+    * only (id, component, score) triples do. */
+  def dropNearDupsKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                           score: Column,
+                           aCol: String = "id_a",
+                           bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val scored = df.select(col(idCol).as("id"), score.as("__s"))
+      .join(comp, Seq("id"))
+    // struct max = (score asc, -id asc) → highest score, smallest id
+    val keep = scored.groupBy("component")
+      .agg(max(struct(col("__s"), negate(col("id")).as("__ni"))).as("__k"))
+      .select(col("component"), negate(col("__k").getField("__ni")).as("keeper"))
+    val losers = scored.join(keep, Seq("component"))
+      .where(col("id") =!= col("keeper")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of the token multiset: per token, xxhash64 (seed 42);
     * each of the 64 bits votes +1/-1; fingerprint bit = sign of the vote
     * sum. Runs as a custom Catalyst expression — one loop over the tokens

@@ -443,6 +443,22 @@ class OperatorsSpec extends SparkSpec {
     assert(eq.getDouble(eq.fieldIndex("asof_px")) == 7.7)
   }
 
+  test("dropNearDupsKeepBest: quality keeper, min-id tie-break, untouched rows") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (9L, 0.0))
+      .toDF("doc_id", "q")
+    // cluster {1,2,3}: 2 and 3 tie on quality → 2 (smaller id) wins;
+    // cluster {4} never appears in pairs; 9 is untouched
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDupsKeepBest(docs, "doc_id", pairs, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 9L))
+    // min-id policy for contrast: dropNearDups keeps 1
+    val minId = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L, 9L))
+  }
+
   test("buildVocab + vocabTokenStats: rank order, cap, OOV buckets, checksum") {
     import graft.operators.TextAnalysis
     val docs = Seq(
