@@ -2425,6 +2425,35 @@ object SparkEntry {
     // manifest, full-outer classified new/changed/unchanged/deleted. The
     // manifest has one stale digest, one current one, and one file that
     // no longer exists on disk.
+    // Incremental aggregate maintenance: deliveries fold into a keyed
+    // PARTIAL-aggregate state table (count + exact scaled-integer cents
+    // per group per batch); the report is a state merge — prior
+    // deliveries are never re-scanned. Counts and integer cent sums are
+    // associative, so any batch split produces the identical report; the
+    // oracle recomputes from the full table in one pass. At 100 TB the
+    // state table is groups × batches rows — report cost is independent
+    // of corpus history.
+    "q150_incremental_agg" -> ((s0, d) => {
+      val s = prep(s0)
+      val o = Tables.orders(s, d)
+      val dir = scratch("aggstate")
+      def partial(df: DataFrame, batch: Int) = df
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("p_n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("p_cents"))
+        .withColumn("batch", lit(batch))
+      partial(o.where(pmod(col("o_orderkey"), lit(3)) =!= 0), 1)
+        .write.mode("overwrite").parquet(dir)
+      partial(o.where(pmod(col("o_orderkey"), lit(3)) === 0), 2)
+        .write.mode("append").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(sum("p_n").as("n"),
+          (sum("p_cents").cast("double") / 100).as("total"),
+          count(lit(1)).as("n_batches"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     "q132_file_manifest_delta" -> ((s0, d) => {
       val s = prep(s0)
       import s.implicits._
@@ -3676,6 +3705,14 @@ object SparkEntry {
         |losers AS (SELECT id FROM comp WHERE id <> component)
         |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM all_docs WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // Associativity makes the state split invisible: one full-table
+    // pass, with batch membership recomputed per group.
+    "q150_incremental_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total,
+        |  COUNT(DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END) AS n_batches
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q94's recursive-CTE components with the keeper rule swapped:
     // per component keep max token count, ties → smallest id.
