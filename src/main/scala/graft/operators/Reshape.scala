@@ -51,10 +51,12 @@ object Reshape {
     * (key, bucket_ts, value, is_observed) — the gap-fill / downsample
     * shape feeding any fixed-cadence model input or dashboard.
     *
-    * Scale shape: three narrow steps on one hash exchange by key — the
-    * per-key span aggregation, the per-bucket last-pick, and the ffill
-    * window all partition identically, so AQE plans ONE shuffle. The
-    * grid explode is generated, not joined: `sequence()` materializes
+    * Scale shape (audited): two map-side-combined aggregation exchanges
+    * — per-(key,bucket) for the last-pick, per-key for the span — both
+    * carrying aggregates, never raw observations. The ffill window
+    * REUSES the span aggregation's key partitioning (the grid explode
+    * preserves it), so no third exchange appears for the window; the
+    * grid itself is generated, not joined: `sequence()` materializes
     * each key's buckets from two scalars, bounded by span/step — no
     * calendar table, no cross join. */
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
