@@ -1255,6 +1255,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Streaming CDC apply: the q99 compaction maintained INCREMENTALLY —
+    // per micro-batch, applyChangelogVersioned merges the batch into a
+    // per-user snapshot table through a staged swap; versions make the
+    // result order-independent across batch boundaries, so the final
+    // snapshot equals the batch compaction (same oracle as q99).
+    "q151_stream_cdc_apply" -> ((s0, d) => {
+      val s = prep(s0)
+      val target = scratch("cdc_snapshot") + "/snap"
+      graft.streaming.EventsStream.streamCdcApply(s, d, target)
+      s.read.parquet(target)
+        .where(!col("__deleted"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum2(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // Multi-EXISTS shape (TPC-H Q21 family): suppliers who are the ONLY
     // supplier with a returned line on an order — a semi-join feeding an
     // anti-join, both on the same (order, supplier) key set.
@@ -3604,6 +3621,19 @@ object SparkEntry {
         |GROUP BY l_partkey ORDER BY l_partkey LIMIT 50""".stripMargin,
 
     "q99_changelog_compact" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+        |FROM r WHERE rn = 1 AND (event_type <> 'error' OR event_type IS NULL)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same compaction semantics as q99 — the streaming path must land on
+    // the identical snapshot whatever the micro-batch split.
+    "q151_stream_cdc_apply" ->
       """WITH r AS (
         |  SELECT user_id, event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

@@ -116,6 +116,56 @@ object Merge {
     untouched.unionByName(survivors)
   }
 
+  /** Versioned CDC apply — [[applyChangelog]] hardened for OUT-OF-ORDER
+    * batches. Every snapshot row carries its version (the `ordCols`
+    * values it was written with) plus a `__deleted` tombstone flag; a
+    * changelog row only wins when its version is `>=` the row's (struct
+    * comparison in `ordCols` order; `>=` makes replaying a batch a
+    * no-op). Deletes persist as GHOST rows (`__deleted = true`) rather
+    * than vanishing — the retention that makes the merge commutative: a
+    * late update OLDER than an applied delete loses to the ghost instead
+    * of resurrecting the key. So apply(b2) ∘ apply(b1) = apply(b1) ∘
+    * apply(b2) = apply(b1 ∪ b2) for ANY batch split, and the logical
+    * table is always `.where(!col("__deleted"))`. A maintenance pass may
+    * purge ghosts older than the pipeline's max lateness (the
+    * Kafka-compaction / Delta tombstone-retention discipline); keeping
+    * them forever costs keys-ever-deleted rows.
+    *
+    * `base` is a prior output (with `__deleted`) or any initial snapshot
+    * without it (all rows then count as live). Scale: one changelog
+    * compaction window + one full-outer join on the key — payloads ride
+    * as structs through a single exchange each.
+    *
+    * Returns payload columns + `__deleted`. */
+  def applyChangelogVersioned(base: DataFrame, log: DataFrame,
+                              keys: Seq[String], ordCols: Seq[String],
+                              deletePred: org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "applyChangelogVersioned needs at least one key column")
+    require(ordCols.nonEmpty, "applyChangelogVersioned needs version columns")
+    val payload = base.columns.filter(_ != "__deleted").toSeq
+    val base1 =
+      if (base.columns.contains("__deleted")) base
+      else base.withColumn("__deleted", lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ordCols.map(c => col(c).desc): _*)
+    val latest = log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("__del", coalesce(deletePred, lit(false)))
+    val bs = base1.select(keys.map(col) ++ Seq(
+      struct(payload.map(col): _*).as("__b"), col("__deleted").as("__bdel")): _*)
+    val ls = latest.select(keys.map(col) ++ Seq(
+      struct(payload.map(col): _*).as("__l"), col("__del")): _*)
+    val bVer = struct(ordCols.map(c => col("__b").getField(c)): _*)
+    val lVer = struct(ordCols.map(c => col("__l").getField(c)): _*)
+    val logWins = col("__b").isNull || (col("__l").isNotNull && lVer >= bVer)
+    val winner = when(logWins, col("__l")).otherwise(col("__b"))
+    val outDel = when(logWins, col("__del")).otherwise(col("__bdel"))
+    bs.join(ls, keys, "full_outer")
+      .select(payload.map(c => winner.getField(c).as(c)) :+
+        outDel.as("__deleted"): _*)
+  }
+
   /** SCD type-2 history build from a stream of keyed snapshots: collapse
     * consecutive snapshots whose tracked attributes are unchanged, then
     * stamp each surviving version with its validity interval

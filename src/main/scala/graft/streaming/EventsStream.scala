@@ -207,6 +207,74 @@ object EventsStream {
     * and per-batch work is O(batch dates), not O(table history). The
     * merged plan reads the live partitions while WRITING only the staging
     * directory, so no self-overwrite materialization barrier is needed. */
+  /** Streaming CDC apply: maintain a per-user SNAPSHOT table from the
+    * event changelog — latest row per user by (ts, event_id) wins,
+    * 'error' is the tombstone (q99's compaction semantics, maintained
+    * incrementally). Each micro-batch runs
+    * [[graft.operators.Merge.applyChangelogVersioned]], so the result is
+    * ORDER-INDEPENDENT across batch boundaries: a late batch carrying
+    * older events cannot regress the snapshot (tombstones persist as
+    * `__deleted` ghosts, so a late update older than an applied delete
+    * loses instead of resurrecting the key), and replaying a batch is a
+    * no-op — the final table equals the batch compaction of the whole
+    * changelog however the files were split into triggers (the property
+    * StreamingSpec pins with shuffled multi-file input). Read the
+    * logical snapshot with `.where(!col("__deleted"))`.
+    *
+    * The snapshot swaps through a staging dir + rename (write stage,
+    * swap in, drop old): the merged plan reads the live snapshot while
+    * writing only staging, so no self-overwrite materialization barrier
+    * is needed, and a crash before the swap leaves the previous snapshot
+    * intact. Per-batch work is O(batch ∪ snapshot) — the snapshot is
+    * keys-sized, not history-sized. */
+  def streamCdcApply(spark: SparkSession, dir: String, targetPath: String,
+                     glob: String = "events*.parquet",
+                     maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.Merge
+    // same legacy-nanos tolerance as eventsStream; normalizeEventTs
+    // adapts to whichever shape the files carry
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val events = graft.core.Tables.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", glob)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .parquet(dir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val q = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val b = batch.toDF().persist()
+        try {
+          val keys = Seq("user_id")
+          val ord = Seq("ts", "event_id")
+          val del = col("event_type") === "error"
+          val existing =
+            try Some(ss.read.parquet(targetPath))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          // first batch applies onto an empty snapshot (NOT a tombstone-
+          // dropping compaction — ghosts must survive from batch one)
+          val merged = Merge.applyChangelogVersioned(
+            existing.getOrElse(b.where(lit(false))), b, keys, ord, del)
+          val stage = s"$targetPath.stage_$batchId"
+          merged.write.mode("overwrite").parquet(stage)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(stage), ss.sparkContext.hadoopConfiguration)
+          val tgt = new org.apache.hadoop.fs.Path(targetPath)
+          val old = new org.apache.hadoop.fs.Path(s"$targetPath.old_$batchId")
+          if (fs.exists(tgt)) fs.rename(tgt, old)
+          fs.rename(new org.apache.hadoop.fs.Path(stage), tgt)
+          fs.delete(old, true)
+          ()
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def streamingUpsert(spark: SparkSession, dir: String, targetPath: String): Unit = {
     import graft.operators.Merge
     val events = eventsStream(spark, dir)

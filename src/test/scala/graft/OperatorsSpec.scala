@@ -503,6 +503,41 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, 2.0, true)))
   }
 
+  test("applyChangelogVersioned: out-of-order batches, ghosts, replay") {
+    import graft.operators.Merge
+    def apply(b: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      Merge.applyChangelogVersioned(b, l, Seq("id"), Seq("v_ts", "v_seq"),
+        col("op") === "D")
+    // base rows carry the version they were written with
+    val cols = Seq("id", "name", "v_ts", "v_seq", "op")
+    val batch1 = Seq((1L, "new", 10L, 1, "U"), (2L, "gone", 10L, 1, "D"),
+      (3L, "x", 10L, 1, "U"),
+      (4L, "u4", 4L, 1, "U"))                  // update OLDER than 4's delete
+      .toDF(cols: _*)
+    val batch2 = Seq((1L, "old", 5L, 1, "U"),  // late update: must lose
+      (2L, "revived", 12L, 1, "U"),            // newer than the tombstone
+      (3L, "late-del", 5L, 2, "D"),            // late tombstone: must lose
+      (4L, "d5", 5L, 1, "D"))                  // the delete u4 must NOT undo
+      .toDF(cols: _*)
+    val empty = batch1.where(lit(false))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.where(!col("__deleted"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fwd = apply(apply(empty, batch1), batch2)
+    val rev = apply(apply(empty, batch2), batch1)
+    val one = apply(empty, batch1.unionByName(batch2))
+    // key 4 is the commutativity acid test: delete-first then late older
+    // update only stays dead because the tombstone persists as a ghost
+    val want = Set((1L, "new"), (2L, "revived"), (3L, "x"))
+    assert(state(fwd) == want); assert(state(rev) == want)
+    assert(state(one) == want)
+    // replaying a batch is a no-op (>= comparison)
+    assert(state(apply(fwd, batch2)) == want)
+    // ghosts are present but flagged
+    assert(apply(empty, batch2).where(col("__deleted"))
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
   test("applyChangelog: update, delete, resurrect, insert, untouched base") {
     import graft.operators.Merge
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),

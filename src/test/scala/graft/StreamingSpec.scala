@@ -308,4 +308,56 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("streaming CDC apply: order-shuffled batch split lands on the batch compaction") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    // the full changelog; 'error' tombstones; versions = (ts, event_id)
+    val all = Seq(
+      (1L, 10L, 100L, "view", 1.0), (2L, 10L, 200L, "purchase", 5.0),
+      (3L, 10L, 300L, "view", 2.0), (4L, 10L, 400L, "purchase", 7.0),
+      (1L, 10L, 150L, "purchase", 9.0), // newer same-ts: event_id decides
+      (2L, 10L, 250L, "error", 0.0),    // tombstone (newest for user 2)
+      (3L, 10L, 120L, "error", 0.0),    // tombstone OLDER than 300: loses
+      (4L, 10L, 500L, "click", 3.0))
+    // adversarial split: the file carrying user 2's tombstone and user
+    // 1's newest row lands in a DIFFERENT batch than their other rows,
+    // and file names reverse the natural order
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      rows.toDF("user_id", "day", "event_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("day") * 86400000000L +
+          col("event_id") * 1000000L))
+        .drop("day").coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/stage_$name")
+    def install(name: String): Unit = {
+      val part = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/events_$name.parquet"))
+    }
+    write("z_first", all.filter(t => t._3 >= 250))
+    write("a_second", all.filter(t => t._3 < 250))
+    install("z_first"); install("a_second")
+    val target = s"$base/snap"
+    EventsStream.streamCdcApply(spark, inDir, target, maxFilesPerTrigger = 1)
+    val live = spark.read.parquet(target).where(!col("__deleted"))
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // batch compaction ground truth: latest per user, tombstones erase
+    assert(live == Set((1L, 150L, "purchase"), (3L, 300L, "view"),
+      (4L, 500L, "click")))
+    // user 2 survives only as a ghost
+    val ghosts = spark.read.parquet(target).where(col("__deleted"))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(ghosts == Set(2L))
+    // re-running the whole stream over the same input is a no-op
+    // (fresh checkpoint, same files → same snapshot)
+    EventsStream.streamCdcApply(spark, inDir, target, maxFilesPerTrigger = 1)
+    val live2 = spark.read.parquet(target).where(!col("__deleted"))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live2 == Set((1L, 150L), (3L, 300L), (4L, 500L)))
+  }
 }
