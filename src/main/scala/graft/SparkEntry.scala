@@ -1272,6 +1272,34 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Semi-structured VARIANT path (Spark 4): ingest JSON payloads ONCE
+    // as binary variant, then shred typed columns with variant_get —
+    // at 100 TB the parse happens at ingest, not per path access (vs
+    // get_json_object re-parsing the string for every extraction).
+    // Nested object + array access, and the dotted path round-trips the
+    // source values losslessly (shortest-round-trip double printing) —
+    // the oracle recomputes from the flat source directly.
+    "q152_variant_shred" -> ((s0, d) => {
+      val s = prep(s0)
+      val o = Tables.orders(s, d)
+      val payload = to_json(struct(
+        col("o_orderstatus").as("status"),
+        struct(col("o_totalprice").as("amount"),
+          col("o_orderpriority").as("prio")).as("detail"),
+        array(col("o_custkey"), col("o_orderkey")).as("refs")))
+      val v = o.select(parse_json(payload).as("var"))
+      v.select(
+          variant_get(col("var"), "$.status", "string").as("status"),
+          variant_get(col("var"), "$.detail.amount", "double").as("amount"),
+          variant_get(col("var"), "$.detail.prio", "string").as("prio"),
+          variant_get(col("var"), "$.refs[0]", "bigint").as("custkey"))
+        .groupBy("status", "prio")
+        .agg(count(lit(1)).as("n"),
+          sum2(col("amount")).as("total"),
+          sum(col("custkey")).as("cust_sum"))
+        .orderBy("status", "prio")
+    }),
+
     // Multi-EXISTS shape (TPC-H Q21 family): suppliers who are the ONLY
     // supplier with a returned line on an order — a semi-join feeding an
     // anti-join, both on the same (order, supplier) key set.
@@ -3630,6 +3658,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
         |FROM r WHERE rn = 1 AND (event_type <> 'error' OR event_type IS NULL)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The variant round-trip is lossless, so the oracle reads the flat
+    // source — any shredding drift (type coercion, path miss, double
+    // formatting) diverges the hash.
+    "q152_variant_shred" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same compaction semantics as q99 — the streaming path must land on
     // the identical snapshot whatever the micro-batch split.
