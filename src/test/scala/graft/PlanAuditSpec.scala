@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "q43_company_financial", "q50_stream_sliding", "q51_stream_sessions",
     "q68_csv_sink_roundtrip", "q70_stream_interval_join",
     "q121_stream_hll_window", "q129_orc_sink_roundtrip",
-    "q130_stream_static_enrich", "q133_stream_outer_join")
+    "q130_stream_static_enrich", "q133_stream_outer_join",
+    "q145_bucketed_join", "q150_incremental_agg", "q151_stream_cdc_apply")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.filterNot(q => machinery(q._1)).map { case (name, fn) =>

@@ -291,4 +291,60 @@ class PropertySpec extends SparkSpec {
       assert(want.nonEmpty, s"t=$threshold: degenerate fixture, no pairs")
     }
   }
+
+  test("asofJoinNearest law: equals driver-side min-distance pick on random data") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(20260814)
+    val left = (1 to 120).map { i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(300).toLong, i.toLong) }
+    val right = (1 to 80).map { i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(300).toLong, i.toLong + 1000) }
+    // dedup right per (key, t): keep max payload — the op's precondition
+    val rightDedup = right.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val tol = 40L
+    val got = RangeJoin.asofJoinNearest(
+        left.toDF("k", "t", "lid"), rightDedup.toDF("k", "t", "rid"),
+        Seq("k"), "t", "t", Some(tol))
+      .select("lid", "asof_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    left.foreach { case (k, t, lid) =>
+      val cands = rightDedup.filter(r => r._1 == k && math.abs(r._2 - t) <= tol)
+      val want =
+        if (cands.isEmpty) -1L
+        // min distance; ties → backward (smaller right t)
+        else cands.minBy(r => (math.abs(r._2 - t), r._2))._3
+      assert(got(lid) == want, s"left=$lid k=$k t=$t: got ${got(lid)}, want $want")
+    }
+  }
+
+  test("applyChangelogVersioned law: any batch split commutes to the full compaction") {
+    import graft.operators.Merge
+    val rnd = new scala.util.Random(42)
+    // random changelog: key, version, op; several rows per key
+    val all = (1 to 150).map { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i.toLong,
+        if (rnd.nextInt(4) == 0) "D" else "U") }
+    val cols = Seq("id", "v_ts", "v_seq", "op")
+    def df(rows: Seq[(Long, Long, Long, String)]) = rows.toDF(cols: _*)
+    def apply(b: org.apache.spark.sql.DataFrame, rows: Seq[(Long, Long, Long, String)]) =
+      Merge.applyChangelogVersioned(b, df(rows), Seq("id"),
+        Seq("v_ts", "v_seq"), col("op") === "D")
+    def live(d0: org.apache.spark.sql.DataFrame) =
+      d0.where(!col("__deleted")).select("id", "v_ts", "v_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val empty = df(all).where(lit(false))
+    // ground truth: latest per key by (v_ts, v_seq), tombstones erase
+    val want = all.groupBy(_._1).values.map(_.maxBy(r => (r._2, r._3)))
+      .filter(_._4 != "D").map(r => (r._1, r._2, r._3)).toSet
+    assert(live(apply(empty, all)) == want)
+    // three random 3-way splits, applied in split order
+    (1 to 3).foreach { trial =>
+      val shuffled = rnd.shuffle(all)
+      val (b1, rest) = shuffled.splitAt(50)
+      val (b2, b3) = rest.splitAt(50)
+      val s3 = apply(apply(apply(empty, b1), b2), b3)
+      assert(live(s3) == want, s"trial $trial diverged from the compaction")
+    }
+  }
 }
