@@ -1272,6 +1272,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Bigram-LM quality score: add-one smoothed conditional bigram NLL —
+    // the n-gram upgrade of q114's unigram score (real quality filters
+    // condition on context). Corpus bigram table hash-joins on (w1,w2)
+    // (NOT broadcast — it grows with the corpus); per-doc fold is
+    // (w1,w2)-sorted so the float sum is engine-exact at 6 dp.
+    "q153_bigram_nll" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.TextAnalysis.bigramNll(
+          Tables.documents(s, d), "doc_id", "text", vocabSize = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Thai 13-digit ID mod-11 check-digit validation over synthetic
+    // part-derived ids (7-padded so the weighted sum is non-trivial):
+    // the C33 normalize → validate pair the reference's tax-id columns
+    // need. Pure column arithmetic, recomputed digit-by-digit in SQL.
+    "q154_thai_id_check" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.functions.TextClean
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 13, "7").as("id13"))
+        .withColumn("valid", TextClean.thaiIdCheckDigitValid(col("id13")))
+      p.agg(count(lit(1)).as("n_total"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("valid"), col("p_partkey"))).as("valid_key_sum"))
+    }),
+
     // Semi-structured VARIANT path (Spark 4): ingest JSON payloads ONCE
     // as binary variant, then shred typed columns with variant_get —
     // at 100 TB the parse happens at ingest, not per path access (vs
@@ -3658,6 +3687,53 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
         |FROM r WHERE rn = 1 AND (event_type <> 'error' OR event_type IS NULL)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same bigram tables, same smoothing, same (w1,w2)-ordered fold.
+    "q153_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                x -> x <> '') AS tl
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest([{'w1': tl[i], 'w2': tl[i+1]} FOR i IN range(1, len(tl))]) AS b
+        |    FROM toks WHERE len(tl) >= 2) t0),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bt GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bt GROUP BY 1),
+        |dt AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM bt GROUP BY 1, 2, 3),
+        |terms AS (
+        |  SELECT d.doc_id, d.w1, d.w2, d.n,
+        |    d.n * (ln(u.c1 + 33.0) - ln(g.c12 + 1.0)) AS term
+        |  FROM dt d JOIN big g USING (w1, w2) JOIN uni u USING (w1)),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |    list_sum(list(term ORDER BY w1, w2)) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 6) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // The mod-11 weighted sum recomputed digit-by-digit.
+    "q154_thai_id_check" ->
+      """WITH t AS (
+        |  SELECT p_partkey, LPAD(CAST(p_partkey AS VARCHAR), 13, '7') AS id13
+        |  FROM part),
+        |c AS (
+        |  SELECT p_partkey,
+        |    ((11 - ((CAST(substr(id13,1,1) AS INT)*13 + CAST(substr(id13,2,1) AS INT)*12
+        |      + CAST(substr(id13,3,1) AS INT)*11 + CAST(substr(id13,4,1) AS INT)*10
+        |      + CAST(substr(id13,5,1) AS INT)*9 + CAST(substr(id13,6,1) AS INT)*8
+        |      + CAST(substr(id13,7,1) AS INT)*7 + CAST(substr(id13,8,1) AS INT)*6
+        |      + CAST(substr(id13,9,1) AS INT)*5 + CAST(substr(id13,10,1) AS INT)*4
+        |      + CAST(substr(id13,11,1) AS INT)*3 + CAST(substr(id13,12,1) AS INT)*2) % 11))
+        |      % 10 + 10) % 10 = CAST(substr(id13,13,1) AS INT) AS valid
+        |  FROM t)
+        |SELECT COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN valid THEN p_partkey END) AS BIGINT) AS valid_key_sum
+        |FROM c""".stripMargin,
 
     // The variant round-trip is lossless, so the oracle reads the flat
     // source — any shredding drift (type coercion, path miss, double

@@ -33,6 +33,22 @@ object TextClean {
       .otherwise(lpad(last13, 13, "0"))
   }
 
+  /** Thai 13-digit ID mod-11 check-digit validation (citizen and
+    * corporate tax IDs share the scheme the reference's tax-id columns
+    * carry — `normalizeTaxId` shapes them, this validates them):
+    * `check = (11 - Σ_{i=1..12} d_i·(14-i) mod 11) mod 10` must equal
+    * `d_13`. False for anything not exactly 13 digits; null input →
+    * false. Pure column arithmetic — codegen-friendly, no UDF. */
+  def thaiIdCheckDigitValid(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val wellFormed = s.rlike("^[0-9]{13}$")
+    val weighted = (1 to 12).map(i =>
+      substring(s, i, 1).cast("int") * lit(14 - i)).reduce(_ + _)
+    val check = pmod(lit(11) - pmod(weighted, lit(11)), lit(10))
+    coalesce(when(wellFormed, check === substring(s, 13, 1).cast("int")),
+      lit(false))
+  }
+
   /** C38 `.0` suffix strip on reference docs
     * (ImportSaleInvoiceReport.php:125-134). */
   def stripDotZero(c: Column): Column =

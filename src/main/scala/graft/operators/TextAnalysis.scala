@@ -486,6 +486,44 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), round(col("score"), 6).as("dsir_score"))
   }
 
+  /** Bigram-LM negative log-likelihood — the n-gram upgrade of
+    * [[unigramNll]] (real quality filters score with conditional n-gram
+    * probabilities, not unigram frequency):
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V+1)` (add-one smoothed), doc
+    * score = mean `-ln p` over its bigrams, 6 dp. Docs with < 2 tokens
+    * emit no row. The per-doc fold runs over the (w1,w2)-sorted term
+    * list, so the float sum is order-pinned and engine-exact.
+    *
+    * Scale shape: the corpus bigram table is NOT broadcastable (it grows
+    * with the corpus) — doc bigrams hash-join it on (w1,w2), already the
+    * key both sides aggregate on, then the context counts join on w1.
+    * Three map-side-combined aggregations + two co-keyed joins; text
+    * never shuffles, only bigram keys and counts. */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val toksArr = df.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "").as("toks"))
+    val bi = toksArr.where(size(col("toks")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val perDoc = bi.groupBy("id", "w1", "w2").agg(count(lit(1)).as("n"))
+    perDoc.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .groupBy("id")
+      .agg(sum("n").as("n_bigrams"),
+        sort_array(collect_list(struct(col("w1"), col("w2"),
+          (col("n").cast("double") *
+            (log(col("c1") + lit(vocabSize.toDouble) + lit(1.0))
+              - log(col("c12") + lit(1.0)))).as("term")))).as("cs"))
+      .withColumn("nll",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("term")))
+      .select(col("id"), col("n_bigrams"),
+        round(col("nll") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
   /** Corpus vocabulary build: token frequencies over the whole corpus,
     * pruned to `minCount`, ranked (count desc, token asc — deterministic)
     * and capped at `maxSize`. Returns (token, cnt, token_id) with ids

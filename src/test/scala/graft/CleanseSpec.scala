@@ -221,4 +221,21 @@ class CleanseSpec extends SparkSpec {
       assert(g == want.toList, s"want $want got $g")
     }
   }
+
+  test("thaiIdCheckDigitValid: mod-11 check digit, malformed inputs") {
+    import graft.functions.TextClean
+    // 123456789012 → weighted sum 352 = 32·11 → check (11-0)%10 = 1
+    val cases = Seq(
+      ("1234567890121", true),
+      ("1234567890122", false),  // wrong check digit
+      ("1234567890120", false),
+      ("123456789012", false),   // 12 digits
+      ("12345678901211", false), // 14 digits
+      ("12345678901a1", false),  // non-digit
+      ("", false), (null: String, false))
+    val got = cases.map(_._1).toDF("id")
+      .select(TextClean.thaiIdCheckDigitValid(col("id")).as("v"))
+      .collect().map(_.getBoolean(0)).toList
+    assert(got == cases.map(_._2).toList)
+  }
 }
