@@ -662,6 +662,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Hard-negative mining (contrastive training prep): per query the 3
+    // most-similar DIFFERENT-label vectors — informative negatives only;
+    // the label exclusion rides in the join condition so excluded pairs
+    // never materialize.
+    "q155_hard_negatives" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", "label", 3)
+        .select(col("query_id"), col("rnk"), col("corpus_id"),
+          col("neg_label"), round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ANN via multi-table hyperplane LSH, portable-plane variant: the
     // md5-parity Rademacher planes (and so the whole multiprobe candidate
     // set) are recomputable in plain SQL — the DuckDB oracle rebuilds the
@@ -3319,6 +3334,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rnk, corpus_id, ROUND(cos, 6) AS cos
         |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // q30's scoring with the different-label constraint in the join.
+    "q155_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS ce, label AS cl
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id, cl AS neg_label,
+        |    list_sum(list_transform(list_zip(qe, ce),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(ce, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id AND ql IS DISTINCT FROM cl),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, neg_label, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, corpus_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, corpus_id, neg_label, ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
     // Rebuilds the portable LSH end to end: md5-parity Rademacher planes,

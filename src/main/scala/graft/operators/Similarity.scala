@@ -53,6 +53,35 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training data: per query, the
+    * k most-similar corpus vectors with a DIFFERENT label — the
+    * informative negatives (easy negatives are far away and teach
+    * nothing; same-label neighbors are positives, excluded). Same
+    * broadcast-query brute-force shape as [[bruteForceTopK]] with the
+    * label exclusion pushed into the join condition, so excluded pairs
+    * never materialize; at corpus scale the LSH/IVF candidate paths
+    * prune identically (filter the label at candidate level, re-rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        col(labelCol).as("neg_label"))
+      .withColumn("cn", sqrt(vdot(col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("q_label"))
+      .withColumn("qn", sqrt(vdot(col("qv"), col("qv"))))
+    val scored = c.join(broadcast(q),
+        col("corpus_id") =!= col("query_id") &&
+          !(col("neg_label") <=> col("q_label")))
+      .withColumn("cos", when(col("qn") === 0.0 || col("cn") === 0.0, lit(0.0))
+        .otherwise(vdot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("corpus_id"),
+        col("neg_label"), col("cos"))
+  }
+
   /** Sign-bit LSH bucket id of a vector for one hash table: `nPlanes` dot
     * products against hash-derived pseudo-random hyperplanes, packed into a
     * long (custom expression — one loop, no plane matrix to broadcast). */
