@@ -1747,6 +1747,31 @@ object SparkEntry {
     // with per-kind match counts. Patterns are the RE2/Java common subset
     // so the oracle applies the IDENTICAL regex; cascade order pinned
     // (emails first — they contain dots and digits).
+    // Deterministic PII pseudonymization: identifier columns replace
+    // with keyed sha256 tokens — same input → same token, so joins on
+    // the tokenized key still work (referential integrity preserved
+    // without the cleartext ever leaving the scan). The query proves it:
+    // orders join customer ON TOKENS and land on the exact per-segment
+    // totals of the cleartext join. Pure projection, no UDF; the salt is
+    // a pipeline constant (a per-run secret in production).
+    "q156_pseudonymize" -> ((s0, d) => {
+      val s = prep(s0)
+      val salt = "graft-demo-salt"
+      def tok(c: Column) = sha2(concat(lit(salt), lit(":"), c.cast("string")), 256)
+      val cust = Tables.customer(s, d)
+        .select(tok(col("c_custkey")).as("cust_token"),
+          col("c_mktsegment"))
+      val ords = Tables.orders(s, d)
+        .select(tok(col("o_custkey")).as("cust_token"),
+          col("o_totalprice"))
+      ords.join(cust, Seq("cust_token"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum2(col("o_totalprice")).as("total"),
+          countDistinct(col("cust_token")).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q78_pii_redact" -> ((s0, d) => {
       val s = prep(s0)
       import s.implicits._
@@ -4559,6 +4584,24 @@ object SparkEntry {
         |  ROUND(MAX(top_tok), 6) AS max_top_tok,
         |  COUNT(CASE WHEN top_bigram > 0.08 THEN 1 END) AS n_loopy
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    // The tokenized join must equal the cleartext join: same counts,
+    // same totals, same distinct customers (sha256 parity + injectivity
+    // over this key domain).
+    "q156_pseudonymize" ->
+      """WITH cust AS (
+        |  SELECT sha256('graft-demo-salt:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+        |    c_mktsegment
+        |  FROM customer),
+        |ords AS (
+        |  SELECT sha256('graft-demo-salt:' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total,
+        |  CAST(COUNT(DISTINCT cust_token) AS BIGINT) AS n_customers
+        |FROM ords JOIN cust USING (cust_token)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q78_pii_redact" ->
       """WITH v(id, text) AS (VALUES
