@@ -1957,6 +1957,16 @@ object SparkEntry {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // LEFT SEMI stream-stream interval join: purchases that HAD a click
+    // in the trailing window, emitted once with no click payload —
+    // existence-check state is cheaper than the inner join's (first
+    // match emits and clears the row).
+    "q157_stream_semi_join" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.clickPurchaseSemiJoin(s, d, 1800)
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // LEFT OUTER stream-stream interval join: unmatched purchases emit
     // null-extended rows only when the watermark passes their eviction
     // point (outer results are watermark-driven, not arrival-driven);
@@ -4787,6 +4797,18 @@ object SparkEntry {
         | AND c.user_id = p.user_id
         | AND c.us >= p.us - 1800000000 AND c.us <= p.us
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+
+    // Batch EXISTS with the same interval condition.
+    "q157_stream_semi_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT p.user_id, p.event_id AS purchase_id, p.us AS purchase_us
+        |FROM e p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM e c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.us >= p.us - 1800000000 AND c.us <= p.us)
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
 
     // Batch left join with the same interval condition; the streaming
     // side's null-extended rows must match it exactly.

@@ -568,6 +568,45 @@ object EventsStream {
         unix_micros(col("c_ts")).as("click_us"))
   }
 
+  /** LEFT SEMI stream-stream interval join — "purchases that HAD a
+    * qualifying click", emitted WITHOUT the click payload: the
+    * existence-check shape (J1's streaming form). Semi-join state is
+    * cheaper than inner: a purchase emits on its FIRST match and leaves
+    * state immediately (no multiplicity, no click columns in the
+    * output), unmatched purchases evict silently at the watermark. Same
+    * O(watermark + window) state bounds per side as the inner join. */
+  def clickPurchaseSemiJoin(spark: SparkSession, dir: String,
+                            windowSec: Int = 1800,
+                            statePartitions: Int = 8): DataFrame = {
+    val wmDelaySec = 3600L
+    val sent = drainSentinel(spark, dir, wmDelaySec + windowSec + 60)
+      .withColumn("user_id", lit(DrainUser))
+      .withColumn("event_id", lit(-1L))
+      .select("ts", "event_type", "user_id", "event_id")
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+      .unionByName(sent)
+    val clicks = evs
+      .where(col("event_type").isin("click", DrainType))
+      .select(col("ts").as("c_ts"), col("user_id").as("c_user"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", s"$wmDelaySec seconds")
+    val purchases = evs
+      .where(col("event_type").isin("purchase", DrainType))
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", s"$wmDelaySec seconds")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_semi")
+    runToTable(joined, "append", statePartitions)
+      .where(col("p_user") =!= DrainUser)
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        unix_micros(col("p_ts")).as("purchase_us"))
+  }
+
   /** Stateful sessionization over the events directory with DRAIN
     * semantics: a sentinel event past end-of-input advances the watermark
     * (multipleWatermarkPolicy=max across the two sources) so every real
