@@ -1747,6 +1747,31 @@ object SparkEntry {
     // with per-kind match counts. Patterns are the RE2/Java common subset
     // so the oracle applies the IDENTICAL regex; cascade order pinned
     // (emails first — they contain dots and digits).
+    // Benford first-digit audit — the financial-forensics screen for a
+    // money column: observed leading-digit shares vs log10(1+1/d).
+    // The digit extracts from the exact CENTS integer (leading digit of
+    // 100x = leading digit of x), so no float log/pow is near a decision
+    // boundary; shares and expectations round at 6 dp. One map-side-
+    // combined 9-group aggregation — audit cost is one narrow scan.
+    "q158_benford_audit" -> ((s0, d) => {
+      val s = prep(s0)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      Tables.orders(s, d)
+        .where(cents > 0)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n"))
+        // share denominator via a window over the 9 digit rows — no
+        // second scan of the table
+        .withColumn("share", round(col("n") /
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()), 6))
+        .withColumn("expected",
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+        .withColumn("abs_dev", round(abs(col("share") - col("expected")), 6))
+        .orderBy("digit")
+    }),
+
     // Deterministic PII pseudonymization: identifier columns replace
     // with keyed sha256 tokens — same input → same token, so joins on
     // the tokenized key still work (referential integrity preserved
@@ -4594,6 +4619,20 @@ object SparkEntry {
         |  ROUND(MAX(top_tok), 6) AS max_top_tok,
         |  COUNT(CASE WHEN top_bigram > 0.08 THEN 1 END) AS n_loopy
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    // Digit from the exact cents integer; Benford expectation re-derived.
+    "q158_benford_audit" ->
+      """WITH b AS (
+        |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders
+        |  WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) > 0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM g)
+        |SELECT digit, n,
+        |  ROUND(n / tot, 6) AS share,
+        |  ROUND(log10(1.0 + 1.0/digit), 6) AS expected,
+        |  ROUND(abs(ROUND(n / tot, 6) - ROUND(log10(1.0 + 1.0/digit), 6)), 6) AS abs_dev
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
 
     // The tokenized join must equal the cleartext join: same counts,
     // same totals, same distinct customers (sha256 parity + injectivity

@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "q68_csv_sink_roundtrip", "q70_stream_interval_join",
     "q121_stream_hll_window", "q129_orc_sink_roundtrip",
     "q130_stream_static_enrich", "q133_stream_outer_join",
-    "q145_bucketed_join", "q150_incremental_agg", "q151_stream_cdc_apply")
+    "q145_bucketed_join", "q150_incremental_agg", "q151_stream_cdc_apply",
+    "q157_stream_semi_join")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.filterNot(q => machinery(q._1)).map { case (name, fn) =>
