@@ -1772,6 +1772,241 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): the state
+    // store keeps one entry per (user, type) inside the watermark
+    // horizon; the single-batch AvailableNow drain makes the output
+    // exactly one representative per key. The representative event_id is
+    // arrival-order-dependent, so the oracle-checked projection is the
+    // deterministic part: the key set itself.
+    "q159_stream_dedup" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.dedupedEvents(s, d)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // FULL OUTER stream-stream interval join — both sides' unmatched
+    // rows surface (watermark-driven), completing the inner/left/semi
+    // family. NULLS FIRST on both id columns pinned on both engines.
+    "q160_stream_full_outer_join" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.streaming.EventsStream.clickPurchaseFullOuterJoin(s, d, 1800)
+        .orderBy(col("user_id"), col("purchase_id").asc_nulls_first,
+          col("click_id").asc_nulls_first)
+    }),
+
+    // Per-node triangle counts over the supplier co-supply graph
+    // (suppliers sharing an order): degree-ordered orientation finds
+    // each triangle once at its lowest-ranked corner — the skew-safe
+    // distributed triangle scheme. The oracle brute-forces the same
+    // triangles from canonical id-ordered edges.
+    "q161_triangle_count" -> ((s0, d) => {
+      val s = prep(s0)
+      val sup = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
+        .where(col("sk") < col("sk2"))
+        .select(col("sk").as("u"), col("sk2").as("v"))
+      graft.operators.Graphs.triangleCounts(edges, "u", "v")
+        .orderBy("id")
+    }),
+
+    // PMI collocations over adjacent document bigrams: one ln() call on
+    // one exact-integer-ratio double per surviving bigram.
+    "q162_pmi_collocations" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.TextAnalysis.pmiCollocations(
+          Tables.documents(s, d), "text", minCount = 25L)
+        .orderBy("w1", "w2")
+    }),
+
+    // Exact-phrase search via positional postings, postings pruned to
+    // the phrase terms before any shuffle; overlapping matches count.
+    "q163_phrase_search" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.TextAnalysis.phraseSearch(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq(1L -> Seq("fast", "table", "value"),
+            2L -> Seq("data", "window"),
+            3L -> Seq("the", "the")))
+        .orderBy("phrase_id", "doc_id")
+    }),
+
+    // Asymmetric containment join: wrapped clones (a doc re-emitted
+    // inside wrapper tokens) are caught at containment ≥ 0.8 where
+    // their Jaccard would dodge a 0.8 bar; directional pairs.
+    "q164_containment_pairs" -> ((s0, d) => {
+      val s = prep(s0)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val wrapped = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("wrap0 wrap1 "), col("text"), lit(" wrap2 wrap3"))
+            .as("text"))
+      graft.operators.Dedup.containmentPairs(
+          docs.unionByName(wrapped), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Key-skew profile: cardinality, hottest-key share, top-10 share,
+    // Gini — the pre-shuffle skew diagnostic; exact-integer accumulation
+    // with one rounded division per metric.
+    "q165_key_skew_profile" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Validation.keySkewProfile(
+          Tables.lineitem(s, d),
+          Seq("l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy("key_col")
+    }),
+
+    // Johnson–Lindenstrauss projection 64→16 dims with md5-portable ±1
+    // planes: norms preserved within the JL distortion band; the oracle
+    // rebuilds planes, dots, and norms from the same md5 parity.
+    "q166_jl_projection" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Similarity.jlProject(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 16, dim = 64)
+        .select(col("id").as("vec_id"),
+          round(col("orig_norm"), 6).as("orig_norm"),
+          round(col("proj_norm"), 6).as("proj_norm"),
+          round(col("proj_norm") / col("orig_norm"), 6).as("distortion"),
+          round(col("coord_sum"), 6).as("coord_sum"))
+        .orderBy("vec_id")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (lead window on (ts, event_id)): the session-flow
+    // summary product analytics computes; share = n / row-marginal.
+    "q167_event_transitions" -> ((s0, d) => {
+      val s = prep(s0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") /
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type")), 6))
+        .orderBy("event_type", "next_type")
+    }),
+
+    // Winsorization at p01/p99 per group: percentiles exact
+    // (interpolated), the clamp and sum on exact CENTS so the
+    // winsorized mean is engine-independent.
+    "q168_winsorize" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_extendedprice"))
+      // pass 1: exact interpolated percentiles per group (a 3-row table —
+      // broadcast back); pass 2: clamp + exact-cents sum. The cut points
+      // quantize to cents BEFORE the clamp so every comparison and the
+      // winsorized sum are pure integer arithmetic on both engines.
+      val cuts = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .select(col("l_returnflag"),
+          col("p01"), col("p99"),
+          round(col("p01") * 100).cast("long").as("lo_c"),
+          round(col("p99") * 100).cast("long").as("hi_c"))
+      li.join(broadcast(cuts), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("p01"), col("p99"),
+          col("lo_c"), col("hi_c"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < col("lo_c"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cents") > col("hi_c"), 1L).otherwise(0L)).as("n_high"),
+          sum(greatest(least(col("cents"), col("hi_c")), col("lo_c")))
+            .as("wins_cents"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("p01"), 6).as("p01"), round(col("p99"), 6).as("p99"),
+          col("n_low"), col("n_high"),
+          round(col("wins_cents").cast("double") / 100 / col("n"), 6)
+            .as("wins_mean"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Linear multi-touch attribution: each purchase's value splits
+    // equally over its clicks in the preceding 30 min; credit from
+    // exact cents / n. Purchases with no touch emit n_touches=0,
+    // credit null — visible, not dropped.
+    "q169_multitouch_attribution" -> ((s0, d) => {
+      val s = prep(s0)
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"), round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1800 SECONDS") &&
+            col("c_ts") <= col("p_ts"), "left")
+        .groupBy(purchases("user_id").as("user_id"), col("purchase_id"),
+          col("cents"))
+        .agg(count(col("click_id")).as("n_touches"))
+        .select(col("user_id"), col("purchase_id"), col("n_touches"),
+          when(col("n_touches") > 0,
+            round(col("cents").cast("double") / 100.0 / col("n_touches"), 6))
+            .as("credit_per_touch"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
+    // Histogram-approximate quantiles — the 100 TB path where exact
+    // percentile (which buffers every value per group) is unaffordable:
+    // two narrow map-side-combined aggregations, error ≤ one bin width.
+    "q170_histogram_quantiles" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Sketches.histogramQuantiles(
+          Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+          bins = 64, qs = Seq(0.5, 0.95, 0.99))
+        .select(col("grp").as("l_returnflag"), col("q"),
+          round(col("approx"), 6).as("approx"))
+        .orderBy("l_returnflag", "q")
+    }),
+
+    // Exact-integer Pearson correlations per group: one aggregation
+    // computes all pairs' moments; DECIMAL(38,0) sums make the profile
+    // row-count-proof.
+    "q171_column_correlations" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_discount") * 10000).cast("long").as("disc_bp"))
+      graft.operators.Validation.pearsonCorr(li, "l_returnflag",
+          Seq("qty" -> col("qty_c"), "price" -> col("price_c"),
+            "disc" -> col("disc_bp")))
+        .select(col("grp").as("l_returnflag"), col("pair"), col("r"))
+        .orderBy("l_returnflag", "pair")
+    }),
+
+    // Seasonal anomaly screen: hour-of-day baseline per event type over
+    // the full span; hours above 2× their seasonal average flag via the
+    // EXACT integer cross-product (n·slots > 2·tot) — no float near the
+    // decision boundary. Ratios round only for display.
+    "q172_seasonal_anomaly" -> ((s0, d) => {
+      val s = prep(s0)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", hour(col("hr")))
+      val base = hourly.groupBy("event_type", "hod")
+        .agg(sum("n").as("tot"), count(lit(1)).as("slots"))
+      hourly.join(base, Seq("event_type", "hod"))
+        .where(col("n") * col("slots") > col("tot") * 2)
+        .select(col("event_type"), unix_timestamp(col("hr")).as("hr_epoch"),
+          col("hod"), col("n"),
+          round(col("tot").cast("double") / col("slots"), 6).as("seasonal_avg"),
+          round(col("n") * col("slots") / col("tot").cast("double"), 6)
+            .as("ratio"))
+        .orderBy("event_type", "hr_epoch")
+    }),
+
     // Deterministic PII pseudonymization: identifier columns replace
     // with keyed sha256 tokens — same input → same token, so joins on
     // the tokenized key still work (referential integrity preserved
@@ -4633,6 +4868,330 @@ object SparkEntry {
         |  ROUND(log10(1.0 + 1.0/digit), 6) AS expected,
         |  ROUND(abs(ROUND(n / tot, 6) - ROUND(log10(1.0 + 1.0/digit), 6)), 6) AS abs_dev
         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // Streaming dedup's deterministic projection: the key set.
+    "q159_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // Batch FULL OUTER interval join — the streaming result must equal
+    // it exactly once the drain flushes both sides' unmatched state.
+    "q160_stream_full_outer_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click')
+        |SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+        |  p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.us AS purchase_us, c.us AS click_us
+        |FROM p FULL JOIN c
+        |  ON c.user_id = p.user_id
+        | AND c.us >= p.us - 1800000000 AND c.us <= p.us
+        |ORDER BY user_id, purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
+
+    // Brute-force triangle enumeration over canonical id-ordered edges
+    // (a<b<c, each triangle once), corners exploded and counted.
+    "q161_triangle_count" ->
+      """WITH sup AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM sup a JOIN sup b ON a.ok = b.ok AND a.sk < b.sk),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT unnest([a, b, c]) AS id FROM t)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY id ORDER BY id""".stripMargin,
+
+    // PMI: one ln() on one exact-integer-ratio double per bigram; the
+    // parallel unnests zip positionally (adjacent-bigram generation).
+    "q162_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest([ts[i] FOR i IN range(1, greatest(len(ts)-1, 0)+1)]) AS w1,
+        |         unnest([ts[i+1] FOR i IN range(1, greatest(len(ts)-1, 0)+1)]) AS w2
+        |  FROM toks),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(ts) AS w FROM toks) u GROUP BY w),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |       FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 25),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bg)
+        |SELECT w1, w2, c12,
+        |  ROUND(ln(CAST(c12 * n_bigrams AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+        |FROM bc
+        |JOIN uc u1 ON u1.w = bc.w1
+        |JOIN uc u2 ON u2.w = bc.w2
+        |CROSS JOIN tot
+        |ORDER BY w1, w2""".stripMargin,
+
+    // Positional-postings phrase match: token at p, p+1(, p+2).
+    "q163_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(ts) AS token,
+        |         unnest(range(1, len(ts)+1)) AS p
+        |  FROM toks),
+        |m1 AS (
+        |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pos a
+        |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+        |  WHERE a.token = 'fast' AND b.token = 'table' AND c.token = 'value'
+        |  GROUP BY a.doc_id),
+        |m2 AS (
+        |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  WHERE a.token = 'data' AND b.token = 'window'
+        |  GROUP BY a.doc_id),
+        |m3 AS (
+        |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  WHERE a.token = 'the' AND b.token = 'the'
+        |  GROUP BY a.doc_id)
+        |SELECT CAST(1 AS BIGINT) AS phrase_id, doc_id, n AS n_matches FROM m1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n FROM m2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), doc_id, n FROM m3
+        |ORDER BY phrase_id, doc_id""".stripMargin,
+
+    // Brute-force containment over distinct shingle-string sets (the
+    // hash-side intersection equals the string-side one, q29's bargain);
+    // ROUND(6)-then-filter matches the engine.
+    "q164_containment_pairs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000 AS doc_id,
+        |    'wrap0 wrap1 ' || text || ' wrap2 wrap3' AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM all_docs) t0)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(a.sh), 6) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.sh) > 0) p
+        |WHERE containment >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Gini / top-share skew profile per key column; Σ i·xᵢ is
+    // tie-order-invariant so the rank tie-break never shows.
+    "q165_key_skew_profile" ->
+      """WITH src1 AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+        |src2 AS (SELECT l_returnflag AS k FROM lineitem),
+        |src3 AS (SELECT l_linestatus AS k FROM lineitem),
+        |prof AS (
+        |  SELECT key_col, k, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY key_col ORDER BY cnt ASC, k ASC) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY key_col ORDER BY cnt DESC, k ASC) AS rd
+        |  FROM (
+        |    SELECT 'l_suppkey' AS key_col, k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM src1 GROUP BY k
+        |    UNION ALL
+        |    SELECT 'l_returnflag', k, CAST(COUNT(*) AS BIGINT) FROM src2 GROUP BY k
+        |    UNION ALL
+        |    SELECT 'l_linestatus', k, CAST(COUNT(*) AS BIGINT) FROM src3 GROUP BY k) c)
+        |SELECT key_col,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(MAX(CASE WHEN rd = 1 THEN cnt END) AS DOUBLE)
+        |        / CAST(SUM(cnt) AS BIGINT), 6) AS top1_share,
+        |  ROUND(CAST(SUM(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+        |        / CAST(SUM(cnt) AS BIGINT), 6) AS top10_share,
+        |  ROUND(2.0 * CAST(SUM(ra * cnt) AS BIGINT)
+        |          / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE))
+        |        - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        |FROM prof GROUP BY key_col ORDER BY key_col""".stripMargin,
+
+    // JL projection rebuilt from md5-parity planes: dots as sequential
+    // list_sum folds (the q31 recipe), norms from the same raw values.
+    "q166_jl_projection" ->
+      """WITH planes AS (
+        |  SELECT p,
+        |    list(CASE WHEN strpos('13579bdf',
+        |        substr(md5('0_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 32, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS coef
+        |  FROM (SELECT unnest(range(16)) AS p) ps,
+        |       (SELECT unnest(range(64)) AS i) dims
+        |  GROUP BY p),
+        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    list_sum(list_transform(list_zip(v, coef), z -> z[1] * z[2])) AS dot
+        |  FROM vecs CROSS JOIN planes),
+        |per AS (SELECT vec_id, list(dot ORDER BY p) AS ds FROM dots GROUP BY vec_id),
+        |norms AS (
+        |  SELECT per.vec_id,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS onorm,
+        |    sqrt(list_sum(list_transform(ds, dd -> (dd * 0.25) * (dd * 0.25)))) AS pnorm,
+        |    list_sum(ds) AS csum
+        |  FROM per JOIN vecs ON vecs.vec_id = per.vec_id)
+        |SELECT vec_id, ROUND(onorm, 6) AS orig_norm, ROUND(pnorm, 6) AS proj_norm,
+        |  ROUND(pnorm / onorm, 6) AS distortion, ROUND(csum, 6) AS coord_sum
+        |FROM norms ORDER BY vec_id""".stripMargin,
+
+    // First-order transition matrix via LEAD over (ts, event_id).
+    "q167_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |g AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM g GROUP BY event_type)
+        |SELECT g.event_type, next_type, n, ROUND(n / CAST(tot AS DOUBLE), 6) AS share
+        |FROM g JOIN t USING (event_type)
+        |ORDER BY event_type, next_type""".stripMargin,
+
+    // Winsorize at p01/p99: quantile_cont (exact interpolation — q57
+    // parity), cut points quantized to cents, clamp+sum pure integer.
+    "q168_winsorize" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
+        |    l_extendedprice
+        |  FROM lineitem),
+        |cuts AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.01) AS p01,
+        |    quantile_cont(l_extendedprice, 0.99) AS p99
+        |  FROM li GROUP BY l_returnflag),
+        |j AS (
+        |  SELECT li.l_returnflag, cents, p01, p99,
+        |    CAST(ROUND(p01*100) AS BIGINT) AS lo_c,
+        |    CAST(ROUND(p99*100) AS BIGINT) AS hi_c
+        |  FROM li JOIN cuts USING (l_returnflag))
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(p01, 6) AS p01, ROUND(p99, 6) AS p99,
+        |  CAST(SUM(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  ROUND(CAST(SUM(greatest(least(cents, hi_c), lo_c)) AS DOUBLE) / 100
+        |        / COUNT(*), 6) AS wins_mean
+        |FROM j GROUP BY l_returnflag, p01, p99, lo_c, hi_c
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Linear multi-touch attribution: equal split of exact cents over
+    // qualifying clicks; zero-touch purchases keep a NULL credit.
+    "q169_multitouch_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS us,
+        |    CAST(ROUND(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, purchase_id, cents, click_id
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id
+        |   AND c.us >= p.us - 1800000000 AND c.us <= p.us)
+        |SELECT user_id, purchase_id,
+        |  CAST(COUNT(click_id) AS BIGINT) AS n_touches,
+        |  CASE WHEN COUNT(click_id) > 0
+        |    THEN ROUND(CAST(cents AS DOUBLE) / 100.0 / COUNT(click_id), 6)
+        |  END AS credit_per_touch
+        |FROM j GROUP BY user_id, purchase_id, cents
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    // Equi-width histogram quantiles rebuilt bin for bin; the quantile
+    // literals cast to DOUBLE so no decimal arithmetic sneaks in.
+    "q170_histogram_quantiles" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag AS grp, MIN(l_extendedprice) AS lo,
+        |    MAX(l_extendedprice) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |s2 AS (SELECT grp, lo, n,
+        |         CASE WHEN hi = lo THEN 0.0 ELSE (hi - lo) / 64 END AS w
+        |       FROM stats),
+        |b AS (
+        |  SELECT s2.grp, lo, w, n,
+        |    CAST(CASE WHEN w = 0.0 THEN 0
+        |         ELSE least(floor((l_extendedprice - lo) / w), 63) END AS INT) AS bin
+        |  FROM lineitem JOIN s2 ON lineitem.l_returnflag = s2.grp),
+        |g AS (SELECT grp, lo, w, n, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1, 2, 3, 4, 5),
+        |c AS (SELECT *, CAST(SUM(cnt) OVER (
+        |        PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum FROM g),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+        |                      CAST(0.99 AS DOUBLE)]) AS q),
+        |picked AS (
+        |  SELECT grp, q, lo, w, bin, cnt, cum, n,
+        |    ROW_NUMBER() OVER (PARTITION BY grp, q ORDER BY bin) AS rk
+        |  FROM c CROSS JOIN qs WHERE cum >= n * q)
+        |SELECT grp AS l_returnflag, q,
+        |  ROUND(CASE WHEN w = 0.0 THEN lo
+        |        ELSE lo + w * (bin + (n * q - (cum - cnt)) / cnt) END, 6) AS approx
+        |FROM picked WHERE rk = 1
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    // All pair moments from one scan of exact-integer columns; HUGEINT
+    // sums → one double conversion on already-exact values.
+    "q171_column_correlations" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_quantity*100) AS BIGINT) AS q,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p,
+        |    CAST(ROUND(l_discount*10000) AS BIGINT) AS dd
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+        |    CAST(SUM(dd) AS DOUBLE) AS sd,
+        |    CAST(SUM(q*q) AS DOUBLE) AS sqq, CAST(SUM(p*p) AS DOUBLE) AS spp,
+        |    CAST(SUM(dd*dd) AS DOUBLE) AS sdd,
+        |    CAST(SUM(q*p) AS DOUBLE) AS sqp, CAST(SUM(q*dd) AS DOUBLE) AS sqd,
+        |    CAST(SUM(p*dd) AS DOUBLE) AS spd
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, pair, r FROM (
+        |  SELECT l_returnflag, 'qty__price' AS pair,
+        |    ROUND((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6) AS r
+        |  FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty__disc',
+        |    ROUND((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6)
+        |  FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price__disc',
+        |    ROUND((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6)
+        |  FROM a) u
+        |ORDER BY l_returnflag, pair""".stripMargin,
+
+    // Hour-of-day baseline; flags via the exact integer cross-product.
+    "q172_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT *, CAST(extract(hour FROM hr) AS INT) AS hod FROM hourly),
+        |base AS (
+        |  SELECT event_type, hod, CAST(SUM(n) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS slots
+        |  FROM h2 GROUP BY 1, 2)
+        |SELECT h2.event_type, CAST(epoch(hr) AS BIGINT) AS hr_epoch, h2.hod, n,
+        |  ROUND(CAST(tot AS DOUBLE) / slots, 6) AS seasonal_avg,
+        |  ROUND(n * slots / CAST(tot AS DOUBLE), 6) AS ratio
+        |FROM h2 JOIN base ON base.event_type = h2.event_type AND base.hod = h2.hod
+        |WHERE n * slots > tot * 2
+        |ORDER BY h2.event_type, hr_epoch""".stripMargin,
 
     // The tokenized join must equal the cleartext join: same counts,
     // same totals, same distinct customers (sha256 parity + injectivity

@@ -206,6 +206,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric containment join: pairs (id_a, id_b) where doc A's
+    * shingle set is ≥ `threshold` CONTAINED in doc B's —
+    * |A∩B| / |A| ≥ τ with A ≠ B. Jaccard misses these by construction
+    * (a paragraph quoted inside a book has tiny Jaccard but containment
+    * ≈ 1), and containment is what catches quote-plagiarism, wholesale
+    * article inclusion, and template-wrapping in a pretraining corpus
+    * (Fröbe et al., SIGIR '21 CopyCat shape).
+    *
+    * Candidate generation is the containment prefix filter: if
+    * |A∩B| ≥ τ|A| then among A's globally-ordered shingles one of the
+    * first |A| - ⌈τ|A|⌉ + 1 must also be in B — so only A's prefix
+    * probes the index, but (unlike the symmetric Jaccard join) the
+    * index side must carry EVERY shingle of B: containment admits no
+    * size-ratio pruning — a 10-shingle quote can sit inside a 10^6-
+    * shingle book. df≥2 pruning still applies to both sides (a shingle
+    * in one doc connects nothing). Exact verification recomputes
+    * |A∩B| on the sorted-distinct hash arrays; ROUND(6)-then-filter
+    * matches the SQL oracle's order. Returns (id_a, id_b, containment)
+    * — directional: both (A⊂B) and (B⊂A) can appear. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
+      .select(col("id"), col("sh"), size(col("sh")).as("sz"))
+      .where(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val shared = posting.join(freq, Seq("g"))
+    // probe side: rarest-first prefix of length sz - ceil(τ·sz) + 1
+    val probe = shared
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .where(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("g"), col("id").as("id_a"))
+    // index side: all shared shingles (no prefix — see Scaladoc)
+    val index = shared.select(col("g"), col("id").as("id_b"))
+    val cand = probe.join(index, Seq("g"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // exact verify on the sorted-distinct hash arrays; array_intersect is
+    // a codegen'd builtin and the arrays are already distinct, so its
+    // set-semantics result equals the sorted-merge intersection count
+    val arrA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val arrB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(arrA, Seq("id_a")).join(arrB, Seq("id_b"))
+      .withColumn("containment", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          col("sz_a"), 6))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Connected components over an undirected pair set — the step that
     * turns near-dup PAIRS into dedup DECISIONS (transitive closure:
     * A~B, B~C ⇒ {A,B,C} is one cluster; keep one canonical doc per

@@ -80,4 +80,55 @@ object Graphs {
     }
     pr
   }
+
+  /** Per-node triangle participation counts over an undirected graph,
+    * via degree-ordered edge orientation (the MPS / "compact-forward"
+    * scheme every distributed triangle counter uses): orient each edge
+    * from its lower-(degree, id) endpoint to the higher, so every
+    * triangle {a,b,c} is found EXACTLY once as a wedge at its
+    * lowest-ranked corner closed by one oriented edge — no post-hoc
+    * dedup, and the wedge fan-out at a node is bounded by its ORIENTED
+    * out-degree, which the orientation caps near sqrt(|E|) even for
+    * hub nodes (the reason this survives skewed degree distributions
+    * at 100 TB where a naive a-b-c self-join explodes on hubs).
+    *
+    * Input may contain duplicates, self-loops, or both directions of an
+    * edge — all normalized away. Returns (id, n_triangles) for nodes in
+    * ≥1 triangle. Two shuffles per wedge step (join on wedge center,
+    * then the closing-edge join on the (lo, hi) pair) plus one corner
+    * explode + count — all hash exchanges on node/pair keys. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    // undirected degree, then the total order (deg, id) that orients edges
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+    // wedges centered at the lowest-ranked corner: lo→b, lo→c (b "<" c in
+    // rank order is implied by b, c both out-neighbors; order by id to
+    // emit each unordered out-pair once)
+    val out1 = ranked.select(col("lo").as("a"), col("hi").as("b"))
+    val out2 = ranked.select(col("lo").as("a"), col("hi").as("c"))
+    val wedges = out1.join(out2, Seq("a")).where(col("b") < col("c"))
+    // close the wedge: the (b, c) edge in oriented form is either b→c or
+    // c→b depending on rank; match the UNDIRECTED canonical pair instead
+    val closing = ranked.select(
+      least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -187,6 +187,41 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
 
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `k` dims with portable ±1 (Rademacher) planes — the dimensionality
+    * cut that makes downstream pairwise work (near-dup blocking, coarse
+    * ANN, clustering) k/d cheaper while preserving norms/distances to
+    * 1±ε with ε ≈ √(ln n / k) (Achlioptas '01, the database-friendly JL
+    * variant: ±1 entries, no Gaussians needed). Planes derive from md5
+    * parity ([[portablePlanes]]), so a SQL oracle rebuilds them exactly.
+    *
+    * Returns (id, proj, orig_norm, proj_norm, coord_sum): `proj` is the
+    * k-dim projection scaled by 1/√k; the norms are the distortion
+    * witness (proj_norm/orig_norm ∈ 1±ε is the JL guarantee), coord_sum
+    * a cheap exact-order content checksum. One kernel call per row
+    * ([[graft.plans.VectorExpressions.rademacherProject]]) computes all
+    * k dots in a single pass that stays inside whole-stage codegen —
+    * zero exchanges: a projection is a map. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, dim: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k $k out of [1,4096]")
+    val flat = portablePlanes(1, k, dim)(0).flatten
+    val invSqrtK = 1.0 / math.sqrt(k.toDouble)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("dots",
+        graft.plans.VectorExpressions.rademacherProject(col("v"), flat, k))
+      .select(col("id"),
+        transform(col("dots"), d => d * lit(invSqrtK)).as("proj"),
+        sqrt(aggregate(transform(col("v"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)).as("orig_norm"),
+        // square the SCALED coordinate (d·c)², not d²·c² — bit-identical
+        // to an oracle that recomputes the norm from the proj coords
+        sqrt(aggregate(transform(col("dots"),
+            d => (d * lit(invSqrtK)) * (d * lit(invSqrtK))),
+          lit(0.0), (a, x) => a + x)).as("proj_norm"),
+        aggregate(col("dots"), lit(0.0), (a, x) => a + x).as("coord_sum"))
+  }
+
   /** Deterministic spherical k-means training for the IVF codebook:
     * Lloyd's iterations over a bounded, deterministically chosen sample —
     * the `sampleSize` rows with the smallest `xxhash64(id)` (a seedless

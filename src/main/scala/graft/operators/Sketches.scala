@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches for 100 TB-scale profiling.
@@ -338,6 +339,60 @@ object Sketches {
         (pos % 32).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
     probes.withColumn("bloom_positive", positive)
+  }
+
+  /** Approximate quantiles via a fixed-bin equi-width histogram — the
+    * scale path where exact `percentile` is unaffordable: exact
+    * percentile buffers every value per group (a full sort's worth of
+    * memory at 10^9 rows/group); this is two narrow aggregations
+    * regardless of row count, with error bounded by one bin width
+    * ((max-min)/bins). The estimate interpolates linearly inside the
+    * covering bin — the textbook histogram_quantile (same estimator
+    * Prometheus uses).
+    *
+    * Determinism: bin ids come from floor((x-lo)/w) on the same doubles
+    * both engines hold (lo/hi/n are exact group aggregates, w one
+    * division); counts and cumulative counts are exact integers; the
+    * interpolation is one fused arithmetic expression evaluated once.
+    * A degenerate group (hi == lo) maps every row to bin 0 and every
+    * quantile to lo.
+    *
+    * Scale shape: pass 1 = (lo, hi, n) per group; pass 2 = (group, bin)
+    * counts — both map-side combined; the quantile pick is a window
+    * over ≤ `bins` rows per group. No row ever carries its value past
+    * the scan. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                         bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      "need bins >= 2 and quantiles in (0,1)")
+    val g = col(groupCol)
+    val v = col(valCol)
+    val stats = df.groupBy(g.as("grp"))
+      .agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+      .withColumn("w", when(col("hi") === col("lo"), lit(0.0))
+        .otherwise((col("hi") - col("lo")) / bins))
+    val binned = df.select(g.as("grp"), v.as("x"))
+      .join(broadcast(stats), "grp")
+      .withColumn("bin", when(col("w") === 0.0, lit(0L))
+        .otherwise(least(floor((col("x") - col("lo")) / col("w")),
+          lit(bins - 1).cast("long"))).cast("int"))
+      .groupBy(col("grp"), col("lo"), col("w"), col("n"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("grp").orderBy("bin")))
+    qs.map { q =>
+      val target = col("n") * lit(q)
+      val w = Window.partitionBy("grp").orderBy("bin")
+      binned
+        .where(col("cum") >= target)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("grp"), lit(q).as("q"),
+          when(col("w") === 0.0, col("lo")).otherwise(
+            col("lo") + col("w") * (col("bin") +
+              (target - (col("cum") - col("cnt"))) / col("cnt")))
+            .as("approx"))
+    }.reduce(_ unionByName _)
   }
 
   def bloomProbe(words: DataFrame, probes: DataFrame, groupCols: Seq[String],

@@ -579,4 +579,79 @@ object TextAnalysis {
         (count(lit(1)) - count(col("token_id"))).as("n_oov"),
         sum(col("tid")).as("id_checksum"))
   }
+
+  /** PMI collocations (Church & Hanks '90) over adjacent token bigrams —
+    * the classic multi-word-expression detector corpus curators run to
+    * find boilerplate phrases and tokenizer merge candidates:
+    * pmi(w1,w2) = ln( c12·N / (c1·c2) ) where c12 is the adjacent-bigram
+    * count, c1/c2 the unigram counts, N the corpus bigram total.
+    *
+    * Cross-engine determinism: the ln() argument is built as one double
+    * division of two exact integer products (c12·N and c1·c2 — both far
+    * under 2^63 at any corpus size where c* fit in longs), so both
+    * engines call ln on the identical double; round once at 6 dp.
+    *
+    * Scale shape: bigrams are a zip of the token stream with itself
+    * shifted by one — generated map-side inside the scan, no window over
+    * positions; unigram and bigram counts are two map-side-combined
+    * exchanges; the final assembly joins the (minCount-pruned) bigram
+    * table to the unigram table on each endpoint — keyed hash joins on
+    * the word, with the pruned bigram side orders of magnitude smaller
+    * than the token stream. */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "").as("ts"))
+    val bigrams = toks
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+        slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val totals = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") * col("n_bigrams")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+  }
+
+  /** Exact-phrase search via positional postings — "docs containing this
+    * exact token sequence", the lexical primitive BM25 can't express
+    * (bag-of-words scoring loses adjacency). Tokens are position-stamped
+    * with posexplode, postings are pruned to the phrase's terms BEFORE
+    * any shuffle (the bm25TopK discipline), and a k-token phrase is a
+    * chain of (k-1) equi-joins on (doc, position+offset) — each join a
+    * hash join on the (doc_id, pos) pair, with the smallest posting list
+    * bounding the output. Returns (phrase_id, doc_id, n_matches) for
+    * docs with ≥1 occurrence; overlapping matches each count. */
+  def phraseSearch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String,
+                   phrases: Seq[(Long, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty), "empty phrase set")
+    val allTerms = phrases.flatMap(_._2).distinct
+    val postings = df.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")))
+      .toDF("doc_id", "pos", "token")
+      .where(col("token").isin(allTerms.map(x => x: Any): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPhrase = phrases.map { case (pid, terms) =>
+      val first = postings.where(col("token") === terms.head)
+        .select(col("doc_id"), col("pos").as("p0"))
+      val matched = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+        acc.join(
+          postings.where(col("token") === t)
+            .select(col("doc_id"), (col("pos") - i).as("p0")),
+          Seq("doc_id", "p0"))
+      }
+      matched.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
+    }
+    perPhrase.reduce(_ unionByName _)
+  }
 }

@@ -66,6 +66,94 @@ object Validation {
     full.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Per-group Pearson correlations over integer-quantized columns —
+    * the numeric-relationship slice of a data profile (which fields move
+    * together decides feature pruning and suspicious-column audits).
+    * Caller supplies each column pre-quantized to exact integers (cents,
+    * basis points …); r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)(n·Σy² − Σy²))
+    * where every Σ accumulates EXACTLY: per-row products stay in long
+    * range (caller keeps |x·y| < 2^63 per row), sums go through
+    * DECIMAL(38,0) so no count of rows overflows them — the one
+    * conversion to double happens on already-exact integers, then the
+    * final expression evaluates once. Returns (group, pair, r) at 6 dp.
+    *
+    * Scale shape: ONE map-side-combined aggregation computes all pairs'
+    * moments simultaneously — profile cost is one narrow scan regardless
+    * of how many pairs are requested. */
+  def pearsonCorr(df: DataFrame, groupCol: String,
+                  cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def s(c: Column) = sum(c.cast(dec)).cast("double")
+    val pairs = for {
+      (i, j) <- cols.indices.combinations(2).map(c => (c(0), c(1))).toSeq
+    } yield (cols(i), cols(j))
+    val moments =
+      cols.flatMap { case (n, c) =>
+        Seq(s(c).as(s"__s_$n"), s(c * c).as(s"__ss_$n")) } ++
+      pairs.map { case ((na, ca), (nb, cb)) =>
+        s(ca * cb).as(s"__sp_${na}_$nb") }
+    val agg = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("double").as("__n"), moments: _*)
+    val outs = pairs.map { case ((na, _), (nb, _)) =>
+      val n = col("__n")
+      val num = n * col(s"__sp_${na}_$nb") - col(s"__s_$na") * col(s"__s_$nb")
+      val va = n * col(s"__ss_$na") - col(s"__s_$na") * col(s"__s_$na")
+      val vb = n * col(s"__ss_$nb") - col(s"__s_$nb") * col(s"__s_$nb")
+      struct(lit(s"${na}__$nb").as("pair"),
+        round(num / sqrt(va * vb), 6).as("r"))
+    }
+    agg.select(col("grp"), explode(array(outs: _*)).as("p"))
+      .select(col("grp"), col("p.pair").as("pair"), col("p.r").as("r"))
+  }
+
+  /** Key-skew profile — the diagnostic a 1000-executor job wants BEFORE
+    * the shuffle that dies on a hot key: per key column, the key
+    * cardinality, hottest-key share, top-10 share, and the Gini
+    * coefficient of the per-key row distribution
+    * (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted counts —
+    * 0 = uniform, →1 = one key owns everything). The numbers decide
+    * between a plain hash join, AQE skew handling, and explicit salting
+    * (the q67 operator).
+    *
+    * Determinism: Σ i·xᵢ is tie-order-invariant (equal counts swapping
+    * ranks leave the sum unchanged), every accumulation is exact integer
+    * arithmetic, and the only double division happens once, at ROUND(6).
+    *
+    * Scale shape: one map-side-combined count per key column, then the
+    * rank window sorts the COUNT table — cardinality-bounded, never
+    * row-bounded; rows themselves cross no exchange. A key column with
+    * ~10^9 distinct values makes the window the cost center — at that
+    * cardinality skew is structurally impossible and the profile is
+    * moot, so the bound is the right one. */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    keyCols.map { kc =>
+      val counts = df.groupBy(col(kc).as("k")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts
+        .withColumn("rk_asc", row_number().over(
+          Window.orderBy(col("cnt").asc, col("k").asc)))
+        .withColumn("rk_desc", row_number().over(
+          Window.orderBy(col("cnt").desc, col("k").asc)))
+      ranked.agg(
+          count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"),
+          sum(col("rk_asc") * col("cnt")).as("wsum"),
+          max(when(col("rk_desc") === 1, col("cnt"))).as("top1"),
+          sum(when(col("rk_desc") <= 10, col("cnt")).otherwise(lit(0L))).as("top10"))
+        .select(lit(kc).as("key_col"), col("n_keys"), col("n_rows"),
+          round(col("top1").cast("double") / col("n_rows"), 6).as("top1_share"),
+          round(col("top10").cast("double") / col("n_rows"), 6).as("top10_share"),
+          // n_keys·n_rows as a DOUBLE product (a long product overflows
+          // past ~10^18 keys·rows); deterministic IEEE either way
+          round(lit(2.0) * col("wsum") /
+              (col("n_keys").cast("double") * col("n_rows").cast("double"))
+            - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Schema-drift detection for semi-structured feeds: the per-group key
     * inventory of an old batch full-outer-joined against a new batch's,
     * classifying each (group, key) as added / removed / stable. The

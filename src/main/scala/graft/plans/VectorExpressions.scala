@@ -164,6 +164,35 @@ object VectorOps {
     out
   }
 
+  /** One-pass Rademacher (±1) projection — the dense-dot half of
+    * [[rademacherBuckets]] WITHOUT the sign threshold: returns the k raw
+    * plane dots, i.e. the Johnson–Lindenstrauss random projection of the
+    * vector (Achlioptas '01: ±1 entries satisfy the JL lemma; scale by
+    * 1/√k downstream). One kernel call per row replaces k HOF
+    * zip_with+aggregate chains; left-to-right accumulation matches the
+    * SQL oracle's list_sum fold exactly. Layout: planes[p*dim + i]. */
+  def rademacherProject(a: ArrayData, planes: Array[Double], k: Int,
+                        isFloat: Boolean): Array[Double] = {
+    val n = a.numElements()
+    val dim = planes.length / k
+    val m = math.min(n, dim)
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      val base = p * dim
+      var dot = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += x * planes(base + i)
+        i += 1
+      }
+      out(p) = dot
+      p += 1
+    }
+    out
+  }
+
   /** One-pass PQ encoder: per subspace `s`, the code index minimizing
     * d2' = |c|^2 - 2·x_s·c over the flat codebook (layout [s][j][d]), with
     * FIRST minimum winning ties — arithmetic identical, value for value,
@@ -495,6 +524,22 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class RademacherProject(child: Expression, planes: Array[Double], k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private def isFloat = isFloatArray(child.dataType)
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        VectorOps.rademacherProject(v.asInstanceOf[ArrayData], planes, k, isFloat))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.plans.VectorOps.rademacherProject($a, $ref, $k, $isFloat));")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class Winnow(child: Expression, k: Int, w: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -606,6 +651,8 @@ object VectorExpressions {
   def rademacherBuckets(vec: Column, planes: Array[Double],
                         nTables: Int, nPlanes: Int): Column =
     column(RademacherBuckets(expression(vec), planes, nTables, nPlanes))
+  def rademacherProject(vec: Column, planes: Array[Double], k: Int): Column =
+    column(RademacherProject(expression(vec), planes, k))
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSortedLongs(expression(a), expression(b)))
   def winnow(tokens: Column, k: Int, w: Int): Column =

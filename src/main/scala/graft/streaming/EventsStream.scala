@@ -607,6 +607,50 @@ object EventsStream {
         unix_micros(col("p_ts")).as("purchase_us"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the join family
+    * (inner / left outer / left semi / full outer): both sides' unmatched
+    * rows surface as null-extended output, each emitted only when the
+    * watermark passes that row's eviction point. The click side's
+    * unmatched rows are the new semantics vs left-outer — a click with no
+    * purchase within the FOLLOWING window emits (null purchase columns)
+    * at eviction. Same O(watermark + window) state per side as the inner
+    * join; the drain sentinel flushes trailing unmatched state on BOTH
+    * sides. The drain filter uses coalesce because either side may be
+    * null in a full-outer row. */
+  def clickPurchaseFullOuterJoin(spark: SparkSession, dir: String,
+                                 windowSec: Int = 1800,
+                                 statePartitions: Int = 8): DataFrame = {
+    val wmDelaySec = 3600L
+    val sent = drainSentinel(spark, dir, wmDelaySec + windowSec + 60)
+      .withColumn("user_id", lit(DrainUser))
+      .withColumn("event_id", lit(-1L))
+      .select("ts", "event_type", "user_id", "event_id")
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+      .unionByName(sent)
+    val clicks = evs
+      .where(col("event_type").isin("click", DrainType))
+      .select(col("ts").as("c_ts"), col("user_id").as("c_user"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", s"$wmDelaySec seconds")
+    val purchases = evs
+      .where(col("event_type").isin("purchase", DrainType))
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", s"$wmDelaySec seconds")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "full_outer")
+    runToTable(joined, "append", statePartitions)
+      .where(coalesce(col("p_user"), col("c_user")) =!= DrainUser)
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("c_ts")).as("click_us"))
+  }
+
   /** Stateful sessionization over the events directory with DRAIN
     * semantics: a sentinel event past end-of-input advances the watermark
     * (multipleWatermarkPolicy=max across the two sources) so every real

@@ -1673,4 +1673,119 @@ class OperatorsSpec extends SparkSpec {
       ("a", "x", 2L, 1L, "stable"), ("a", "y", 1L, 0L, "removed"),
       ("a", "w", 0L, 1L, "added"), ("b", "z", 1L, 1L, "stable")))
   }
+
+  // ---- triangle counting
+
+  test("triangleCounts finds each triangle once, robust to dup/reversed edges") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + triangle
+    // {10,11,12}; edges fed with duplicates and both orientations
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq((4L, 5L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (10L, 10L))).toDF("u", "v")
+    val got = Graphs.triangleCounts(edges, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
+  // ---- containment
+
+  test("containmentPairs catches a quote Jaccard misses, directionally") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val book = ((1 to 50).map(i => s"b$i") ++ (1 to 12).map(i => s"q$i") ++
+      (1 to 50).map(i => s"c$i")).mkString(" ")
+    val docs = Seq((1L, quote), (2L, book), (3L, "x1 x2 x3 x4")).toDF("id", "text")
+    val cont = Dedup.containmentPairs(docs, "id", "text", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSet == Set((1L, 2L)),
+      s"expected only quote⊂book, got ${cont.mkString(",")}")
+    assert(cont.head._3 == 1.0)
+    // the symmetric join at the same bar finds nothing
+    assert(Dedup.jaccardPairsPrefixFilter(docs, "id", "text",
+      n = 3, threshold = 0.8).count() == 0)
+  }
+
+  // ---- key-skew profile
+
+  test("keySkewProfile: uniform keys → gini ~0, one hot key → gini high") {
+    val uniform = (1 to 1000).map(i => i % 10).toDF("k")
+    val skewed = ((1 to 991).map(_ => 0) ++ (1 to 9)).toDF("k")
+    val gU = Validation.keySkewProfile(uniform, Seq("k"))
+      .select("gini", "top1_share").as[(Double, Double)].head()
+    val gS = Validation.keySkewProfile(skewed, Seq("k"))
+      .select("gini", "top1_share").as[(Double, Double)].head()
+    assert(gU._1 == 0.0 && gU._2 == 0.1)
+    assert(gS._1 > 0.85 && gS._2 == 0.991)
+  }
+
+  // ---- JL projection
+
+  test("jlProject preserves norms within the JL distortion band") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val dist = Similarity.jlProject(vecs, "id", "v", k = 16, dim = 64)
+      .select(col("proj_norm") / col("orig_norm")).as[Double].collect()
+    // ε ≈ sqrt(ln n / k) ≈ 0.6 loose band; mean ratio should center on 1
+    assert(dist.forall(r => r > 0.3 && r < 1.9), s"distortion out of band")
+    val mean = dist.sum / dist.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distortion $mean far from 1")
+  }
+
+  // ---- PMI + phrase search
+
+  test("pmiCollocations: attracted pair positive, repelled pair absent/negative") {
+    // 'new york' always adjacent; 'cat'/'dog' never adjacent
+    val docs = (1 to 30).map(i =>
+      (i.toLong, "new york " + ("cat filler dog filler " * 5).trim)).toDF("id", "text")
+    val pmi = TextAnalysis.pmiCollocations(docs, "text", minCount = 10L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    assert(pmi(("new", "york")) > 2.0)
+    assert(!pmi.contains(("cat", "dog")))
+    // 'york cat' happens every doc but unigrams are frequent → pmi below
+    // the attracted pair's
+    assert(pmi(("york", "cat")) < pmi(("new", "york")))
+  }
+
+  test("histogramQuantiles tracks exact percentile within one bin width") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20000).map(_ => ("g", rnd.nextDouble() * 1000)).toDF("g", "x")
+    val approx = Sketches.histogramQuantiles(df, "g", "x", bins = 64,
+        qs = Seq(0.5, 0.95)).select("q", "approx")
+      .as[(Double, Double)].collect().toMap
+    val exact = df.selectExpr("percentile(x, 0.5)", "percentile(x, 0.95)")
+      .as[(Double, Double)].head()
+    val binW = 1000.0 / 64
+    assert(math.abs(approx(0.5) - exact._1) <= binW)
+    assert(math.abs(approx(0.95) - exact._2) <= binW)
+    // degenerate group: every quantile = the single value
+    val one = Seq(("h", 7.0), ("h", 7.0)).toDF("g", "x")
+    assert(Sketches.histogramQuantiles(one, "g", "x", 8, Seq(0.5))
+      .select("approx").as[Double].head() == 7.0)
+  }
+
+  test("pearsonCorr: perfect linear +1/-1, independent ~0") {
+    val rows = (1 to 2000).map { i =>
+      ("g", i.toLong, 3L * i + 7, -2L * i, (i * 2654435761L) % 1000)
+    }.toDF("g", "x", "ylin", "yneg", "yhash")
+    val r = Validation.pearsonCorr(rows, "g",
+        Seq("x" -> col("x"), "ylin" -> col("ylin"), "yneg" -> col("yneg"),
+          "yhash" -> col("yhash")))
+      .select("pair", "r").as[(String, Double)].collect().toMap
+    assert(r("x__ylin") == 1.0)
+    assert(r("x__yneg") == -1.0)
+    assert(math.abs(r("x__yhash")) < 0.1, s"hash corr ${r("x__yhash")}")
+  }
+
+  test("phraseSearch counts overlapping matches and respects adjacency") {
+    val docs = Seq(
+      (1L, "the the the end"),          // 'the the' overlaps twice
+      (2L, "data big window"),          // 'data window' NOT adjacent
+      (3L, "a data window b data window")).toDF("id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "id", "text",
+        Seq(1L -> Seq("the", "the"), 2L -> Seq("data", "window")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 3L, 2L)))
+  }
 }

@@ -189,6 +189,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3 != Long.MinValue))
   }
 
+  test("full-outer interval join: both sides' unmatched rows surface") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+    val streamed = EventsStream.clickPurchaseFullOuterJoin(spark, sfDir, 1800)
+      .collect().map(key).toSet
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val batch = e.as("p").filter(col("p.event_type") === "purchase")
+      .join(e.as("c").filter(col("c.event_type") === "click"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.us") >= col("p.us") - 1800000000L && col("c.us") <= col("p.us"),
+        "full_outer")
+      .select(coalesce(col("p.user_id"), col("c.user_id")),
+        col("p.event_id"), col("c.event_id"))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // both outer directions must actually fire
+    assert(streamed.exists(_._2 == Long.MinValue), "no unmatched clicks")
+    assert(streamed.exists(_._3 == Long.MinValue), "no unmatched purchases")
+    assert(streamed.exists(r => r._2 != Long.MinValue && r._3 != Long.MinValue))
+  }
+
   test("per-batch incremental cost measured separately from setup (4-batch run)") {
     // the bench lines for the streaming queries are dominated by
     // AvailableNow setup (planning + state-store init + drain); what a
