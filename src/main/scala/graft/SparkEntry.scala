@@ -2007,6 +2007,102 @@ object SparkEntry {
         .orderBy("event_type", "hr_epoch")
     }),
 
+    // Edit-distance self-join WITHOUT the cross product: PASS-JOIN
+    // segment blocking (pigeonhole-complete, so the blocked result IS
+    // the all-pairs result) + threshold Levenshtein verify. Set-
+    // similarity (q29) tolerates token reorder; this is the metric for
+    // keys where character ORDER is the content.
+    "q173_edit_distance_join" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Linkage
+      Linkage.editDistanceSelfJoin(
+          Tables.part(s, d), "p_partkey", "p_name", maxDist = 1)
+        .orderBy("id1", "id2")
+    }),
+
+    // Functional-dependency audit: is the column a safe natural key /
+    // upsert anchor? Per declared lhs→rhs: groups, violating groups,
+    // worst variant count, rows inside violations.
+    "q174_fd_discovery" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Validation
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      Validation.functionalDeps(Seq(
+          ("orderkey_to_custkey", ord, Seq("o_orderkey"), "o_custkey"),
+          ("custkey_to_status", ord, Seq("o_custkey"), "o_orderstatus"),
+          ("partkey_to_suppkey", li, Seq("l_partkey"), "l_suppkey"),
+          ("order_line_to_part", li, Seq("l_orderkey", "l_linenumber"),
+            "l_partkey")))
+        .orderBy("dependency")
+    }),
+
+    // Character-level Shannon entropy (nats) per document over the
+    // lowercased alphanumeric channel — the gibberish screen: mash/
+    // repeated-char docs sit low, natural text ~2.7-3.1. Pure scan-stage
+    // projection; low flag at < 2.5.
+    "q175_char_entropy" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.charEntropy(col("text")).as("h_nats"))
+        .withColumn("low_entropy", col("h_nats") < 2.5)
+        .orderBy("doc_id")
+    }),
+
+    // Median/MAD robust outlier screen per group — the estimator a
+    // fat-finger row can't shift, unlike the q84 z-score family. Both
+    // medians exact-interpolated on half-cent integers (dyadic-exact
+    // doubles), gate compares exact deviations to one correctly-rounded
+    // product.
+    "q176_mad_outliers" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Quantiles
+      Quantiles.madOutliers(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", k = 3.0)
+        .orderBy("l_returnflag")
+    }),
+
+    // Per-language quality-percentile gate (FineWeb-style): keep each
+    // language's top quartile by composite quality score — an absolute
+    // cutoff would starve whole languages. percent_rank is the exact
+    // rational (rank-1)/(n-1): engine-independent decisions.
+    "q177_quality_percentile_gate" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      TextAnalysis.qualityPercentileFilter(Tables.documents(s, d),
+          "doc_id", "text", "lang", keepFrac = 0.25)
+        .groupBy(col("grp").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("kept"), col("q"))).as("min_kept_q"),
+          max(when(!col("kept"), col("q"))).as("max_dropped_q"))
+        .orderBy("lang")
+    }),
+
+    // GROUPING SETS in one pass — revenue at (nation, year), (nation),
+    // (year) and grand-total granularities without re-scanning per
+    // level (one expand + one aggregation exchange); 'ALL' sentinels
+    // instead of grouping_id so the labels are engine-neutral.
+    "q178_grouping_sets" -> ((s0, d) => {
+      val s = prep(s0)
+      val df = Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+          col("o_totalprice"))
+      df.groupingSets(
+          Seq(Seq(col("n_name"), col("yr")), Seq(col("n_name")),
+            Seq(col("yr")), Seq()),
+          col("n_name"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("revenue"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          col("n_orders"), col("revenue"))
+        .orderBy("nation", "yr")
+    }),
+
     // Deterministic PII pseudonymization: identifier columns replace
     // with keyed sha256 tokens — same input → same token, so joins on
     // the tokenized key still work (referential integrity preserved
@@ -5192,6 +5288,155 @@ object SparkEntry {
         |FROM h2 JOIN base ON base.event_type = h2.event_type AND base.hod = h2.hod
         |WHERE n * slots > tot * 2
         |ORDER BY h2.event_type, hr_epoch""".stripMargin,
+
+    // All-pairs ground truth for the PASS-JOIN blocked result: the
+    // length-band prefilter is implied by the metric, the blocked join
+    // must reproduce the cross product's answer exactly.
+    "q173_edit_distance_join" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+        |  AND levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Each dependency recomputed as a two-level aggregate; the ' null'
+    // sentinel mirrors the engine's null-variant coalesce.
+    "q174_fd_discovery" ->
+      """WITH g1 AS (SELECT o_orderkey,
+        |    COUNT(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), ' null')) AS n_rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1),
+        |g2 AS (SELECT o_custkey,
+        |    COUNT(DISTINCT coalesce(CAST(o_orderstatus AS VARCHAR), ' null')) AS n_rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1),
+        |g3 AS (SELECT l_partkey,
+        |    COUNT(DISTINCT coalesce(CAST(l_suppkey AS VARCHAR), ' null')) AS n_rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1),
+        |g4 AS (SELECT l_orderkey, l_linenumber,
+        |    COUNT(DISTINCT coalesce(CAST(l_partkey AS VARCHAR), ' null')) AS n_rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT 'orderkey_to_custkey' AS dependency,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    CAST(MAX(n_rhs) AS BIGINT) AS max_variants,
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_violation
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT 'custkey_to_status', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(n_rhs) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM g2
+        |  UNION ALL
+        |  SELECT 'partkey_to_suppkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(n_rhs) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM g3
+        |  UNION ALL
+        |  SELECT 'order_line_to_part', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(n_rhs) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM g4) u
+        |ORDER BY dependency""".stripMargin,
+
+    // Entropy rebuilt from per-char counts; the k·ln k fold rides an
+    // ordered list_sum (ascending k — the engine's exact fold order);
+    // docs with an empty channel come back via the left join at 0.
+    "q175_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''),
+        |      x -> x <> '')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+        |        FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+        |          list_sum(list(k * ln(CAST(k AS DOUBLE)) ORDER BY k)) AS s
+        |        FROM cnt GROUP BY doc_id),
+        |h AS (SELECT d.doc_id,
+        |        CASE WHEN a.n IS NULL OR a.n <= 0 THEN 0.0
+        |          ELSE ROUND((n * ln(CAST(n AS DOUBLE)) - s) / n, 6)
+        |        END AS h_nats
+        |      FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, h_nats, (h_nats < 2.5) AS low_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Both medians as quantile_cont over the exact half-cent integers;
+    // the gate product spelled with the same cast-to-double literals and
+    // multiply order as the engine.
+    "q176_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) * 2 AS c2
+        |  FROM lineitem),
+        |med AS (SELECT grp, quantile_cont(CAST(c2 AS DOUBLE), 0.5) AS med2
+        |        FROM c GROUP BY grp),
+        |dev AS (SELECT c.grp, c2, med2,
+        |          abs(CAST(c2 AS DOUBLE) - med2) AS dev2
+        |        FROM c JOIN med USING (grp)),
+        |mad AS (SELECT grp, quantile_cont(dev2, 0.5) AS mad2
+        |        FROM dev GROUP BY grp)
+        |SELECT dev.grp AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(med2 / 200.0, 6) AS median,
+        |  ROUND(mad2 * CAST(1.4826 AS DOUBLE) / 200.0, 6) AS mad_sigma,
+        |  CAST(SUM(CASE WHEN CAST(c2 AS DOUBLE) - med2 <
+        |    -(CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad2)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low,
+        |  CAST(SUM(CASE WHEN CAST(c2 AS DOUBLE) - med2 >
+        |    CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high
+        |FROM dev JOIN mad USING (grp)
+        |GROUP BY dev.grp, med2, mad2
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Quality score replicated from the q26/q69 scoring fragment;
+    // percent_rank is the exact rational (rank-1)/(n-1) in both engines.
+    "q177_quality_percentile_gate" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(lower(TRIM(text)), '\s+') AS ltoks,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+        |    CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(len(text), 1) AS punct_ratio
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    ROUND((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)
+        |      + (1.0 - least(punct_ratio*5.0, 1.0))
+        |      + least(CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
+        |              / len(ltoks) * 4.0, 1.0)) / 3.0, 4) AS q
+        |  FROM feats),
+        |pr AS (
+        |  SELECT lang, q,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+        |  FROM scored)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN pr >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  MIN(CASE WHEN pr >= 0.75 THEN q END) AS min_kept_q,
+        |  MAX(CASE WHEN pr < 0.75 THEN q END) AS max_dropped_q
+        |FROM pr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // One GROUPING SETS pass; 'ALL' sentinels keep labels engine-neutral
+    // (no grouping_id bit-order contract).
+    "q178_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT n_name, CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (
+        |  SELECT n_name, yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(cents) AS DOUBLE)/100 AS revenue
+        |  FROM base
+        |  GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ()))
+        |SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr, n_orders, revenue
+        |FROM g ORDER BY nation, yr""".stripMargin,
 
     // The tokenized join must equal the cleartext join: same counts,
     // same totals, same distinct customers (sha256 parity + injectivity

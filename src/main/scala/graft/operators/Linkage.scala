@@ -122,4 +122,93 @@ object Linkage {
     pairs.withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1).drop("rnk")
   }
+
+  /** Edit-distance self-join: all pairs with Levenshtein distance ≤
+    * `maxDist`, WITHOUT an all-pairs comparison — the partition-based
+    * segment filter (PASS-JOIN, Li/Deng/Wang/Feng, PVLDB 5(3) 2011).
+    * Complements the Jaccard linkage family: set similarity tolerates
+    * token reorder but misses transposed/typo'd characters inside a
+    * token; edit distance is the metric for keys where ORDER is the
+    * content (doc refs, tax ids, OCR'd names — the C23 lookalike-repair
+    * family's measurement side).
+    *
+    * Completeness (pigeonhole): any string is cut into τ+1 contiguous
+    * segments; ≤ τ edits leave at least one segment untouched, so one
+    * side's segment occurs VERBATIM in the other string, at a start
+    * shifted by at most τ. Candidates are therefore: index every string's
+    * τ+1 segments keyed by (source length, segment idx, segment text);
+    * probe every string with each substring that could match an indexed
+    * segment (lengths within ±τ, starts within the ±τ window, clamped);
+    * equi-join on the key. Strings shorter than 2τ+1 chars can't host
+    * τ+1 non-degenerate segments — they pair all-vs-all inside one
+    * residue bucket (a bounded domain: every member is shorter than
+    * 2τ+1 ≈ a handful of chars). Levenshtein (threshold form — early
+    * exit above τ) verifies candidates; output is exact.
+    *
+    * Scale shape: the candidate exchange carries (len, idx, segment)
+    * keys — bucket size is bounded by how many strings share a verbatim
+    * segment at the same length/index, never by block metadata; probe
+    * fan-out is ≤ (2τ+1)²·(τ+1) rows per string (18 at τ=1), each a
+    * short substring. Text crosses one exchange per side for the verify
+    * join; no driver materialization; the quadratic residue bucket holds
+    * only near-empty strings. */
+  def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val tau = maxDist
+    val m = tau + 1 // segments per indexed string
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s"))
+      .withColumn("l", length(col("s")))
+    // deterministic even partition: rem = l % m longer segments FIRST;
+    // start/len are pure arithmetic in (l, i) so the probe side can
+    // recompute them for any candidate length without seeing the string
+    def segStart(l: Column, i: Column): Column =
+      i * floor(l / lit(m)).cast("int") + least(i, pmod(l.cast("int"), lit(m)))
+    def segLen(l: Column, i: Column): Column =
+      floor(l / lit(m)).cast("int") +
+        when(i < pmod(l.cast("int"), lit(m)), 1).otherwise(0)
+    val idx = base.where(col("l") >= m)
+      .select(col("id"), col("s"), col("l"),
+        explode(sequence(lit(0), lit(m - 1))).as("i"))
+      .select(col("id").as("idx_id"), col("l").as("tl"), col("i"),
+        col("s").substr(segStart(col("l"), col("i")) + 1,
+          segLen(col("l"), col("i"))).as("seg"))
+    // probe: for each indexable length tl within ±τ of own length, each
+    // segment slot, each start in the clamped ±τ shift window
+    val probes = base
+      .select(col("id").as("p_id"), col("s").as("ps"), col("l").as("pl"))
+      .withColumn("tl", explode(sequence(col("pl") - tau, col("pl") + tau)))
+      .where(col("tl") >= m)
+      .withColumn("i", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("slen", segLen(col("tl"), col("i")))
+      .withColumn("plo", greatest(segStart(col("tl"), col("i")) - tau, lit(0)))
+      .withColumn("phi", least(segStart(col("tl"), col("i")) + tau,
+        col("pl") - col("slen")))
+      .where(col("phi") >= col("plo"))
+      .withColumn("p", explode(sequence(col("plo"), col("phi"))))
+      .select(col("p_id"), col("tl"), col("i"),
+        col("ps").substr(col("p") + 1, col("slen")).as("seg"))
+    val segCand = probes.join(idx, Seq("tl", "i", "seg"))
+      .where(col("p_id") =!= col("idx_id"))
+      .select(least(col("p_id"), col("idx_id")).as("id1"),
+        greatest(col("p_id"), col("idx_id")).as("id2"))
+    // residue: strings too short to index pair all-vs-all (their partner
+    // is at most τ longer, i.e. still < 2τ+1 chars — a bounded bucket)
+    val short = base.where(col("l") < lit(2 * tau + 1))
+      .select(col("id"), col("l"))
+    val shortCand = short.select(col("id").as("a_id"), col("l").as("a_l"))
+      .join(short.select(col("id").as("b_id"), col("l").as("b_l")),
+        col("a_id") < col("b_id") &&
+          abs(col("a_l") - col("b_l")) <= tau)
+      .select(col("a_id").as("id1"), col("b_id").as("id2"))
+    val strs = base.select(col("id"), col("s"))
+    segCand.unionByName(shortCand)
+      .dropDuplicates("id1", "id2")
+      .join(strs.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
+      .join(strs.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), tau))
+      .where(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

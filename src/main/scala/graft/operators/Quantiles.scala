@@ -94,4 +94,50 @@ object Quantiles {
     }
     g.select(col(groupCol) +: outs: _*)
   }
+
+  /** Robust per-group outlier screen: median + MAD (median absolute
+    * deviation), the estimator that survives the contamination that
+    * wrecks mean/stddev screens — one fat-finger 1e9 row shifts a
+    * z-score gate for the whole group but moves the median not at all.
+    * Flags |x − median| > k·1.4826·MAD (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD
+    * consistent for the normal σ, so `k` reads like a z-cutoff).
+    *
+    * Exactness: money quantizes to cents ×2 (HALF-cent units), so the
+    * first median — interpolated at worst between adjacent integers —
+    * is an exact double; deviations in half-cent units are again exact,
+    * and the second median's worst case (quarter-cents) still sits on a
+    * double-exact dyadic. The gate compares an exact integer-valued
+    * deviation against one correctly-rounded product — deterministic on
+    * any IEEE engine. Returns per group: n, median, mad_sigma (scaled
+    * MAD in money units), n_out_low, n_out_high.
+    *
+    * Scale shape: both medians ride [[exactGroupQuantiles]] (per-group
+    * sort windows, boundary-rows-only aggregation — no single-reducer
+    * value buffer); the group-sized median/MAD tables broadcast back;
+    * the data crosses the group-key exchange twice (once per ranking
+    * pass) and nothing else. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val c2 = df.select(col(groupCol),
+      (round(col(valueCol) * 100).cast("long") * 2).as("c2"))
+    val med = exactGroupQuantiles(c2, groupCol, "c2", Seq(0.5), Seq("med2"))
+    val dev = c2.join(broadcast(med), groupCol)
+      .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))
+    val mad = exactGroupQuantiles(dev, groupCol, "dev2", Seq(0.5), Seq("mad2"))
+    dev.join(broadcast(mad), groupCol)
+      // lit(k)·lit(1.4826)·mad2 left-assoc, NOT a pre-folded Scala
+      // constant: an oracle spells the identical double literals and
+      // multiply order, so the gate value matches to the last bit
+      .withColumn("cut", lit(k) * lit(1.4826) * col("mad2"))
+      .groupBy(col(groupCol), col("med2"), col("mad2"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c2").cast("double") - col("med2") < -col("cut"), 1L)
+          .otherwise(0L)).as("n_out_low"),
+        sum(when(col("c2").cast("double") - col("med2") > col("cut"), 1L)
+          .otherwise(0L)).as("n_out_high"))
+      .select(col(groupCol), col("n"),
+        round(col("med2") / 200.0, 6).as("median"),
+        round(col("mad2") * lit(1.4826) / 200.0, 6).as("mad_sigma"),
+        col("n_out_low"), col("n_out_high"))
+  }
 }

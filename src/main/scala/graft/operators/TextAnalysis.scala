@@ -654,4 +654,55 @@ object TextAnalysis {
     }
     perPhrase.reduce(_ unionByName _)
   }
+
+  /** Character-level Shannon entropy (nats) over the lowercased
+    * alphanumeric+space channel — the gibberish/keyboard-mash detector
+    * that complements the token-level repetition family: "aaaaaaaa" and
+    * base64 blobs sit at the two extremes token stats can't separate.
+    * The channel restriction pins cross-engine splitting semantics to
+    * single-byte chars (no grapheme/code-unit ambiguity).
+    *
+    * Pure per-row expression — entropy never shuffles; at 100 TB this is
+    * a scan-stage projection. Spelled as H = (n·ln n − Σ k·ln k)/n with
+    * the Σ folded over counts sorted ASCENDING, so an engine recomputing
+    * it (ordered-aggregate SQL) reproduces the exact fp fold. Empty
+    * channel → 0. */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(
+      split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), ""),
+      c => c =!= "")
+    val counts = array_sort(transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c))))
+    val n = size(chars).cast("double")
+    when(size(chars) <= 0, lit(0.0)).otherwise(round(
+      (n * log(n) - aggregate(counts, lit(0.0),
+        (acc, k) => acc + k.cast("double") * log(k.cast("double")))) / n, 6))
+  }
+
+  /** Per-group quality-percentile gate — FineWeb-style "keep the top
+    * `keepFrac` of each language" thresholding, where an absolute score
+    * cutoff would starve low-resource groups (their score distribution
+    * sits lower, not their value). Returns every doc with its group,
+    * score, percent_rank (ascending — 1.0 = best in group) and the keep
+    * decision `pr >= 1 - keepFrac`.
+    *
+    * Determinism: percent_rank is the exact rational (rank−1)/(n−1) —
+    * identical doubles on any engine — and the score is already
+    * quantized (4 dp), so the gate compares exact values; rank ties get
+    * identical pr and identical decisions. Scale shape: one exchange by
+    * group for the window; groups are languages (dozens), so skew is the
+    * concern — acceptable because the window computes rank only (no
+    * per-row state beyond the sort), and a salt-and-merge two-pass rank
+    * is the documented upgrade if one language dominates. */
+  def qualityPercentileFilter(df: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              groupCol: String,
+                              keepFrac: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol), col(groupCol).as("grp"),
+        qualityScore(col(textCol)).as("q"))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("grp").orderBy(col("q"), col(idCol))))
+      .withColumn("kept", col("pr") >= lit(1.0) - lit(keepFrac))
+  }
 }

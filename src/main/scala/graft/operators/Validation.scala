@@ -207,4 +207,34 @@ object Validation {
           .when(col("n_new") === 0, lit("removed"))
           .otherwise(lit("stable")))
   }
+
+  /** Functional-dependency audit: for each declared candidate dependency
+    * lhs → rhs, measure how far the data is from satisfying it — the
+    * profiling step that decides whether a column is a safe natural key /
+    * dedup anchor BEFORE a pipeline builds an upsert on it (the
+    * reference assumes its keys hold: an FD check is how that assumption
+    * becomes a monitored fact). Per dependency: #distinct lhs groups,
+    * #groups with >1 distinct rhs (violations), the worst group's
+    * variant count, and #rows in violating groups (blast radius).
+    *
+    * Scale shape: each dependency is two narrow aggregations — groupBy
+    * lhs with a distinct-rhs count (map-side combined; null rhs counts
+    * as its own variant via a sentinel), then a single-row rollup.
+    * Only lhs+rhs columns are scanned (parquet-pruned per dependency);
+    * nothing wider than (lhs, n_rhs, n_rows) crosses an exchange. */
+  def functionalDeps(deps: Seq[(String, DataFrame, Seq[String], String)]): DataFrame =
+    deps.map { case (name, df, lhs, rhs) =>
+      val grouped = df
+        .groupBy(lhs.map(col): _*)
+        .agg(countDistinct(coalesce(col(rhs).cast("string"), lit(" null")))
+          .as("n_rhs"), count(lit(1)).as("n_rows"))
+      grouped.agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("n_rhs")).as("max_variants"),
+          sum(when(col("n_rhs") > 1, col("n_rows")).otherwise(0L))
+            .as("rows_in_violation"))
+        .select(lit(name).as("dependency"), col("n_groups"),
+          col("n_violating"), col("max_variants"), col("rows_in_violation"))
+    }.reduce(_ unionByName _)
 }

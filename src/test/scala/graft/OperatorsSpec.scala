@@ -1788,4 +1788,88 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 2L), (2L, 3L, 2L)))
   }
+
+  test("editDistanceSelfJoin equals the brute-force result (τ=1 and τ=2)") {
+    // residue path (short strings), duplicates (dist 0), substitutions,
+    // indels at every region, transpositions (dist 2), length gaps of
+    // exactly τ, and far-apart strings that must NOT pair
+    val strs = Seq(
+      "", "a", "b", "ab", "ba", "abc",
+      "kettle", "kettl", "kettles", "cattle", "kittle", "kettlle",
+      "settle", "kettle", "battle", "rattle", "ketle", "kettel",
+      "completely-unrelated-string", "zzzzzzzz").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (tau <- Seq(1, 2)) {
+      val got = Linkage.editDistanceSelfJoin(df, "id", "s", tau)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = {
+          // classic DP distance
+          val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to sa.length; j <- 1 to sb.length)
+            m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+              m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+          m(sa.length)(sb.length)
+        } if d <= tau
+      } yield (ia, ib, d)).toSet
+      assert(got == brute, s"tau=$tau: got ${got.size}, want ${brute.size}")
+    }
+  }
+
+  test("functionalDeps counts violating groups and their blast radius") {
+    val df = Seq(
+      (1, "x", 10), (1, "x", 11),   // key 1: rhs stable (10/11 is other dep)
+      (2, "y", 20), (2, "z", 21),   // key 2: violates k->c (y,z)
+      (3, null.asInstanceOf[String], 30), (3, "w", 31) // null variant counts
+    ).toDF("k", "c", "v")
+    val got = Validation.functionalDeps(Seq(("k_to_c", df, Seq("k"), "c")))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(got == (("k_to_c", 3L, 2L, 2L, 4L)))
+  }
+
+  test("charEntropy: degenerate, uniform, and channel-restriction cases") {
+    val df = Seq(
+      (1L, "aaaa"),            // one symbol → 0
+      (2L, "abab"),            // two equiprobable → ln 2
+      (3L, "AB!ab?"),          // lowercased + punct stripped → 'abab'
+      (4L, "!!!???"),          // empty channel → 0
+      (5L, "abcd")             // uniform over 4 → ln 4
+    ).toDF("id", "t")
+    val h = df.select(col("id"), TextAnalysis.charEntropy(col("t")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(h(1L) == 0.0 && h(4L) == 0.0)
+    assert(math.abs(h(2L) - math.log(2)) < 1e-6)
+    assert(h(3L) == h(2L))
+    assert(math.abs(h(5L) - math.log(4)) < 1e-6)
+  }
+
+  test("madOutliers: fat-finger row flags, median unmoved") {
+    val vals = (1 to 99).map(i => ("g", 100.0 + (i % 11))) :+ (("g", 1e7))
+    val r = Quantiles.madOutliers(vals.toDF("g", "v"), "g", "v", k = 3.0)
+      .select("n", "median", "n_out_low", "n_out_high")
+      .as[(Long, Double, Long, Long)].head()
+    assert(r._1 == 100L)
+    assert(r._2 >= 100.0 && r._2 <= 111.0, s"median ${r._2} dragged")
+    assert(r._4 == 1L && r._3 == 0L) // exactly the injected row, high side
+  }
+
+  test("qualityPercentileFilter keeps the top fraction per group") {
+    // two groups with different score ranges: absolute cutoff would keep
+    // only group a; the percentile gate keeps top half of EACH
+    val docs = (1 to 8).map(i => (i.toLong, "a",
+        ("token " * (i * 6)).trim)) ++   // increasing length → rising score
+      (9 to 16).map(i => (i.toLong, "b", ("x " * (i - 8)).trim))
+    val got = TextAnalysis.qualityPercentileFilter(
+        docs.toDF("id", "grp0", "text"), "id", "text", "grp0", keepFrac = 0.5)
+    val kept = got.where(col("kept")).groupBy("grp")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(kept == Map("a" -> 4L, "b" -> 4L), s"got $kept")
+    // kept docs are the top-scored ones within their group
+    val aKept = got.where(col("kept") && col("grp") === "a")
+      .select("id").as[Long].collect().toSet
+    assert(aKept == Set(5L, 6L, 7L, 8L))
+  }
 }
