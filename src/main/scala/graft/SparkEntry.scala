@@ -1805,9 +1805,20 @@ object SparkEntry {
       val sup = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // co-occurrence BACKBONE, not the raw co-occurrence graph: raw
+      // co-supplier pairs approach the complete graph as orders pile up
+      // (measured sf0.1: 454k of 500k possible pairs present → ~10^8
+      // oriented wedges, 73 s for structurally-meaningless triangles).
+      // Keep the K heaviest edges (deterministic (cnt, u, v) tie-break;
+      // TakeOrderedAndProject — bounded at any scale): triangle counts
+      // then measure the strong-tie clustering, the graph the analysis
+      // actually wants.
       val edges = sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
         .where(col("sk") < col("sk2"))
-        .select(col("sk").as("u"), col("sk2").as("v"))
+        .groupBy(col("sk").as("u"), col("sk2").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u"), col("v")).limit(2000)
+        .select("u", "v")
       graft.operators.Graphs.triangleCounts(edges, "u", "v")
         .orderBy("id")
     }),
@@ -2101,6 +2112,57 @@ object SparkEntry {
           coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
           col("n_orders"), col("revenue"))
         .orderBy("nation", "yr")
+    }),
+
+    // Per-group OLS trend (exact DECIMAL(38) moments → one double
+    // conversion): price-vs-quantity slope/intercept/R² per return
+    // flag — the q171 correlation family's directional sibling.
+    "q179_group_regression" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Validation
+      val li = Tables.lineitem(s, d)
+      Validation.linearFit(li, "l_returnflag",
+          round(col("l_quantity") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"))
+        .select(col("grp").as("l_returnflag"), col("n"),
+          col("slope"), col("intercept"), col("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic source-balanced training order: round-robin across
+    // sources via pure arithmetic (pos = (rn-1)·k + src_idx) — no
+    // global window; writers range-partition on pos.
+    "q180_curriculum_interleave" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sampling
+      Sampling.curriculumInterleave(
+          Tables.documents(s, d).select("doc_id", "source"),
+          "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("pos"))
+        .orderBy("pos")
+    }),
+
+    // Market-basket co-occurrence over order baskets: pair support via
+    // basket-key self-join (cost bounded by basket size, never catalog
+    // size), lift from exact integer counts.
+    "q181_item_cooccurrence" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Association
+      Association.cooccurrencePairs(Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy("ia", "ib")
+    }),
+
+    // Recency-weighted engagement per user: Σ cents·2^(−age/7d), decay
+    // weights quantized to 6 dp before the multiply so the sorted fold
+    // is bit-reproducible cross-engine.
+    "q182_time_decay_score" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Rolling
+      Rolling.timeDecayScore(
+          Tables.events(s, d).where(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", "value", halfLifeDays = 7.0)
+        .orderBy("user_id")
     }),
 
     // Deterministic PII pseudonymization: identifier columns replace
@@ -4992,9 +5054,12 @@ object SparkEntry {
     "q161_triangle_count" ->
       """WITH sup AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |w AS (
+        |  SELECT a.sk AS u, b.sk AS v, COUNT(*) AS c
+        |  FROM sup a JOIN sup b ON a.ok = b.ok AND a.sk < b.sk
+        |  GROUP BY 1, 2),
         |e AS (
-        |  SELECT DISTINCT a.sk AS u, b.sk AS v
-        |  FROM sup a JOIN sup b ON a.ok = b.ok AND a.sk < b.sk),
+        |  SELECT u, v FROM w ORDER BY c DESC, u, v LIMIT 2000),
         |t AS (
         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM e e1
@@ -5437,6 +5502,86 @@ object SparkEntry {
         |SELECT coalesce(n_name, 'ALL') AS nation,
         |  coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr, n_orders, revenue
         |FROM g ORDER BY nation, yr""".stripMargin,
+
+    // OLS closed forms over HUGEINT moments cast to double once; the
+    // unrounded slope feeds the intercept, mirroring the engine.
+    "q179_group_regression" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(ROUND(l_quantity*100) AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM li GROUP BY 1)
+        |SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx <> 0
+        |    THEN ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+        |  CASE WHEN n*sxx - sx*sx <> 0
+        |    THEN ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+        |  END AS intercept,
+        |  CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+        |    THEN ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // Round-robin position rebuilt arithmetically; the per-source rank
+    // uses the engine's multiplicative-hash order (q81 spelling).
+    "q180_curriculum_interleave" ->
+      """WITH s AS (
+        |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM s),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id * 2654435761) % 4294967296) % 1073741824,
+        |        doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, r.source, (rn - 1) * k + src_idx AS pos
+        |FROM r JOIN s USING (source) CROSS JOIN k
+        |ORDER BY pos""".stripMargin,
+
+    // Pair supports from distinct basket memberships; lift from exact
+    // integer counts, one rounded division.
+    "q181_item_cooccurrence" ->
+      """WITH memb AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |pairs AS (
+        |  SELECT a.i AS ia, b2.i AS ib, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM memb a JOIN memb b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |cnts AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM memb GROUP BY i),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM memb)
+        |SELECT ia, ib, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  ROUND(CAST(n AS DOUBLE) * support / (ca.cnt * cb.cnt), 6) AS lift
+        |FROM pairs JOIN cnts ca ON ca.i = ia JOIN cnts cb ON cb.i = ib
+        |CROSS JOIN nb
+        |ORDER BY ia, ib""".stripMargin,
+
+    // Decay weights quantized at 6 dp BEFORE the multiply; per-user
+    // fold in event-id order via ordered list_sum; floor-second ages
+    // (epoch_us // 1e6 == unix_timestamp's truncation).
+    "q182_time_decay_score" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value*100) AS BIGINT) AS cents,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events WHERE event_type = 'purchase'),
+        |ref AS (SELECT MAX(sec) AS r FROM p),
+        |terms AS (
+        |  SELECT user_id, event_id,
+        |    CAST(cents AS DOUBLE) * ROUND(POW(0.5,
+        |      (CAST(r - sec AS DOUBLE) / 86400.0) / 7.0), 6) AS v
+        |  FROM p CROSS JOIN ref)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
+        |FROM terms GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // The tokenized join must equal the cleartext join: same counts,
     // same totals, same distinct customers (sha256 parity + injectivity

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Association mining over transaction baskets — the co-occurrence /
+  * lift profile behind "frequently bought together", related-document
+  * panels, and feature cross discovery. The reference's relational data
+  * holds the same shape implicitly (invoices → line items); this makes
+  * the pairwise statistics queryable.
+  *
+  * Scale shape: pair generation is a SELF-JOIN ON THE BASKET KEY, so
+  * the exchange carries (basket, item) pairs and each basket's cost is
+  * its own size squared — bounded by the largest basket, never by the
+  * catalog or the corpus (the all-pairs trap would be joining on item).
+  * A pathological mega-basket (one order with 10^5 items) is the skew
+  * risk; `maxBasket` caps it by dropping oversized baskets — standard
+  * market-basket hygiene, since a 10^5-item "basket" is a feed
+  * artifact, not a signal (audit the dropped set with a one-line
+  * `__bsz > maxBasket` query when the cap matters). Item supports are a catalog-sized aggregate,
+  * broadcast back; lift decisions are exact integer cross-products with
+  * the displayed ratio rounded once.
+  */
+object Association {
+
+  /** Pairwise co-occurrence with support and lift. Input rows are
+    * (basket, item) memberships (duplicates collapsed); returns item
+    * pairs (a < b) seen in ≥ `minSupport` baskets with
+    * lift = n_baskets·pairs/(cnt_a·cnt_b) — >1 = attraction. */
+  def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+                        minSupport: Long, maxBasket: Int = 10000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val memb = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .dropDuplicates("b", "i")
+    val sized = memb.join(
+      memb.groupBy("b").agg(count(lit(1)).as("__bsz")), Seq("b"))
+      .where(col("__bsz") <= maxBasket)
+    val pairs = sized.select(col("b"), col("i").as("ia"))
+      .join(sized.select(col("b"), col("i").as("ib")), Seq("b"))
+      .where(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    val itemCnt = memb.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = memb.agg(countDistinct(col("b")).as("__nb"))
+    pairs
+      .join(broadcast(itemCnt.select(col("i").as("ia"), col("cnt").as("cnt_a"))),
+        Seq("ia"))
+      .join(broadcast(itemCnt.select(col("i").as("ib"), col("cnt").as("cnt_b"))),
+        Seq("ib"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ia"), col("ib"), col("support"), col("cnt_a"), col("cnt_b"),
+        round(col("__nb").cast("double") * col("support") /
+          (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+  }
+}

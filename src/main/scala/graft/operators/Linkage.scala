@@ -157,9 +157,31 @@ object Linkage {
     require(maxDist >= 1, "maxDist must be >= 1")
     val tau = maxDist
     val m = tau + 1 // segments per indexed string
-    val base = df.select(col(idCol).cast("long").as("id"),
-        col(strCol).as("s"))
+    // DEDUP-FIRST: collapse identical strings to one representative
+    // before any segment machinery. Real key corpora are heavily
+    // duplicated (measured: 20k part rows, 64 distinct names, hottest
+    // name ×347) — running the segment join on raw rows turns every
+    // identity group into an all-pairs segment bucket (~50M candidates,
+    // 87 s at sf0.1); on distinct strings the same join sees 64 rows.
+    // Identity groups re-expand at the END: intra-group pairs are
+    // dist-0 by definition (no Levenshtein call), cross-group pairs
+    // multiply out id lists. Output size is the answer's own size —
+    // irreducible; the id arrays are bounded by the duplication factor
+    // (a near-constant key column wants the GROUP representation, not
+    // pairs — use the groups frame directly in that regime).
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"))
+    val groups = rows.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"),
+        min(col("id")).as("gid"))
       .withColumn("l", length(col("s")))
+      .localCheckpoint(true) // 3 consumers: intra, index/probe, expand
+    val intra = groups.where(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("id1"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0).as("dist"))
+    val base = groups.select(col("gid").as("id"), col("s"), col("l"))
     // deterministic even partition: rem = l % m longer segments FIRST;
     // start/len are pure arithmetic in (l, i) so the probe side can
     // recompute them for any candidate length without seeing the string
@@ -203,12 +225,22 @@ object Linkage {
           abs(col("a_l") - col("b_l")) <= tau)
       .select(col("a_id").as("id1"), col("b_id").as("id2"))
     val strs = base.select(col("id"), col("s"))
-    segCand.unionByName(shortCand)
+    val gidPairs = segCand.unionByName(shortCand)
       .dropDuplicates("id1", "id2")
       .join(strs.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
       .join(strs.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
       .withColumn("dist", levenshtein(col("s1"), col("s2"), tau))
-      .where(col("dist") >= 0)
-      .select(col("id1"), col("id2"), col("dist"))
+      .where(col("dist") >= 1) // distinct strings: 0 is impossible
+      .select(col("id1").as("gid_a"), col("id2").as("gid_b"), col("dist"))
+    val inter = gidPairs
+      .join(groups.select(col("gid").as("gid_a"), col("ids").as("ids_a")),
+        Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("ids").as("ids_b")),
+        Seq("gid_b"))
+      .select(col("ids_b"), col("dist"), explode(col("ids_a")).as("ia"))
+      .select(col("ia"), col("dist"), explode(col("ids_b")).as("ib"))
+      .select(least(col("ia"), col("ib")).as("id1"),
+        greatest(col("ia"), col("ib")).as("id2"), col("dist"))
+    intra.unionByName(inter)
   }
 }

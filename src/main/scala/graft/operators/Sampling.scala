@@ -106,4 +106,35 @@ object Sampling {
       .where(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Deterministic source-balanced training order: round-robin
+    * interleave across sources so no contiguous run of one source
+    * appears in the epoch stream (the data-ordering step between corpus
+    * assembly and sequence packing — a source-sorted epoch trains the
+    * early steps on one distribution). Each row gets
+    * `pos = (rn−1)·k + srcIdx` where rn is its deterministic rank
+    * WITHIN its source (multiplicative-hash order — a stable shuffle,
+    * not ingest order) and srcIdx the source's rank among the k
+    * sources: a total order that cycles sources every k positions.
+    * Exhausted sources leave gaps in `pos` — it is an ORDERING key,
+    * not a contiguous index.
+    *
+    * Scale shape: one exchange by source for the per-source rank
+    * window, one broadcast of the k-row source table; no global window
+    * anywhere (the global order is ARITHMETIC, which is the point —
+    * writers range-partition on `pos` to emit the interleaved stream). */
+  def curriculumInterleave(df: DataFrame, sourceCol: String,
+                           idCol: String): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(multiplicativeBucket(col(idCol), 1 << 30), col(idCol))
+    val sources = df.select(col(sourceCol)).distinct()
+      .withColumn("__src_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(sourceCol))) - 1)
+    df.join(broadcast(sources.crossJoin(
+          sources.agg(count(lit(1)).cast("long").as("__k")))), Seq(sourceCol))
+      .withColumn("__rn", row_number().over(wSrc).cast("long"))
+      .withColumn("pos", (col("__rn") - 1) * col("__k") + col("__src_idx"))
+      .drop("__rn", "__k", "__src_idx")
+  }
 }

@@ -108,6 +108,37 @@ object Validation {
       .select(col("grp"), col("p.pair").as("pair"), col("p.r").as("r"))
   }
 
+  /** Per-group ordinary-least-squares fit y = slope·x + intercept, plus
+    * R² — the trend profile behind drift dashboards ("is unit price
+    * rising with quantity in THIS segment?"). Same exact-moment policy
+    * as [[pearsonCorr]]: both columns arrive as scaled integers, all
+    * five moments are DECIMAL(38,0) sums converted to double ONCE, so
+    * the closed forms are deterministic on any IEEE engine — one
+    * map-side-combined aggregation, no second pass, no residual join.
+    * Degenerate groups (zero x-variance) emit NULL slope/intercept/r2
+    * rather than ±Inf. */
+  def linearFit(df: DataFrame, groupCol: String,
+                x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def s(c: Column) = sum(c.cast(dec)).cast("double")
+    val agg = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        s(x).as("__sx"), s(y).as("__sy"),
+        s(x * x).as("__sxx"), s(y * y).as("__syy"), s(x * y).as("__sxy"))
+    val n = col("__n")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    val slope = cov / vx
+    agg.select(col("grp"), col("__n").cast("long").as("n"),
+      when(vx =!= 0.0, round(slope, 6)).as("slope"),
+      when(vx =!= 0.0,
+        round((col("__sy") - slope * col("__sx")) / n, 6)).as("intercept"),
+      when(vx =!= 0.0 && vy =!= 0.0,
+        round(cov * cov / (vx * vy), 6)).as("r2"))
+  }
+
   /** Key-skew profile — the diagnostic a 1000-executor job wants BEFORE
     * the shuffle that dies on a hot key: per key column, the key
     * cardinality, hottest-key share, top-10 share, and the Gini

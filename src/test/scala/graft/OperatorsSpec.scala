@@ -1856,6 +1856,58 @@ class OperatorsSpec extends SparkSpec {
     assert(r._4 == 1L && r._3 == 0L) // exactly the injected row, high side
   }
 
+  test("linearFit: exact line recovered; degenerate x → NULLs") {
+    val pts = (1 to 500).map(i => ("g", i.toLong, 3L * i + 700)) ++
+      Seq(("flat", 5L, 1L), ("flat", 5L, 9L)) // zero x-variance
+    val df = pts.toDF("g", "x", "y")
+    val r = Validation.linearFit(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r("g").getDouble(2) == 3.0 && r("g").getDouble(3) == 700.0)
+    assert(r("g").getDouble(4) == 1.0)
+    assert(r("flat").isNullAt(2) && r("flat").isNullAt(3) && r("flat").isNullAt(4))
+  }
+
+  test("curriculumInterleave: positions cycle sources, counts preserved") {
+    val docs = ((1 to 9).map(i => (i.toLong, "a")) ++
+      (10 to 18).map(i => (i.toLong, "b")) ++
+      (19 to 21).map(i => (i.toLong, "c"))).toDF("id", "src")
+    val got = Sampling.curriculumInterleave(docs, "src", "id")
+      .orderBy("pos").select("src", "pos").as[(String, Long)].collect()
+    assert(got.length == 21 && got.map(_._2).distinct.length == 21)
+    // while all sources are live (first 3 rounds = 9 rows), no repeats
+    // within a round-robin cycle of 3
+    got.take(9).grouped(3).foreach { cyc =>
+      assert(cyc.map(_._1).distinct.length == 3, s"cycle $cyc")
+    }
+    // source c exhausts after 3 cycles; a and b keep alternating
+    assert(got.count(_._1 == "a") == 9 && got.count(_._1 == "c") == 3)
+  }
+
+  test("cooccurrencePairs: supports, lift, and the mega-basket cap") {
+    val memb = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), // {10,20} twice
+      (3L, 10L), (3L, 30L),                       // {10,30} once
+      (4L, 40L), (4L, 40L), (4L, 50L)             // dup membership collapses
+    ).toDF("b", "i")
+    val got = Association.cooccurrencePairs(memb, "b", "i", minSupport = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // only (10,20) reaches support 2; lift = 4·2/(3·2) = 1.333333
+    assert(got == Seq((10L, 20L, 2L, 3L, 2L, 1.333333)))
+    // mega-basket dropped: with maxBasket=1 nothing pairs
+    assert(Association.cooccurrencePairs(memb, "b", "i", 1, maxBasket = 1)
+      .count() == 0)
+  }
+
+  test("timeDecayScore: half-life weights, sorted fold, cents-exact") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val t7 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val df = Seq((1L, t0, 100L, 40.0), (1L, t7, 101L, 40.0))
+      .toDF("u", "ts", "eid", "v")
+    val r = Rolling.timeDecayScore(df, "u", "ts", "eid", "v", 7.0)
+      .as[(Long, Long, Double)].head()
+    assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
+  }
+
   test("qualityPercentileFilter keeps the top fraction per group") {
     // two groups with different score ranges: absolute cutoff would keep
     // only group a; the percentile gate keeps top half of EACH
