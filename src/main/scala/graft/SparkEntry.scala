@@ -2153,6 +2153,85 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // Zipf power-law fit per language: corpus-health screen — natural
+    // text sits near slope −1 on the log-log rank/frequency plot.
+    // ln values quantize to micro-nats, then the exact-moment OLS.
+    "q183_zipf_fit" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      TextAnalysis.zipfFit(Tables.documents(s, d), "lang", "text",
+          topN = 300)
+        .select(col("grp").as("lang"), col("n"), col("slope"),
+          col("intercept_ln"), col("r2"))
+        .orderBy("lang")
+    }),
+
+    // PSI distribution drift between the EN and DE sub-corpora over doc
+    // length: per-bin Laplace-smoothed shares, micro-nat terms so the
+    // total is an exact integer sum; per-bin rows keep drift locatable.
+    "q184_psi_drift" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Validation
+      val docs = Tables.documents(s, d)
+      Validation.psiDrift(
+          docs.where(col("lang") === "en"), docs.where(col("lang") === "de"),
+          col("n_chars").cast("double"), col("n_chars").cast("double"),
+          lo = 0.0, hi = 600.0, bins = 12)
+        .withColumn("psi", round(
+          sum(col("term_micro")).over(Window.partitionBy(lit(1))) / 1e6, 6))
+        .orderBy("bin")
+    }),
+
+    // Reciprocal-rank fusion of a dense (cosine) and a lexical
+    // (token-overlap) ranking — hybrid search without score
+    // calibration; terms are exact rationals of integer ranks.
+    "q185_rrf_fusion" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val cosR = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rnk"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))).as("token"))
+      val lexR = toks.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("token"))
+        .join(toks, Seq("token"))
+        .where(col("query_id") =!= col("doc_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ov"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("ov").desc, col("doc_id"))))
+        .where(col("rnk") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      Similarity.rrfFuse(Seq(cosR, lexR), kConst = 60, topK = 10)
+        .orderBy("query_id", "fused_rank")
+    }),
+
+    // Continuous quantile monitoring: the streaming fixed-bin histogram
+    // (≤ 50 counters per open window/type group) drained to a state
+    // table; p50/p95 interpolate batch-side from exact integer counts —
+    // the q150 state+report split applied to q170's estimator.
+    "q186_stream_histogram_quantiles" -> ((s0, d) => {
+      val s = prep(s0)
+      val hist = graft.streaming.EventsStream.streamValueHistogram(
+        s, d, windowSec = 600, lo = 0.0, hi = 500.0, bins = 50)
+      val wKey = Window.partitionBy("win_start", "event_type")
+      val c = hist
+        .withColumn("cum", sum("cnt").over(wKey.orderBy("bin")))
+        .withColumn("n", sum("cnt").over(wKey))
+      c.withColumn("q", explode(array(lit(0.5), lit(0.95))))
+        .where(col("cum") >= col("n") * col("q"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("win_start", "event_type", "q").orderBy("bin")))
+        .where(col("rk") === 1)
+        .select(col("win_start"), col("event_type"), col("q"),
+          round(lit(0.0) + lit(10.0) *
+            (col("bin") + (col("n") * col("q") - (col("cum") - col("cnt")))
+              / col("cnt")), 6).as("approx"))
+        .orderBy("win_start", "event_type", "q")
+    }),
+
     // Recency-weighted engagement per user: Σ cents·2^(−age/7d), decay
     // weights quantized to 6 dp before the multiply so the sorted fold
     // is bit-reproducible cross-engine.
@@ -5582,6 +5661,147 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // Zipf: micro-nat points then the q179 OLS closed forms; the
+    // intercept un-scales through the same round-then-divide order.
+    "q183_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                       x -> x <> '')) AS token
+        |  FROM documents),
+        |counts AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, cnt, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, token) AS rk
+        |  FROM counts),
+        |pts AS (
+        |  SELECT lang,
+        |    CAST(ROUND(ln(CAST(rk AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+        |    CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+        |  FROM ranked WHERE rk <= 300),
+        |a AS (
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx <> 0
+        |    THEN ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+        |  CASE WHEN n*sxx - sx*sx <> 0
+        |    THEN ROUND(ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+        |      / 1000000.0, 6) END AS intercept_ln,
+        |  CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+        |    THEN ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // PSI rebuilt bin for bin on the fixed [0,600)/12 grid; smoothed
+    // shares and the ln ratio use the engine's exact expressions; the
+    // total is an exact integer micro-nat sum.
+    "q184_psi_drift" ->
+      """WITH grid AS (SELECT unnest(range(12)) AS bin),
+        |o AS (
+        |  SELECT CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 50.0), 0),
+        |    11) AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_old
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+        |nn AS (
+        |  SELECT CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 50.0), 0),
+        |    11) AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(grid.bin AS INT) AS bin,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM grid LEFT JOIN o ON o.bin = grid.bin
+        |  LEFT JOIN nn ON nn.bin = grid.bin),
+        |t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_o,
+        |        CAST(SUM(n_new) AS BIGINT) AS t_n FROM j),
+        |terms AS (
+        |  SELECT bin, n_old, n_new,
+        |    (CAST(n_old AS DOUBLE) + 0.5) / (CAST(t_o AS DOUBLE) + 6.0) AS p,
+        |    (CAST(n_new AS DOUBLE) + 0.5) / (CAST(t_n AS DOUBLE) + 6.0) AS q
+        |  FROM j CROSS JOIN t)
+        |SELECT bin, n_old, n_new, ROUND(p, 6) AS p_old, ROUND(q, 6) AS p_new,
+        |  CAST(ROUND((p - q) * ln(p / q) * 1000000.0, 0) AS BIGINT) AS term_micro,
+        |  ROUND(SUM(CAST(ROUND((p - q) * ln(p / q) * 1000000.0, 0) AS BIGINT))
+        |    OVER () / 1000000.0, 6) AS psi
+        |FROM terms ORDER BY bin""".stripMargin,
+
+    // RRF: the q30 cosine CTE and a lexical-overlap ranking fused by
+    // rank-sorted exact-rational sums.
+    "q185_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    list_sum(list_transform(list_zip(qe, ce),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(ce, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id),
+        |cosr AS (
+        |  SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, corpus_id AS doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, corpus_id) AS rnk
+        |    FROM scored) x WHERE rnk <= 20),
+        |dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(TRIM(text)), '\s+'), x -> x <> ''))) AS token
+        |  FROM documents),
+        |ov AS (
+        |  SELECT qt.query_id, dt.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+        |  FROM (SELECT doc_id AS query_id, token FROM dt WHERE doc_id < 5) qt
+        |  JOIN dt ON qt.token = dt.token AND dt.doc_id <> qt.query_id
+        |  GROUP BY 1, 2),
+        |lexr AS (
+        |  SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY ov DESC, doc_id) AS rnk
+        |    FROM ov) x WHERE rnk <= 20),
+        |u AS (SELECT * FROM cosr UNION ALL SELECT * FROM lexr),
+        |sc AS (
+        |  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |    list_sum(list(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rnk)
+        |      ORDER BY rnk)) AS rrf
+        |  FROM u GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_lists, ROUND(rrf, 6) AS rrf, fused_rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, doc_id) AS fused_rank FROM sc) f
+        |WHERE fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
+
+    // Batch recompute of the streaming fixed-bin histogram + the q170
+    // interpolation — watermark drain makes every window final, so the
+    // full-data recompute IS the oracle.
+    "q186_stream_histogram_quantiles" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS win_start,
+        |    event_type,
+        |    CAST(least(greatest(floor(value / 10.0), 0), 49) AS INT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT win_start, event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1, 2, 3),
+        |c AS (SELECT *,
+        |        CAST(SUM(cnt) OVER (PARTITION BY win_start, event_type
+        |          ORDER BY bin) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY win_start, event_type)
+        |          AS BIGINT) AS n
+        |      FROM g),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q),
+        |picked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start, event_type, q
+        |    ORDER BY bin) AS rk
+        |  FROM c CROSS JOIN qs WHERE cum >= n * q)
+        |SELECT win_start, event_type, q,
+        |  ROUND(0.0 + 10.0 * (bin + (n * q - (cum - cnt)) / cnt), 6) AS approx
+        |FROM picked WHERE rk = 1
+        |ORDER BY win_start, event_type, q""".stripMargin,
 
     // The tokenized join must equal the cleartext join: same counts,
     // same totals, same distinct customers (sha256 parity + injectivity

@@ -462,4 +462,39 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR '09) of N
+    * retrieval rankings — the standard hybrid-search merge (dense
+    * cosine + lexical overlap) that needs NO score calibration because
+    * it consumes only ranks: each appearance of a doc contributes
+    * 1/(kConst + rank), fused rank orders by the sum. Every input frame
+    * carries (query_id, doc_id, rnk).
+    *
+    * Determinism: terms are exact-rational doubles from integer ranks;
+    * the per-doc fold runs over rank-sorted collected terms (ties are
+    * identical values), so sums are bit-reproducible for any number of
+    * input rankings. Scale shape: one union + one (query, doc)
+    * aggregation + a per-query rank window over candidate lists whose
+    * size is bounded by N·topK-of-inputs — never corpus-sized. */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .reduce(_ unionByName _)
+    val scored = u
+      .withColumn("term", lit(1.0) / (lit(kConst.toDouble) + col("rnk")))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_lists"),
+        sort_array(collect_list(struct(col("rnk").as("r"),
+          col("term").as("t")))).as("__cs"))
+      .withColumn("rrf", aggregate(col("__cs"), lit(0.0),
+        (a, x) => a + x.getField("t")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    scored.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("n_lists"),
+        round(col("rrf"), 6).as("rrf"), col("fused_rank"))
+  }
 }

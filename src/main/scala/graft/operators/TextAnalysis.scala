@@ -679,6 +679,40 @@ object TextAnalysis {
         (acc, k) => acc + k.cast("double") * log(k.cast("double")))) / n, 6))
   }
 
+  /** Zipf power-law fit of the token frequency distribution per group —
+    * the corpus-health screen: natural language sits near slope −1 on
+    * the log-log rank/frequency plot; templated or machine-generated
+    * text bends the curve (flat head = boilerplate vocabulary, steep
+    * tail = mail-merge filler). Fits OLS over the top `topN` ranks in
+    * (ln rank, ln count) space.
+    *
+    * Determinism: ln values quantize to integer MICRO-NATS
+    * (round(ln·10⁶)) before the fit, so the moment sums ride
+    * [[Validation.linearFit]]'s exact DECIMAL(38) path — the shared-ln
+    * contract of the LM-score families, then pure integer arithmetic.
+    * Slope/R² are scale-invariant under the ×10⁶; the intercept divides
+    * back out. Scale shape: one (group, token) count exchange
+    * (map-side combined), a per-group rank window over the COUNT table
+    * (vocabulary-bounded, Zipf's own guarantee), one 5-moment
+    * aggregation. */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, groupCol: String,
+              textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(groupCol).as("grp0"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy("grp0", "token").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rk", row_number().over(
+        Window.partitionBy("grp0").orderBy(col("cnt").desc, col("token"))))
+      .where(col("rk") <= topN)
+    val pts = ranked.select(col("grp0"),
+      round(log(col("rk").cast("double")) * 1e6, 0).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * 1e6, 0).cast("long").as("y"))
+    Validation.linearFit(pts, "grp0", col("x"), col("y"))
+      .select(col("grp"), col("n"), col("slope"),
+        round(col("intercept") / 1e6, 6).as("intercept_ln"), col("r2"))
+  }
+
   /** Per-group quality-percentile gate — FineWeb-style "keep the top
     * `keepFrac` of each language" thresholding, where an absolute score
     * cutoff would starve low-resource groups (their score distribution

@@ -108,6 +108,54 @@ object Validation {
       .select(col("grp"), col("p.pair").as("pair"), col("p.r").as("r"))
   }
 
+  /** Population-stability-index drift between a baseline and a new
+    * batch of a numeric column — the standard "did the input
+    * distribution move?" gate in front of a scoring pipeline
+    * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken). Both sides
+    * bin into the same FIXED equal-width grid (lo/hi/bins are pipeline
+    * constants — data-dependent edges would make two runs
+    * incomparable, the q186 histogram argument), shares are
+    * Laplace-smoothed ((cnt+½)/(n+bins/2)) so empty bins stay finite,
+    * and each bin contributes (p−q)·ln(p/q).
+    *
+    * Determinism: shares and their ratio are correctly-rounded doubles
+    * from exact integers; ln rides the shared-ln contract; each bin
+    * term quantizes to integer micro-nats so the TOTAL is an exact
+    * integer sum — no fold-order sensitivity. Returns one row per
+    * occupied-or-not bin (bin, n_old, n_new, p_old, p_new, term_micro)
+    * — sum(term_micro)/10⁶ is the PSI; keeping the per-bin rows makes
+    * the drift LOCATABLE, not just detectable. Scale shape: two
+    * bins-bounded aggregations plus two scalar counts broadcast back;
+    * rows never cross an exchange wider than (bin, count). */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame,
+               oldVal: Column, newVal: Column,
+               lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"bad PSI domain [$lo,$hi)/$bins")
+    val w = (hi - lo) / bins
+    def binned(df: DataFrame, v: Column, nm: String): DataFrame = df
+      .where(v.isNotNull)
+      .groupBy(least(greatest(floor((v - lit(lo)) / lit(w)), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .agg(count(lit(1)).as(nm))
+    val grid = oldDf.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val joined = grid
+      .join(binned(oldDf, oldVal, "n_old"), Seq("bin"), "left")
+      .join(binned(newDf, newVal, "n_new"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val p = (col("n_old").cast("double") + lit(0.5)) /
+      (col("__to").cast("double") + lit(bins * 0.5))
+    val q = (col("n_new").cast("double") + lit(0.5)) /
+      (col("__tn").cast("double") + lit(bins * 0.5))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        round(p, 6).as("p_old"), round(q, 6).as("p_new"),
+        round((p - q) * log(p / q) * 1e6, 0).cast("long").as("term_micro"))
+  }
+
   /** Per-group ordinary-least-squares fit y = slope·x + intercept, plus
     * R² — the trend profile behind drift dashboards ("is unit price
     * rising with quantity in THIS segment?"). Same exact-moment policy

@@ -43,6 +43,44 @@ object EventsStream {
       .where(col("event_type") =!= DrainType)
   }
 
+  /** Streaming fixed-bin value histogram per (tumbling window, type) —
+    * the state that makes continuous QUANTILE monitoring affordable: an
+    * exact streaming percentile would buffer every value per window,
+    * while this holds ≤ `bins` counters per open (window, type) group
+    * (the q170 histogram-quantile argument, continuous form). Bin edges
+    * are FIXED a priori (lo/hi/bins as pipeline constants), not
+    * data-dependent — a streaming operator cannot see the future min/max,
+    * and fixed edges make histograms mergeable across windows, days and
+    * reruns. Values clamp into the edge bins; readers interpolate
+    * quantiles batch-side from the drained state (the state-table +
+    * report split of q150): approx = lo + w·(bin + (n·q − cumBefore)/cnt)
+    * — every input to that form is an exact integer count or the exact
+    * bin width, so the report is engine-reproducible. */
+  def streamValueHistogram(spark: SparkSession, dir: String,
+                           windowSec: Int = 600,
+                           lo: Double = 0.0, hi: Double = 1000.0,
+                           bins: Int = 50,
+                           statePartitions: Int = 8): DataFrame = {
+    require(bins > 0 && hi > lo, s"bad histogram domain [$lo,$hi)/$bins")
+    val wmDelaySec = 3600L
+    val w = (hi - lo) / bins
+    val evs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(drainSentinel(spark, dir, wmDelaySec + windowSec + 60))
+      .withWatermark("ts", s"$wmDelaySec seconds")
+      .where(col("value").isNotNull)
+    val bin = least(greatest(floor((col("value") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    val agg = evs
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"),
+        bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("bin"), col("cnt"))
+    runToTable(agg, "append", statePartitions)
+      .where(col("event_type") =!= DrainType)
+  }
+
   private def eventsStream(spark: SparkSession, dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -1908,6 +1908,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("zipfFit recovers a constructed power law") {
+    // counts ~ 1000/rank → ln cnt = ln 1000 − 1·ln rank: slope −1, r2 ~1
+    val text = (1 to 50).flatMap { r =>
+      Seq.fill(math.max(1000 / r, 1))(s"w$r") }.mkString(" ")
+    val got = TextAnalysis.zipfFit(Seq(("en", text)).toDF("lang", "text"),
+        "lang", "text", topN = 40)
+      .select("slope", "r2").as[(Double, Double)].head()
+    assert(math.abs(got._1 + 1.0) < 0.05, s"slope ${got._1}")
+    assert(got._2 > 0.99, s"r2 ${got._2}")
+  }
+
+  test("psiDrift: identical distributions ~0, shifted distribution large") {
+    val a = (1 to 1000).map(i => ("x", (i % 10) * 10.0 + 5)).toDF("k", "v")
+    val b = (1 to 1000).map(i => ("x", (i % 10) * 10.0 + 55)).toDF("k", "v")
+    def psi(o: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame) =
+      Validation.psiDrift(o, n, col("v"), col("v"), 0.0, 200.0, 20)
+        .agg(sum("term_micro")).as[Long].head() / 1e6
+    assert(psi(a, a) == 0.0)
+    assert(psi(a, b) > 0.25, s"shifted psi ${psi(a, b)}")
+  }
+
+  test("rrfFuse: doc ranked well by both lists beats single-list winners") {
+    val r1 = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("query_id", "doc_id", "rnk")
+    val r2 = Seq((1L, 40L, 1), (1L, 20L, 2), (1L, 30L, 4)).toDF("query_id", "doc_id", "rnk")
+    val got = Similarity.rrfFuse(Seq(r1, r2), kConst = 60, topK = 10)
+      .orderBy("fused_rank")
+      .select("doc_id", "n_lists", "fused_rank").as[(Long, Long, Int)].collect()
+    // doc 20: 1/62+1/62 ≈ .03226 beats docs 10/40 (1/61 ≈ .0164)
+    assert(got.head == ((20L, 2L, 1)))
+    assert(got.map(_._1).toSet == Set(10L, 20L, 30L, 40L))
+  }
+
   test("qualityPercentileFilter keeps the top fraction per group") {
     // two groups with different score ranges: absolute cutoff would keep
     // only group a; the percentile gate keeps top half of EACH

@@ -19,6 +19,22 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming fixed-bin histogram equals the batch histogram exactly") {
+    val streamed = EventsStream.streamValueHistogram(spark, sfDir,
+        windowSec = 600, lo = 0.0, hi = 500.0, bins = 50)
+      .orderBy("win_start", "event_type", "bin").collect()
+    val batch = Tables.events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600).as("win_start"),
+        col("event_type"),
+        least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(49.0))
+          .cast("int").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("win_start", "event_type", "bin").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("streaming windowed HLL registers equal the batch sketch exactly") {
     val streamed = EventsStream.windowedHllRegisters(spark, sfDir, 3600)
       .orderBy("win_start", "event_type", "idx").collect()
