@@ -2153,6 +2153,54 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // Exact-k weighted sample per source (A-ES reservoir keys):
+    // deterministic −ln(u)/w clocks from the id hash — reruns pick the
+    // same docs, appends never reshuffle prior picks.
+    "q187_weighted_reservoir" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Sampling
+      Sampling.weightedReservoirPerGroup(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", k = 10)
+        .orderBy("source", "doc_id")
+    }),
+
+    // Perceptual image near-dup: dHash over the decoder's 8x9 grayscale
+    // thumbnails (stub decode = md5-nibble pixels; mutants perturb ONE
+    // pixel, flipping <= 2 hash bits) -> 4-band hamming block join, the
+    // q34 kernel generalized beyond text.
+    "q188_image_phash_neardup" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Dedup, Multimodal}
+      val media = s.range(600).select(col("id").as("media_id"))
+        .withColumn("gid", when(col("media_id") < 500, col("media_id"))
+          .otherwise(col("media_id") - 500))
+        .withColumn("pert", when(col("media_id") < 500, lit(-1))
+          .otherwise(pmod(col("media_id"), lit(72)).cast("int")))
+      val px = transform(sequence(lit(0), lit(71)), k => {
+        val h = md5(concat(col("gid").cast("string"), lit(":"),
+          floor(k / lit(32)).cast("int").cast("string")))
+        val nib = conv(h.substr(pmod(k, lit(32)) + 1, lit(1)), 16, 10)
+          .cast("int")
+        when(col("pert") === k, pmod(nib + 8, lit(16))).otherwise(nib)
+      })
+      val fps = media.withColumn("px", px)
+        .withColumn("fp", Multimodal.dHash63(col("px")))
+      Dedup.hammingPairsBanded(fps, "media_id", "fp", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // KWIC concordance: every occurrence of the term with its ±3-token
+    // context — match positions explode AFTER the term filter, snippets
+    // are pure array slices.
+    "q189_kwic_snippets" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      TextAnalysis.kwicSnippets(Tables.documents(s, d), "doc_id", "text",
+          term = "the", window = 3)
+        .orderBy("doc_id", "pos")
+    }),
+
     // Zipf power-law fit per language: corpus-health screen — natural
     // text sits near slope −1 on the log-log rank/frequency plot.
     // ln values quantize to micro-nats, then the exact-moment OLS.
@@ -5661,6 +5709,78 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // A-ES keys rebuilt from the q81 hash spelling; rank ties break by
+    // doc_id in both engines.
+    "q187_weighted_reservoir" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    -ln((CAST(((doc_id * 2654435761) % 4294967296) % 1048576 AS DOUBLE)
+        |         + 1.0) / 1048576.0) / n_chars AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // Pixels, fingerprints, bands and the popcount verify all rebuilt
+    // from the md5-nibble spelling; 63-bit fingerprints keep the SUM
+    // inside BIGINT.
+    "q188_image_phash_neardup" ->
+      """WITH m AS (SELECT unnest(range(600)) AS media_id),
+        |g AS (
+        |  SELECT media_id,
+        |    CASE WHEN media_id < 500 THEN media_id ELSE media_id - 500 END AS gid,
+        |    CASE WHEN media_id < 500 THEN -1
+        |      ELSE CAST(media_id % 72 AS INT) END AS pert
+        |  FROM m),
+        |p AS (
+        |  SELECT media_id,
+        |    list_transform(range(72), k ->
+        |      CASE WHEN k = pert THEN
+        |        ((strpos('0123456789abcdef', substr(md5(CAST(gid AS VARCHAR)
+        |          || ':' || CAST((k // 32) AS VARCHAR)),
+        |          CAST((k % 32) + 1 AS INT), 1)) - 1) + 8) % 16
+        |      ELSE strpos('0123456789abcdef', substr(md5(CAST(gid AS VARCHAR)
+        |        || ':' || CAST((k // 32) AS VARCHAR)),
+        |        CAST((k % 32) + 1 AS INT), 1)) - 1 END) AS px
+        |  FROM g),
+        |f AS (
+        |  SELECT media_id,
+        |    CAST(SUM(CASE WHEN px[(b // 8) * 9 + (b % 8) + 2]
+        |                     > px[(b // 8) * 9 + (b % 8) + 1]
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM p CROSS JOIN (SELECT unnest(range(63)) AS b) bs
+        |  GROUP BY media_id),
+        |banded AS (
+        |  SELECT media_id, fp,
+        |    ((fp >> (16 * i)) & 65535) + (i * 65536) AS band
+        |  FROM f CROSS JOIN (SELECT unnest(range(4)) AS i) bi)
+        |SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.media_id < b.media_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Positions via the zipped parallel unnest (q163 idiom); snippets
+    // are 1-based list slices joined with spaces.
+    "q189_kwic_snippets" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(TRIM(text)), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ts, unnest(ts) AS tok,
+        |    unnest(range(1, len(ts)+1)) AS p
+        |  FROM t)
+        |SELECT doc_id, CAST(p AS INT) AS pos,
+        |  array_to_string(ts[greatest(p - 3, 1):least(p + 3, len(ts))], ' ')
+        |    AS snippet
+        |FROM pos WHERE tok = 'the'
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // Zipf: micro-nat points then the q179 OLS closed forms; the
     // intercept un-scales through the same round-then-divide order.

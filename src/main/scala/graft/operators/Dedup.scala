@@ -719,13 +719,25 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, portable: Boolean = false,
                           maxBandRows: Int = 10000): DataFrame = {
-    // for maxHamming > 3 the banding is a recall-trading blocker (a pair
-    // can differ in all 4 bands); <= 3 it is exact by pigeonhole
     val fp = if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
-    val exploded = df.select(col(idCol).as("id"), fp.as("fp"))
+    hammingPairsBanded(df.select(col(idCol).as("id"), fp.as("fp")),
+      "id", "fp", maxHamming, maxBandRows, "simhashNearDupPairs")
+  }
+
+  /** Banded hamming near-dup join over ANY 64-bit-or-narrower
+    * fingerprint column — the blocking kernel shared by text simhash
+    * (q34) and perceptual image hashes (q188): 4×16-bit bands, pairs
+    * sharing a band verify by popcount. For maxHamming > 3 the banding
+    * is a recall-trading blocker (a pair can differ in all 4 bands);
+    * <= 3 it is exact by pigeonhole. Shuffle carries (band, id, fp)
+    * triples only; hot bands cap via [[capBands]]. */
+  def hammingPairsBanded(df: DataFrame, idCol: String, fpCol: String,
+                         maxHamming: Int = 3, maxBandRows: Int = 10000,
+                         tag: String = "hammingPairsBanded"): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .withColumn("band", explode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL) + lit(i.toLong << 16)): _*)))
-    val withFp = capBands(exploded, "band", maxBandRows, "simhashNearDupPairs")
+    val withFp = capBands(exploded, "band", maxBandRows, tag)
     val a = withFp.select(col("band"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = withFp.select(col("band"), col("id").as("id_b"), col("fp").as("fp_b"))
     // popcount-verify before the pair-dedup — the dedup shuffle then moves

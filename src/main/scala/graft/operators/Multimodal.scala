@@ -260,4 +260,28 @@ object Multimodal {
       rows.map(r => r.copy(payload = resizeStub(r.payload, targetLen)))
     }
   }
+
+  /** Difference-hash (dHash) perceptual fingerprint over a decoded
+    * grayscale thumbnail — the image near-dup key: resize to 9×8, hash
+    * bit b = "pixel brighter than its left neighbor", so the
+    * fingerprint survives re-encoding, scaling and small edits while
+    * exact byte digests don't. Input is the DECODER'S OUTPUT (an 8×9
+    * row-major int array, 72 pixels) — the codec stays behind the
+    * [[decodeStub]] boundary like every multimodal op here; this
+    * expression is the real production kernel either way.
+    *
+    * 63 bits, not 64: the top comparison is dropped so the fingerprint
+    * (and any engine recomputing it) stays inside signed-64 SUM range —
+    * the same SQL-portability bound the KMV/LSH hash families chose.
+    * Pairs then block through [[Dedup.hammingPairsBanded]] (4 bands,
+    * exact for hamming ≤ 3). Pure projection — fingerprints never
+    * shuffle pixel data. */
+  def dHash63(pixels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 63).map { b =>
+      val r = b / 8
+      val c = b % 8
+      val i = r * 9 + c // row-major 9-wide; compare col c+1 vs c
+      when(element_at(pixels, i + 2) > element_at(pixels, i + 1),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
 }

@@ -107,6 +107,37 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Exact-size weighted sample per group WITHOUT replacement —
+    * Efraimidis–Spirakis A-ES reservoir keys ("Weighted random sampling
+    * with a reservoir", IPL 2006): each row draws the exponential clock
+    * key −ln(u)/w and the k SMALLEST keys per group win; inclusion
+    * probability tracks weight, sample size is exactly k (where
+    * [[weightedKeep]] keeps a Bernoulli — random-size — subset). The
+    * coin u is the deterministic multiplicative-hash unit of the id
+    * shifted into (0,1] (the +1 keeps ln finite), so reruns pick the
+    * SAME sample and appends never reshuffle prior picks.
+    *
+    * Determinism: u is an exact rational, −ln rides the shared-ln
+    * contract, one division by the exact weight; ties (identical ids
+    * impossible, identical keys near-impossible) break by id. Scale
+    * shape: one exchange by group, a per-group rank window that streams
+    * (row_number only) — same cost envelope as [[capPerGroup]]. */
+  def weightedReservoirPerGroup(df: DataFrame, groupCol: String,
+                                idCol: String, weightCol: String,
+                                k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val buckets = 1 << 20
+    val u = (multiplicativeBucket(col(idCol), buckets).cast("double") + 1.0) /
+      buckets.toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", -log(u) / col(weightCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__key", "__rn")
+  }
+
   /** Deterministic source-balanced training order: round-robin
     * interleave across sources so no contiguous run of one source
     * appears in the epoch stream (the data-ordering step between corpus

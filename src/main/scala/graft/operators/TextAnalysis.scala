@@ -679,6 +679,32 @@ object TextAnalysis {
         (acc, k) => acc + k.cast("double") * log(k.cast("double")))) / n, 6))
   }
 
+  /** Keyword-in-context (KWIC) snippet extraction: for every occurrence
+    * of `term` in a document, the surrounding ±`window` tokens joined
+    * back into a display string — the search-result snippet / concordance
+    * op (retrieval surfaces rank with [[bm25TopK]], then SHOW with this).
+    *
+    * Scale shape: tokenize once per row, explode only MATCH positions
+    * (the term filter prunes before any fan-out, as in [[searchAllTerms]]
+    * — a rare term costs its postings, never the corpus), then a pure
+    * array-slice projection; nothing joins, nothing re-reads the text.
+    * Multiple occurrences emit one row each with their token position. */
+  def kwicSnippets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, term: String,
+                   window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 0, s"window must be >= 0: $window")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val hi = least(col("pos") + lit(window), size(col("__toks")))
+    val lo = greatest(col("pos") - lit(window), lit(1))
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos0", "tok")))
+      .where(col("tok") === lit(term))
+      .withColumn("pos", col("pos0") + 1) // 1-based, the slice convention
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("__toks"), lo, hi - lo + 1)).as("snippet"))
+  }
+
   /** Zipf power-law fit of the token frequency distribution per group —
     * the corpus-health screen: natural language sits near slope −1 on
     * the log-log rank/frequency plot; templated or machine-generated

@@ -1908,6 +1908,39 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("weightedReservoirPerGroup: exact k, heavy weights dominate") {
+    val rows = (1 to 200).map(i => ("g", i.toLong, 1.0)) :+ (("g", 999L, 1e9))
+    val got = Sampling.weightedReservoirPerGroup(
+        rows.toDF("src", "id", "w"), "src", "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 5 && got.contains(999L), s"sample $got")
+    // determinism: rerun picks the identical sample
+    val again = Sampling.weightedReservoirPerGroup(
+        rows.toDF("src", "id", "w"), "src", "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
+  test("dHash63: monotone ramps saturate, one-pixel edits flip <= 2 bits") {
+    val asc = (0 until 72).map(i => i)            // every right neighbor bigger
+    val desc = (0 until 72).map(i => 72 - i)
+    val onePx = asc.updated(40, -5)               // pixel 40: affects bits near it
+    val df = Seq((1L, asc), (2L, desc), (3L, onePx)).toDF("id", "px")
+    val fp = df.select(col("id"),
+        Multimodal.dHash63(col("px")).as("fp")).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == (1L << 63) - 1) // 63 ones
+    assert(fp(2L) == 0L)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 2 &&
+      fp(1L) != fp(3L))
+  }
+
+  test("kwicSnippets: centered window, clamped at both edges") {
+    val df = Seq((1L, "The x y z the w"), (2L, "no match here")).toDF("id", "t")
+    val got = TextAnalysis.kwicSnippets(df, "id", "t", "the", window = 2)
+      .orderBy("pos").as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq((1L, 1, "the x y"), (1L, 5, "y z the w")))
+  }
+
   test("zipfFit recovers a constructed power law") {
     // counts ~ 1000/rank → ln cnt = ln 1000 − 1·ln rank: slope −1, r2 ~1
     val text = (1 to 50).flatMap { r =>
