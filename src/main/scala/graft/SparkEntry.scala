@@ -2153,6 +2153,16 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // BPE tokenizer training, distributed: 6 greedy merge rounds over
+    // the vocabulary-sized word-type table; delimiter-exact string
+    // replace makes each round's application ANSI-replicable.
+    "q190_bpe_merges" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      TextAnalysis.bpeMerges(Tables.documents(s, d), "text", nMerges = 6)
+        .orderBy("step")
+    }),
+
     // Exact-k weighted sample per source (A-ES reservoir keys):
     // deterministic −ln(u)/w clocks from the id hash — reruns pick the
     // same docs, appends never reshuffle prior picks.
@@ -5709,6 +5719,40 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // The 6 BPE rounds unrolled stage by stage: each stage recomputes
+    // pair counts (zipped parallel unnest), picks the same
+    // (cnt desc, a, b) argmax, and applies the same delimiter-exact
+    // REPLACE — the trainer is hash-checkable end to end.
+    "q190_bpe_merges" -> {
+      val stages = (1 to 6).map { k =>
+        s"""p$k AS (
+           |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
+           |    FROM (SELECT freq, string_split(TRIM(rep), ' ') AS l FROM w${k - 1}) s$k) z$k
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$k AS (SELECT freq,
+           |  replace(rep, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS rep
+           |  FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to 6).map { k =>
+        s"""SELECT CAST($k AS INT) AS step, a AS "left", b AS "right",
+           |  a || b AS merged, cnt AS pair_freq FROM b$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split(TRIM(
+         |    regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' '),
+         |    x -> x <> '')) AS word
+         |  FROM documents),
+         |words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |          FROM tok GROUP BY 1),
+         |w0 AS (SELECT freq,
+         |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep
+         |  FROM words),
+         |$stages
+         |SELECT * FROM ($finals) u ORDER BY step""".stripMargin
+    },
 
     // A-ES keys rebuilt from the q81 hash spelling; rank ties break by
     // doc_id in both engines.

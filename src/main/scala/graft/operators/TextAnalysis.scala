@@ -679,6 +679,73 @@ object TextAnalysis {
         (acc, k) => acc + k.cast("double") * log(k.cast("double")))) / n, 6))
   }
 
+  /** Byte-pair-encoding merge training (Sennrich et al., ACL 2016) —
+    * the tokenizer-training step of an LLM data pipeline, distributed:
+    * learn the `nMerges` most frequent adjacent symbol pairs, greedily,
+    * over the corpus WORD-TYPE table (BPE's own trick: statistics live
+    * on distinct words × frequency, so the iteration cost is
+    * vocabulary-sized no matter how large the corpus — the corpus is
+    * read ONCE to build the type table).
+    *
+    * Each round: (1) adjacent-pair counts weighted by word frequency —
+    * one vocabulary-sized aggregation; (2) argmax under the total order
+    * (count desc, left, right) — a 1-row bounded collect, the IVF-
+    * centroid pattern; (3) apply the merge to every word's symbol
+    * string via delimiter-exact `replace(' a b ' → ' ab ')`. The
+    * space-delimited string form is deliberate: left-to-right
+    * non-overlapping replace IS greedy BPE application ('b b b' with
+    * merge (b,b) → 'bb b'), and both Spark's `replace` and ANSI
+    * REPLACE share those semantics exactly, which makes an 8-round
+    * trainer hash-checkable stage by stage in plain SQL. Symbols stay
+    * in the lowercased [a-z] channel (word boundaries = anything else).
+    *
+    * Returns (step, left, right, merged, pair_freq). Scale shape: the
+    * word-type table localCheckpoints once per round (lineage cut —
+    * 8 chained replaces would otherwise stack one plan); every round's
+    * exchange carries (pair, freq) rows bounded by |vocab|·avg_len. */
+  def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df
+      .select(explode(filter(split(trim(
+          regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        concat_ws(" ", filter(split(col("word"), ""), c => c =!= "")),
+        lit(" ")).as("rep"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (step <- 1 to nMerges if !exhausted) {
+      val toksC = filter(split(trim(col("rep")), " "), t => t =!= "")
+      val pairs = cur
+        .select(col("freq"), toksC.as("t"))
+        .select(col("freq"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, cnt))
+        cur = cur.withColumn("rep",
+            replace(col("rep"), lit(s" $a $b "), lit(s" $a$b ")))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_freq")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("step", "left", "right", "merged", "pair_freq")
+  }
+
   /** Keyword-in-context (KWIC) snippet extraction: for every occurrence
     * of `term` in a document, the surrounding ±`window` tokens joined
     * back into a display string — the search-result snippet / concordance

@@ -1908,6 +1908,37 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("bpeMerges equals an in-memory reference trainer (Sennrich corpus)") {
+    val wordFreq = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    // reference: greedy BPE with (count desc, left, right) tie-break and
+    // left-to-right non-overlapping application
+    var reps = wordFreq.map { case (w, f) => (w.map(_.toString).toList, f.toLong) }
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (step <- 1 to 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      reps.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f) }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      expect += ((step, a, b, a + b, cnt))
+      reps = reps.map { case (syms, f) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toList, f)
+      }
+    }
+    val docs = wordFreq.flatMap { case (w, f) => Seq.fill(f)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val rows = TextAnalysis.bpeMerges(docs, "text", nMerges = 6)
+      .orderBy("step").select("step", "left", "right", "merged", "pair_freq")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(rows == expect.toSeq, s"got $rows\nwant $expect")
+  }
+
   test("weightedReservoirPerGroup: exact k, heavy weights dominate") {
     val rows = (1 to 200).map(i => ("g", i.toLong, 1.0)) :+ (("g", 999L, 1e9))
     val got = Sampling.weightedReservoirPerGroup(
