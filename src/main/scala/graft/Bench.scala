@@ -96,8 +96,10 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads}"""
     println(line)
     // the driver captures only a log tail; persist the full line in-repo so
-    // round-over-round comparison never depends on tail-capture luck
-    try {
+    // round-over-round comparison never depends on tail-capture luck.
+    // Subset runs (BENCH_ONLY) skip the write — a 4-query debug run must
+    // not overwrite the full-suite artifact.
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("bench_full_last.json")
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

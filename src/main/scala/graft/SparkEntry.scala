@@ -2153,6 +2153,41 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // ROC-AUC per hash fold via the Mann-Whitney rank identity — the
+    // evaluation side of the scoring family: exact-rational ranks with
+    // textbook tie midpoints, no thresholds, no float comparisons.
+    "q191_fold_auc" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Sampling, Scoring}
+      val docs = Tables.documents(s, d)
+      val scored = Scoring.hashedLinearScore(docs, "doc_id", "text",
+          nBuckets = 1024, weightOf = b => b % 7 - 3, scalePow = 6)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+        .withColumn("fold", Sampling.multiplicativeBucket(col("doc_id"), 5))
+      Scoring.aucByGroup(scored, "fold", "margin", "is_en")
+        .select(col("grp").as("fold"), col("n_pos"), col("n_neg"), col("auc"))
+        .orderBy("fold")
+    }),
+
+    // k-core of the co-supplier backbone: 12 fixed peel rounds (the
+    // unrolled-oracle contract; convergence checkable as min degree
+    // >= k in the output) strip low-degree hangers-on.
+    "q192_kcore" -> ((s0, d) => {
+      val s = prep(s0)
+      val sup = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
+        .where(col("sk") < col("sk2"))
+        .groupBy(col("sk").as("u"), col("sk2").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u"), col("v")).limit(2000)
+        .select("u", "v")
+      graft.operators.Graphs.kCorePeel(edges, "u", "v", k = 3, rounds = 12)
+        .orderBy("id")
+    }),
+
     // BPE tokenizer training, distributed: 6 greedy merge rounds over
     // the vocabulary-sized word-type table; delimiter-exact string
     // replace makes each round's application ANSI-replicable.
@@ -5719,6 +5754,75 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // The q126 margin spelling + q81 fold hash, then the Mann-Whitney
+    // identity with rank()+tie-midpoint — every intermediate an exact
+    // rational.
+    "q191_fold_auc" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(toks, t ->
+        |      ((list_sum(list_transform(range(1, 16), i ->
+        |          (strpos('0123456789abcdef',
+        |             substr(md5(t), CAST(i AS INT), 1)) - 1)
+        |          * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT))))
+        |        % 1024) % 7) - 3)) AS BIGINT) AS raw
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, (lang = 'en') AS pos, raw / 64.0 AS s,
+        |    CAST(((doc_id * 2654435761) % 4294967296) % 5 AS INT) AS fold
+        |  FROM sc),
+        |r AS (
+        |  SELECT fold, s, pos,
+        |    RANK() OVER (PARTITION BY fold ORDER BY s) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY fold, s) AS BIGINT) AS ties
+        |  FROM f),
+        |a AS (
+        |  SELECT fold,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    SUM(CASE WHEN pos THEN CAST(rk AS DOUBLE)
+        |      + (CAST(ties AS DOUBLE) - 1.0) / 2.0 END) AS r_pos
+        |  FROM r GROUP BY 1)
+        |SELECT fold, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    ROUND((r_pos - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+        |      / CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
+        |FROM a ORDER BY fold""".stripMargin,
+
+    // The q161 backbone, then 12 peel rounds unrolled — each stage one
+    // degree count + membership semi-joins, replayed identically.
+    "q192_kcore" -> {
+      // AS MATERIALIZED: each stage references its predecessor three
+      // times — inlining would expand e0 3^12 times (observed as a
+      // too-many-open-files explosion), materialization keeps the chain
+      // linear, exactly like the engine's per-round lineage cut
+      val stages = (1 to 12).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |    SELECT u AS id FROM e${r - 1}
+           |    UNION ALL SELECT v AS id FROM e${r - 1}) s$r GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 3),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN k$r a ON a.id = e.u JOIN k$r b ON b.id = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sup AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |w AS MATERIALIZED (
+         |  SELECT a.sk AS u, b.sk AS v, COUNT(*) AS c
+         |  FROM sup a JOIN sup b ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT u, v FROM w ORDER BY c DESC, u, v LIMIT 2000),
+         |$stages
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |  SELECT u AS id FROM e12 UNION ALL SELECT v AS id FROM e12) fin
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
 
     // The 6 BPE rounds unrolled stage by stage: each stage recomputes
     // pair counts (zipped parallel unnest), picks the same

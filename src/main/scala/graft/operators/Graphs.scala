@@ -131,4 +131,48 @@ object Graphs {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core peel, fixed `rounds`: repeatedly remove vertices with degree
+    * < k and their incident edges — the dense-subgraph extractor that
+    * separates structural core from hangers-on (link-spam farms and
+    * one-off crawl edges peel away; the organically-linked core stays).
+    * Bounded iteration, not run-to-fixpoint: both a determinism contract
+    * (an engine replaying EXACTLY `rounds` peels reproduces the result
+    * row for row — the BPE-style unrolled-oracle property) and a
+    * scheduling one (each round is one degree aggregation + one
+    * semi-join; at cluster scale you budget rounds, and peeling
+    * converges in O(log n) rounds on real degree distributions).
+    * Convergence is CHECKABLE from the output: if no vertex sits below
+    * k, the peel reached the true k-core (a fixpoint round removes
+    * nothing); callers wanting certainty assert min(degree) >= k.
+    *
+    * Returns the surviving vertices with their within-subgraph degree.
+    * Scale shape per round: degree aggregation exchanges (vertex, 1)
+    * pairs; the survivor filter is a broadcast-or-hash semi-join of the
+    * edge list against the (shrinking) vertex set; lineage cuts via
+    * [[graft.core.Checkpoints.cut]] so `rounds` iterations never stack
+    * one plan. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1: $k/$rounds")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .transform(graft.core.Checkpoints.cut)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("id")
+      e = e
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .transform(graft.core.Checkpoints.cut)
+    }
+    e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
 }

@@ -53,4 +53,39 @@ object Scoring {
           / lit(math.pow(2, scalePow))).as("margin"))
       .withColumn("kept", col("margin") > 0)
   }
+
+  /** ROC-AUC per group from ranks (the Mann–Whitney U identity):
+    * AUC = (Σ avg-rank of positives − nPos(nPos+1)/2) / (nPos·nNeg) —
+    * the classifier-evaluation metric for the scoring family, computed
+    * WITHOUT thresholds, curves, or a single float comparison: scores
+    * rank with `rank()` plus the tie-midpoint correction
+    * (rank + (ties−1)/2, the textbook tie handling), so on integer or
+    * quantized scores every intermediate is an exact rational and any
+    * SQL engine reproduces the value bit for bit. Degenerate groups
+    * (one class absent) return NULL, not a division by zero.
+    *
+    * Scale shape: one exchange by group for the rank window (score
+    * ranks stream — no per-row state), one tie-count aggregation
+    * sharing that partitioning, one final row per group. */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(groupCol).as("grp"),
+        col(scoreCol).as("s"), col(labelCol).cast("boolean").as("pos"))
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("grp")).orderBy(col("s"))))
+      .withColumn("avg_rk",
+        col("rk").cast("double") +
+          (count(lit(1)).over(Window.partitionBy(col("grp"), col("s")))
+            .cast("double") - 1.0) / 2.0)
+    ranked.groupBy("grp")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("pos"), col("avg_rk"))).as("r_pos"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, round(
+          (col("r_pos") - col("n_pos").cast("double") *
+            (col("n_pos") + 1).cast("double") / 2.0) /
+            (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
+  }
 }

@@ -1908,6 +1908,28 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("aucByGroup: separable=1, inverted=0, ties=0.5, one-class=NULL") {
+    val rows = Seq(
+      ("sep", 1.0, true), ("sep", 2.0, true), ("sep", -1.0, false),
+      ("inv", -5.0, true), ("inv", 1.0, false), ("inv", 2.0, false),
+      ("tie", 3.0, true), ("tie", 3.0, false), ("tie", 3.0, true),
+      ("one", 1.0, true), ("one", 2.0, true))
+    val got = Scoring.aucByGroup(rows.toDF("g", "s", "y"), "g", "s", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("sep") == Some(1.0) && got("inv") == Some(0.0))
+    assert(got("tie") == Some(0.5) && got("one") == None)
+  }
+
+  test("kCorePeel: triangle survives k=2, tails peel, k=3 empties it") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val core2 = Graphs.kCorePeel(edges, "u", "v", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(Graphs.kCorePeel(edges, "u", "v", k = 3, rounds = 6).count() == 0)
+  }
+
   test("bpeMerges equals an in-memory reference trainer (Sennrich corpus)") {
     val wordFreq = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
     // reference: greedy BPE with (count desc, left, right) tie-break and
