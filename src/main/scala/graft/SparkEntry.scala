@@ -2153,6 +2153,65 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // Reliability table for the hashed-linear margin: fixed [-5,5)/20
+    // score bins, observed positive rate per bin — the recalibration
+    // input; exact counts, one rounded division.
+    "q193_calibration_bins" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Scoring
+      val docs = Tables.documents(s, d)
+      val scored = Scoring.hashedLinearScore(docs, "doc_id", "text",
+          nBuckets = 1024, weightOf = b => b % 7 - 3, scalePow = 6)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+      Scoring.calibrationBins(scored, "margin", "is_en",
+          lo = -5.0, hi = 5.0, bins = 20)
+        .orderBy("bin")
+    }),
+
+    // Do the dense and lexical retrievers see the same corpus slice?
+    // overlap@10 + set Jaccard per query over the two q185 rankings —
+    // the fusion-headroom diagnostic.
+    "q194_ranking_overlap" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val cosR = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rnk"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))).as("token"))
+      val lexR = toks.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("token"))
+        .join(toks, Seq("token"))
+        .where(col("query_id") =!= col("doc_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ov"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("ov").desc, col("doc_id"))))
+        .where(col("rnk") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      Similarity.overlapAtK(cosR, lexR, k = 10)
+        .orderBy("query_id")
+    }),
+
+    // Confusion counts + precision/recall/F1 per hash fold for the
+    // kept-vs-is_en decision — the q191 AUC's thresholded sibling.
+    "q195_classification_report" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.{Sampling, Scoring}
+      val docs = Tables.documents(s, d)
+      val scored = Scoring.hashedLinearScore(docs, "doc_id", "text",
+          nBuckets = 1024, weightOf = b => b % 7 - 3, scalePow = 6)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+        .withColumn("fold", Sampling.multiplicativeBucket(col("doc_id"), 5))
+      Scoring.classificationReport(scored, "fold", "kept", "is_en")
+        .select(col("grp").as("fold"), col("tp"), col("fp"), col("fn"),
+          col("tn"), col("precision"), col("recall"), col("f1"))
+        .orderBy("fold")
+    }),
+
     // ROC-AUC per hash fold via the Mann-Whitney rank identity — the
     // evaluation side of the scoring family: exact-rational ranks with
     // textbook tie midpoints, no thresholds, no float comparisons.
@@ -5754,6 +5813,123 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // The q126 margin, binned on the fixed [-5,5)/20 grid.
+    "q193_calibration_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(toks, t ->
+        |      ((list_sum(list_transform(range(1, 16), i ->
+        |          (strpos('0123456789abcdef',
+        |             substr(md5(t), CAST(i AS INT), 1)) - 1)
+        |          * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT))))
+        |        % 1024) % 7) - 3)) AS BIGINT) AS raw
+        |  FROM t),
+        |f AS (SELECT (lang = 'en') AS pos, raw / 64.0 AS s FROM sc),
+        |b AS (
+        |  SELECT CAST(least(greatest(floor((s - (-5.0)) / 0.5), 0), 19) AS INT)
+        |    AS bin, pos
+        |  FROM f WHERE s IS NOT NULL)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // The two q185 rankings, intersected at k=10.
+    "q194_ranking_overlap" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    list_sum(list_transform(list_zip(qe, ce),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(ce, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id),
+        |cosr AS (
+        |  SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, corpus_id AS doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, corpus_id) AS rnk
+        |    FROM scored) x WHERE rnk <= 10),
+        |dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(TRIM(text)), '\s+'), x -> x <> ''))) AS token
+        |  FROM documents),
+        |ov AS (
+        |  SELECT qt.query_id, dt.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+        |  FROM (SELECT doc_id AS query_id, token FROM dt WHERE doc_id < 5) qt
+        |  JOIN dt ON qt.token = dt.token AND dt.doc_id <> qt.query_id
+        |  GROUP BY 1, 2),
+        |lexr AS (
+        |  SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY ov DESC, doc_id) AS rnk
+        |    FROM ov) x WHERE rnk <= 10),
+        |na AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_a
+        |       FROM cosr GROUP BY 1),
+        |nb AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_b
+        |       FROM lexr GROUP BY 1),
+        |nc AS (SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM cosr a JOIN lexr b
+        |         ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+        |       GROUP BY 1)
+        |SELECT query_id,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  coalesce(n_common, 0) AS n_common,
+        |  ROUND(CAST(coalesce(n_common, 0) AS DOUBLE) / 10, 6) AS overlap_at_k,
+        |  CASE WHEN coalesce(n_a,0) + coalesce(n_b,0) - coalesce(n_common,0) > 0
+        |    THEN ROUND(CAST(coalesce(n_common, 0) AS DOUBLE)
+        |      / (coalesce(n_a,0) + coalesce(n_b,0) - coalesce(n_common,0)), 6)
+        |  END AS jaccard
+        |FROM na FULL OUTER JOIN nb USING (query_id)
+        |LEFT JOIN nc USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    // The q191 margin/fold frame thresholded at kept = margin > 0:
+    // confusion counts and the three rounded ratios.
+    "q195_classification_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(toks, t ->
+        |      ((list_sum(list_transform(range(1, 16), i ->
+        |          (strpos('0123456789abcdef',
+        |             substr(md5(t), CAST(i AS INT), 1)) - 1)
+        |          * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT))))
+        |        % 1024) % 7) - 3)) AS BIGINT) AS raw
+        |  FROM t),
+        |f AS (
+        |  SELECT (raw / 64.0 > 0) AS p, (lang = 'en') AS y,
+        |    CAST(((doc_id * 2654435761) % 4294967296) % 5 AS INT) AS fold
+        |  FROM sc),
+        |a AS (
+        |  SELECT fold,
+        |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM f GROUP BY 1)
+        |SELECT fold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |    THEN ROUND(CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn), 6)
+        |  END AS f1
+        |FROM a ORDER BY fold""".stripMargin,
 
     // The q126 margin spelling + q81 fold hash, then the Mann-Whitney
     // identity with rank()+tie-midpoint — every intermediate an exact

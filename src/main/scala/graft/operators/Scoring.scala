@@ -67,6 +67,52 @@ object Scoring {
     * Scale shape: one exchange by group for the rank window (score
     * ranks stream — no per-row state), one tie-count aggregation
     * sharing that partitioning, one final row per group. */
+  /** Score-calibration reliability table: fixed equal-width score bins
+    * (the q184/q186 fixed-grid argument — data-dependent edges make two
+    * models' tables incomparable), per bin the count and the observed
+    * positive rate. A well-calibrated score has rate rising
+    * monotonically with the bin; the table is the input to both the
+    * reliability plot and a Platt/isotonic recalibration step. Exact
+    * integers everywhere; the single rate division rounds once.
+    * One bins-bounded aggregation. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"bad calibration domain [$lo,$hi)/$bins")
+    val w = (hi - lo) / bins
+    df.where(col(scoreCol).isNotNull)
+      .groupBy(least(greatest(floor((col(scoreCol) - lit(lo)) / lit(w)),
+        lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+  }
+
+  /** Per-group binary classification report: confusion counts plus
+    * precision/recall/F1 — exact integer counts, three rounded
+    * divisions; degenerate denominators yield NULL, not NaN. One
+    * group-keyed aggregation. */
+  def classificationReport(df: DataFrame, groupCol: String,
+                           predCol: String, labelCol: String): DataFrame = {
+    val p = col(predCol).cast("boolean")
+    val y = col(labelCol).cast("boolean")
+    val agg = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !y, 1L).otherwise(0L)).as("tn"))
+    agg.select(col("grp"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+        .as("precision"),
+      when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+        .as("recall"),
+      when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        round(col("tp").cast("double") * 2 /
+          (col("tp") * 2 + col("fp") + col("fn")), 6)).as("f1"))
+  }
+
   def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                  labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -476,6 +476,39 @@ object Similarity {
     * input rankings. Scale shape: one union + one (query, doc)
     * aggregation + a per-query rank window over candidate lists whose
     * size is bounded by N·topK-of-inputs — never corpus-sized. */
+  /** Top-k agreement between two retrieval rankings — the diagnostic
+    * that justifies (or refutes) fusing them: overlap@k near 1 means
+    * the second retriever adds nothing; near 0 means the rankings see
+    * different corpora slices and RRF-style fusion has headroom. Per
+    * query: |A∩B| over the two top-k sets, overlap@k = |A∩B|/k and the
+    * set Jaccard — exact integer counts, two rounded divisions.
+    * Queries appearing in only one ranking emit with n_common=0.
+    * Scale shape: both inputs are already top-k-bounded (k rows per
+    * query), so every join and aggregation is candidate-list-sized. */
+  def overlapAtK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def side(df: DataFrame, nm: String) = df
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"))
+      .groupBy("query_id").agg(count(lit(1)).as(nm))
+    val common = a.where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"))
+      .join(b.where(col("rnk") <= k).select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    side(a, "n_a").join(side(b, "n_b"), Seq("query_id"), "full_outer")
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("overlap_at_k",
+        round(col("n_common").cast("double") / k, 6))
+      .withColumn("jaccard", when(col("n_a") + col("n_b") - col("n_common") > 0,
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6)))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
               topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")

@@ -1908,6 +1908,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("calibrationBins: clamped fixed grid, per-bin positive rates") {
+    val rows = Seq((-99.0, false), (0.1, false), (0.1, true), (0.6, true),
+      (99.0, true))
+    val got = Scoring.calibrationBins(rows.toDF("s", "y"), "s", "y",
+        lo = 0.0, hi = 1.0, bins = 2)
+      .orderBy("bin").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 3L, 1L, 0.333333), (1, 2L, 2L, 1.0)))
+  }
+
+  test("classificationReport: confusion counts and F1 by hand") {
+    val rows = Seq(("g", true, true), ("g", true, false), ("g", false, true),
+      ("g", false, false), ("g", true, true))
+    val r = Scoring.classificationReport(rows.toDF("g", "p", "y"), "g", "p", "y")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(r == (("g", 2L, 1L, 1L, 1L, 0.666667, 0.666667, 0.666667)))
+  }
+
+  test("overlapAtK: intersection, jaccard, one-sided queries surface") {
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 20L, 1), (1L, 40L, 2), (3L, 50L, 1)).toDF("query_id", "doc_id", "rnk")
+    val got = Similarity.overlapAtK(a, b, k = 2)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1L, 0.5, Some(0.333333)),
+      (2L, 1L, 0L, 0L, 0.0, Some(0.0)),
+      (3L, 0L, 1L, 0L, 0.0, Some(0.0))))
+  }
+
   test("aucByGroup: separable=1, inverted=0, ties=0.5, one-class=NULL") {
     val rows = Seq(
       ("sep", 1.0, true), ("sep", 2.0, true), ("sep", -1.0, false),
