@@ -2153,6 +2153,20 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // Real-time distribution-drift monitor: per (window, type) PSI of
+    // the streaming value histogram against the type's all-time
+    // baseline — a report over the q186 state table, never a second
+    // pass over events.
+    "q196_stream_psi_drift" -> ((s0, d) => {
+      val s = prep(s0)
+      val hist = graft.streaming.EventsStream.streamValueHistogram(
+        s, d, windowSec = 600, lo = 0.0, hi = 500.0, bins = 50)
+      graft.operators.Validation.psiByGroup(hist,
+          Seq("win_start", "event_type"), Seq("event_type"),
+          "bin", "cnt", bins = 50)
+        .orderBy("win_start", "event_type")
+    }),
+
     // Reliability table for the hashed-linear margin: fixed [-5,5)/20
     // score bins, observed positive rate per bin — the recalibration
     // input; exact counts, one rounded division.
@@ -5813,6 +5827,49 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // The q186 batch histogram, full 50-bin grid per (window, type),
+    // baseline pooled per type, micro-nat terms, exact integer totals.
+    "q196_stream_psi_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS win_start,
+        |    event_type,
+        |    CAST(least(greatest(floor(value / 10.0), 0), 49) AS INT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT win_start, event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT win_start, event_type, CAST(bn AS INT) AS bin
+        |  FROM (SELECT DISTINCT win_start, event_type FROM g) gw
+        |  CROSS JOIN (SELECT unnest(range(50)) AS bn) z),
+        |cur AS (
+        |  SELECT grid.win_start, grid.event_type, grid.bin,
+        |    coalesce(cnt, 0) AS c
+        |  FROM grid LEFT JOIN g USING (win_start, event_type, bin)),
+        |base AS (SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS bc
+        |         FROM g GROUP BY 1, 2),
+        |wb AS (
+        |  SELECT cur.win_start, cur.event_type, cur.bin, c,
+        |    coalesce(bc, 0) AS bc
+        |  FROM cur LEFT JOIN base USING (event_type, bin)),
+        |tg AS (SELECT win_start, event_type, CAST(SUM(c) AS BIGINT) AS tgn
+        |       FROM wb GROUP BY 1, 2),
+        |tb AS (SELECT event_type, CAST(SUM(bc) AS BIGINT) AS tbn FROM (
+        |         SELECT DISTINCT event_type, bin, bc FROM wb) dd GROUP BY 1),
+        |terms AS (
+        |  SELECT wb.win_start, wb.event_type, tgn,
+        |    CAST(ROUND((
+        |      (CAST(c AS DOUBLE) + 0.5) / (CAST(tgn AS DOUBLE) + 25.0)
+        |      - (CAST(bc AS DOUBLE) + 0.5) / (CAST(tbn AS DOUBLE) + 25.0))
+        |      * ln(((CAST(c AS DOUBLE) + 0.5) / (CAST(tgn AS DOUBLE) + 25.0))
+        |         / ((CAST(bc AS DOUBLE) + 0.5) / (CAST(tbn AS DOUBLE) + 25.0)))
+        |      * 1000000.0, 0) AS BIGINT) AS tm
+        |  FROM wb JOIN tg USING (win_start, event_type)
+        |  JOIN tb USING (event_type))
+        |SELECT win_start, event_type, CAST(MIN(tgn) AS BIGINT) AS n,
+        |  ROUND(SUM(tm) / 1000000.0, 6) AS psi
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     // The q126 margin, binned on the fixed [-5,5)/20 grid.
     "q193_calibration_bins" ->

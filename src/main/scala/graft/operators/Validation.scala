@@ -156,6 +156,60 @@ object Validation {
         round((p - q) * log(p / q) * 1e6, 0).cast("long").as("term_micro"))
   }
 
+  /** PSI of every group's bin distribution against a BASELINE
+    * distribution pooled over `baseCols` (a subset of `grpCols` — e.g.
+    * group = (window, type), baseline = (type)): the continuous-drift
+    * form of [[psiDrift]], consuming pre-binned counts (one row per
+    * group × occupied bin — exactly what the streaming fixed-bin
+    * histogram state table emits), so the monitor is a report over
+    * state, never a second pass over events. Same fixed-grid +
+    * Laplace-smoothing + integer micro-nat-total contract as
+    * [[psiDrift]]. Returns one row per group with its total count and
+    * PSI. Scale shape: everything downstream of the state table is
+    * bins-bounded per group; the baseline is a baseCols×bins aggregate
+    * broadcast back. */
+  def psiByGroup(counts: DataFrame, grpCols: Seq[String],
+                 baseCols: Seq[String], binCol: String, cntCol: String,
+                 bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(baseCols.toSet.subsetOf(grpCols.toSet),
+      s"baseCols $baseCols must be a subset of grpCols $grpCols")
+    // every branch that re-reads `counts` re-aliases its columns: an
+    // alias mints a fresh attribute id, so the three-way self-join
+    // resolves even when `counts` is a VIEW (e.g. a streaming memory
+    // sink), where Spark's automatic self-join dedup gives up
+    def rebased(cols: Seq[String], extra: Seq[Column]): DataFrame =
+      counts.select(cols.map(n => col(n).as(n)) ++ extra: _*)
+    val grid = rebased(grpCols, Nil).distinct()
+      .crossJoin(counts.sparkSession.range(bins.toLong)
+        .select(col("id").cast("int").as(binCol)))
+    val cur = grid
+      .join(rebased(grpCols :+ binCol, Seq(col(cntCol).as("__c"))),
+        grpCols :+ binCol, "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val base = rebased(baseCols :+ binCol, Seq(col(cntCol).as("__cnt0")))
+      .groupBy((baseCols :+ binCol).map(col): _*)
+      .agg(sum(col("__cnt0")).as("__bc"))
+    val withBase = cur.join(base, baseCols :+ binCol, "left")
+      .withColumn("__bc", coalesce(col("__bc"), lit(0L)))
+    val tGrp = withBase.groupBy(grpCols.map(col): _*)
+      .agg(sum("__c").as("__tg"))
+    val tBase = withBase
+      .select((baseCols :+ binCol).map(col) :+ col("__bc"): _*).distinct()
+      .groupBy(baseCols.map(col): _*).agg(sum("__bc").as("__tb"))
+    val p = (col("__c").cast("double") + lit(0.5)) /
+      (col("__tg").cast("double") + lit(bins * 0.5))
+    val q = (col("__bc").cast("double") + lit(0.5)) /
+      (col("__tb").cast("double") + lit(bins * 0.5))
+    withBase
+      .join(broadcast(tGrp), grpCols)
+      .join(broadcast(tBase), baseCols)
+      .withColumn("__tm", round((p - q) * log(p / q) * 1e6, 0).cast("long"))
+      .groupBy(grpCols.map(col): _*)
+      .agg(first(col("__tg")).as("n"),
+        round(sum(col("__tm")) / 1e6, 6).as("psi"))
+  }
+
   /** Per-group ordinary-least-squares fit y = slope·x + intercept, plus
     * R² — the trend profile behind drift dashboards ("is unit price
     * rising with quantity in THIS segment?"). Same exact-moment policy

@@ -1908,6 +1908,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("psiByGroup: window matching its baseline ~0, shifted window large") {
+    // two windows of type 'a': w1 mass in bin 0, w2 mass in bin 9;
+    // baseline = pooled — both windows drift from it equally; a third
+    // window with the pooled shape sits near zero
+    val counts = Seq(
+      (1L, "a", 0, 100L), (2L, "a", 9, 100L),
+      (3L, "a", 0, 50L), (3L, "a", 9, 50L)).toDF("win", "typ", "bin", "cnt")
+    val got = Validation.psiByGroup(counts, Seq("win", "typ"), Seq("typ"),
+        "bin", "cnt", bins = 10)
+      .orderBy("win").select("win", "psi").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2 > 0.25 && got(1)._2 > 0.25, s"drifted windows $got")
+    // Laplace smoothing contributes ~0.003/empty-bin at n=100: "stable"
+    // reads as well under the 0.1 industry line, not literally zero
+    assert(math.abs(got(2)._2) < 0.05, s"baseline-shaped window ${got(2)}")
+  }
+
   test("calibrationBins: clamped fixed grid, per-bin positive rates") {
     val rows = Seq((-99.0, false), (0.1, false), (0.1, true), (0.6, true),
       (99.0, true))
