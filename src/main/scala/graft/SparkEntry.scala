@@ -2153,6 +2153,28 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // Hilbert vs z-order vs natural layout: the Hilbert curve never
+    // jumps, so at the same bucket width its per-bucket dimension spans
+    // undercut Morton's diagonal-seam buckets — measured, not claimed,
+    // with the same fixed-width-bucket statistic as q122.
+    // Two granularities tell the real story: at quadrant-aligned
+    // bucketing (10 bits, even shift) both curves cut the SAME 32x32
+    // tiles — identical spans; at the odd granularity (11 bits) z-order
+    // splits every tile along one axis (x tight, y wide) while
+    // Hilbert's half-tiles stay contiguous curve segments with BALANCED
+    // spans — the smaller worst-dimension span that multi-predicate
+    // pruning actually feels.
+    "q197_hilbert_layout" -> ((s0, d) => {
+      val s = prep(s0)
+      val li = Tables.lineitem(s, d)
+      Seq(10, 11).map { bb =>
+        graft.operators.Layout.curveQuality(li,
+            "l_partkey", "l_suppkey", "l_orderkey", bits = 16, bucketBits = bb)
+          .withColumn("bucket_bits", lit(bb))
+      }.reduce(_ unionByName _)
+        .orderBy("bucket_bits", "layout")
+    }),
+
     // Real-time distribution-drift monitor: per (window, type) PSI of
     // the streaming value histogram against the type's all-time
     // baseline — a report over the q186 state table, never a second
@@ -5827,6 +5849,86 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // The q122 z/natural measurement plus the Hilbert d recomputed by a
+    // 16-level recursive CTE (quadrant digit + reflect/swap per level,
+    // full-grid reflection constant) — pure integer arithmetic; both
+    // bucket granularities summarized from the same curve values.
+    "q197_hilbert_layout" -> {
+      val sums = Seq((10, 22, 1024L), (11, 21, 2048L)).map { case (bb, sh, ns) =>
+        s"""hs$bb AS (
+           |  SELECT hv >> $sh AS bucket,
+           |    MAX(ux) - MIN(ux) + 1 AS span_x, MAX(uy) - MIN(uy) + 1 AS span_y
+           |  FROM hvals GROUP BY 1),
+           |zs$bb AS (
+           |  SELECT zv >> $sh AS bucket,
+           |    MAX(ux) - MIN(ux) + 1 AS span_x, MAX(uy) - MIN(uy) + 1 AS span_y
+           |  FROM z GROUP BY 1),
+           |ns$bb AS (
+           |  SELECT ((o - min_o) * $ns) // (max_o - min_o + 1) AS bucket,
+           |    MAX(ux) - MIN(ux) + 1 AS span_x, MAX(uy) - MIN(uy) + 1 AS span_y
+           |  FROM z GROUP BY 1),
+           |t$bb AS (
+           |  SELECT $bb AS bucket_bits, 'hilbert' AS layout,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           |    CAST(SUM(span_x) AS BIGINT) AS sx, CAST(SUM(span_y) AS BIGINT) AS sy
+           |  FROM hs$bb
+           |  UNION ALL
+           |  SELECT $bb, 'zorder', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(span_x) AS BIGINT), CAST(SUM(span_y) AS BIGINT) FROM zs$bb
+           |  UNION ALL
+           |  SELECT $bb, 'natural', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(span_x) AS BIGINT), CAST(SUM(span_y) AS BIGINT) FROM ns$bb)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE b AS (
+         |  SELECT MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+         |    MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y,
+         |    MIN(l_orderkey) AS min_o2, MAX(l_orderkey) AS max_o2
+         |  FROM lineitem),
+         |u AS (
+         |  SELECT
+         |    ((l_partkey - min_x) * 65536) // (max_x - min_x + 1) AS ux,
+         |    ((l_suppkey - min_y) * 65536) // (max_y - min_y + 1) AS uy,
+         |    l_orderkey AS o, min_o2 AS min_o, max_o2 AS max_o
+         |  FROM lineitem CROSS JOIN b),
+         |z AS (
+         |  SELECT ux, uy, o, min_o, max_o,
+         |    list_sum(list_transform(range(0, 16), i ->
+         |      (((ux >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+         |      + (((uy >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT)))) AS zv
+         |  FROM u),
+         |h AS (
+         |  SELECT ux, uy, CAST(ux AS BIGINT) AS x, CAST(uy AS BIGINT) AS y,
+         |    CAST(0 AS BIGINT) AS d, 15 AS lvl
+         |  FROM u
+         |  UNION ALL
+         |  SELECT ux, uy,
+         |    CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) = 0 THEN
+         |      CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) != 0
+         |        THEN 65535 - y ELSE y END
+         |    ELSE x END,
+         |    CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) = 0 THEN
+         |      CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) != 0
+         |        THEN 65535 - x ELSE x END
+         |    ELSE y END,
+         |    d + ((CAST(1 AS BIGINT) << lvl) * (CAST(1 AS BIGINT) << lvl))
+         |      * CAST(xor(
+         |          3 * (CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) != 0
+         |               THEN 1 ELSE 0 END),
+         |          (CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) != 0
+         |           THEN 1 ELSE 0 END)) AS BIGINT),
+         |    lvl - 1
+         |  FROM h WHERE lvl >= 0),
+         |hvals AS (SELECT ux, uy, d AS hv FROM h WHERE lvl = -1),
+         |$sums
+         |SELECT layout, n_buckets,
+         |  ROUND(CAST(sx AS DOUBLE) / CAST(n_buckets * 65536 AS DOUBLE), 6) AS avg_span_x,
+         |  ROUND(CAST(sy AS DOUBLE) / CAST(n_buckets * 65536 AS DOUBLE), 6) AS avg_span_y,
+         |  CAST(bucket_bits AS INT) AS bucket_bits
+         |FROM (SELECT * FROM t10 UNION ALL SELECT * FROM t11) allt
+         |ORDER BY bucket_bits, layout""".stripMargin
+    },
 
     // The q186 batch histogram, full 50-bin grid per (window, type),
     // baseline pooled per type, micro-nat terms, exact integer totals.

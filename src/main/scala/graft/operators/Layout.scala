@@ -98,4 +98,72 @@ object Layout {
             / (col("n_buckets") * lit(1L << bits)).cast("double"), 6).as("avg_span_y"))
     summarize(zSpans, "zorder").unionByName(summarize(nSpans, "natural"))
   }
+
+  /** Hilbert-curve value of two `bits`-wide non-negative int columns —
+    * the locality upgrade over Morton z-order: the Hilbert curve never
+    * jumps (consecutive d are grid neighbors), so bucket spans shrink
+    * further at the same bucket width (z-order's big diagonal seams put
+    * distant points in one bucket). The classic xy→d bit loop
+    * (quadrant digit + reflect/swap rotation per level) spelled as a
+    * fold over levels with a struct accumulator — pure integer
+    * arithmetic, recomputable in any engine with a recursive CTE; the
+    * reflection uses the full-grid n−1 constant, matching the reference
+    * implementation. */
+  def hilbertValueExpr(xName: String, yName: String, bits: Int): Column = {
+    val n1 = (1L << bits) - 1
+    expr(s"""aggregate(
+      transform(sequence(${bits - 1}, 0, -1), i -> shiftleft(CAST(1 AS BIGINT), i)),
+      named_struct('x', CAST($xName AS BIGINT), 'y', CAST($yName AS BIGINT),
+        'd', CAST(0 AS BIGINT)),
+      (acc, s) -> named_struct(
+        'x', CASE WHEN (acc.y & s) = 0 THEN
+               CASE WHEN (acc.x & s) != 0 THEN ${n1}L - acc.y ELSE acc.y END
+             ELSE acc.x END,
+        'y', CASE WHEN (acc.y & s) = 0 THEN
+               CASE WHEN (acc.x & s) != 0 THEN ${n1}L - acc.x ELSE acc.x END
+             ELSE acc.y END,
+        'd', acc.d + s * s * CAST(
+          (3 * (CASE WHEN (acc.x & s) != 0 THEN 1 ELSE 0 END))
+          ^ (CASE WHEN (acc.y & s) != 0 THEN 1 ELSE 0 END) AS BIGINT)),
+      acc -> acc.d)""")
+  }
+
+  /** Three-way clustering-quality comparison — natural ingest order vs
+    * z-order vs Hilbert, same fixed-width-bucket measurement as
+    * [[zOrderQuality]] (hilbert/z d-domains are both 2^(2·bits), so the
+    * identical bucket shift applies). The expected ordering on real
+    * data: hilbert ≤ zorder « natural on average span. */
+  def curveQuality(df: DataFrame, xCol: String, yCol: String,
+                   orderCol: String, bits: Int = 16,
+                   bucketBits: Int = 10): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).cast("long").as("min_x"), max(col(xCol)).cast("long").as("max_x"),
+      min(col(yCol)).cast("long").as("min_y"), max(col(yCol)).cast("long").as("max_y"),
+      min(col(orderCol)).cast("long").as("min_o"), max(col(orderCol)).cast("long").as("max_o"))
+    val u = df.select(col(xCol), col(yCol), col(orderCol))
+      .crossJoin(broadcast(bounds))
+      .withColumn("ux", normalize(col(xCol).cast("long"), col("min_x"), col("max_x"), bits))
+      .withColumn("uy", normalize(col(yCol).cast("long"), col("min_y"), col("max_y"), bits))
+      .withColumn("z", zValueExpr("ux", "uy", bits))
+      .withColumn("hv", hilbertValueExpr("ux", "uy", bits))
+    val shift = 2 * bits - bucketBits
+    def summarize(spans: DataFrame, name: String): DataFrame =
+      spans.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("span_x")).as("sx"), sum(col("span_y")).as("sy"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          round(col("sx").cast("double")
+            / (col("n_buckets") * lit(1L << bits)).cast("double"), 6).as("avg_span_x"),
+          round(col("sy").cast("double")
+            / (col("n_buckets") * lit(1L << bits)).cast("double"), 6).as("avg_span_y"))
+    summarize(bucketSpans(u, shiftright(col("hv"), shift), col("ux"), col("uy")),
+        "hilbert")
+      .unionByName(summarize(
+        bucketSpans(u, shiftright(col("z"), shift), col("ux"), col("uy")),
+        "zorder"))
+      .unionByName(summarize(bucketSpans(
+        u.withColumn("nb", normalize(col(orderCol).cast("long"),
+          col("min_o"), col("max_o"), bucketBits)),
+        col("nb"), col("ux"), col("uy")), "natural"))
+  }
 }

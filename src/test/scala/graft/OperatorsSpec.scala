@@ -1908,6 +1908,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("hilbertValueExpr: bijection on the grid, unit-step locality") {
+    val bits = 3
+    val pts = for (x <- 0 until 8; y <- 0 until 8) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("d", Layout.hilbertValueExpr("x", "y", bits))
+      .select("x", "y", "d").as[(Int, Int, Long)].collect()
+    val byD = got.map { case (x, y, dd) => dd -> ((x, y)) }.toMap
+    assert(byD.keySet == (0L until 64L).toSet) // a true space-filling bijection
+    (0L until 63L).foreach { dd =>
+      val (x1, y1) = byD(dd); val (x2, y2) = byD(dd + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between d=$dd and ${dd + 1}") // z-order fails this
+    }
+  }
+
   test("psiByGroup: window matching its baseline ~0, shifted window large") {
     // two windows of type 'a': w1 mass in bin 0, w2 mass in bin 9;
     // baseline = pooled — both windows drift from it equally; a third
