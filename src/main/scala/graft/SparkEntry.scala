@@ -2157,6 +2157,43 @@ object SparkEntry {
     // jumps, so at the same bucket width its per-bucket dimension spans
     // undercut Morton's diagonal-seam buckets — measured, not claimed,
     // with the same fixed-width-bucket statistic as q122.
+    // Next-item rules: directional session transitions (a -> b within
+    // 30 min) with confidence = P(b | a) — the sequential sibling of
+    // q181's basket mining and the prep a recommender serves from.
+    "q198_next_item_rules" -> ((s0, d) => {
+      val s = prep(s0)
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      graft.operators.Association.sequentialRules(ev, "user_id", "ts",
+          "event_id", "item", maxGapSec = 1800, minSupport = 2)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // Mixed-language screen: head and tail halves classified
+    // independently — disagreement flags concatenation artifacts that
+    // poison language filters and language-conditional mixes.
+    "q199_mixed_language" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      val (h, t) = TextAnalysis.halfLangs(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("lang_head"),
+          t.as("lang_tail"))
+        .withColumn("is_mixed", col("lang_head") =!= col("lang_tail"))
+        .orderBy("doc_id")
+    }),
+
+    // Class-separation audit: pairwise cosines between label centroids
+    // of the embedding space — every fold deterministic-ordered, so the
+    // matrix is hash-exact.
+    "q200_label_centroid_cosines" -> ((s0, d) => {
+      val s = prep(s0)
+      graft.operators.Similarity.labelCentroidCosines(
+          Tables.embeddings(s, d), "label", "vec_id", "embedding")
+        .orderBy("lbl_a", "lbl_b")
+    }),
+
     // Two granularities tell the real story: at quadrant-aligned
     // bucketing (10 bits, even shift) both curves cut the SAME 32x32
     // tiles — identical spans; at the odd granularity (11 bits) z-order
@@ -5849,6 +5886,100 @@ object SparkEntry {
         |  ROUND(list_sum(list(v ORDER BY event_id)) / 100.0, 4) AS decay_score
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // LEAD over (user, micros, event_id); totals BEFORE the support
+    // filter so confidence denominators stay complete.
+    "q198_next_item_rules" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(props->>'k' AS INT) AS item
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, item AS item_a,
+        |    LEAD(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS item_b,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS us_b
+        |  FROM e),
+        |p AS (
+        |  SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS cnt FROM s
+        |  WHERE item_b IS NOT NULL AND us_b - us <= 1800000000
+        |  GROUP BY 1, 2),
+        |t AS (SELECT item_a, CAST(SUM(cnt) AS BIGINT) AS total_a
+        |      FROM p GROUP BY 1)
+        |SELECT item_a, item_b, cnt, total_a,
+        |  ROUND(CAST(cnt AS DOUBLE) / total_a, 6) AS confidence
+        |FROM p JOIN t USING (item_a) WHERE cnt >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // The q26 language CASE replayed over each half (raw-text cjk
+    // ratio, lowered-trimmed stopword hits), halves cut at len//2.
+    "q199_mixed_language" -> {
+      def hits(toks: String, words: Seq[String]): String =
+        s"len(list_filter($toks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+      def langCase(h: String, p: String): String =
+        s"""CASE
+           |      WHEN CAST(len($h) - len(regexp_replace($h, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+           |           / greatest(len($h), 1) > 0.2 THEN 'zh'
+           |      WHEN ${p}_en >= ${p}_de AND ${p}_en >= ${p}_fr AND ${p}_en >= ${p}_es AND ${p}_en > 0 THEN 'en'
+           |      WHEN ${p}_de >= ${p}_fr AND ${p}_de >= ${p}_es AND ${p}_de > 0 THEN 'de'
+           |      WHEN ${p}_fr >= ${p}_es AND ${p}_fr > 0 THEN 'fr'
+           |      WHEN ${p}_es > 0 THEN 'es'
+           |      ELSE 'und' END""".stripMargin
+      val en = Seq("the", "of", "is", "that", "it", "with")
+      val de = Seq("der", "die", "und", "das", "ist", "nicht")
+      val fr = Seq("le", "les", "est", "dans", "que", "pour")
+      val es = Seq("el", "los", "una", "por", "para", "del")
+      s"""WITH halves AS (
+         |  SELECT doc_id, lang,
+         |    substr(text, 1, len(text) // 2) AS h1,
+         |    substr(text, len(text) // 2 + 1, len(text)) AS h2
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang, h1, h2,
+         |    string_split_regex(lower(TRIM(h1)), '\\s+') AS t1,
+         |    string_split_regex(lower(TRIM(h2)), '\\s+') AS t2
+         |  FROM halves),
+         |svals AS (
+         |  SELECT doc_id, lang, h1, h2,
+         |    ${hits("t1", en)} AS s1_en, ${hits("t1", de)} AS s1_de,
+         |    ${hits("t1", fr)} AS s1_fr, ${hits("t1", es)} AS s1_es,
+         |    ${hits("t2", en)} AS s2_en, ${hits("t2", de)} AS s2_de,
+         |    ${hits("t2", fr)} AS s2_fr, ${hits("t2", es)} AS s2_es
+         |  FROM feats),
+         |cls AS (
+         |  SELECT doc_id, lang,
+         |    ${langCase("h1", "s1")} AS lang_head,
+         |    ${langCase("h2", "s2")} AS lang_tail
+         |  FROM svals)
+         |SELECT doc_id, lang, lang_head, lang_tail,
+         |  (lang_head <> lang_tail) AS is_mixed
+         |FROM cls ORDER BY doc_id""".stripMargin
+    },
+
+    // Per-dim centroid sums fold over vec_id order, dot/norm sums over
+    // dim order — the sorted-fold contract on float vectors.
+    "q200_label_centroid_cosines" ->
+      """WITH e AS (
+        |  SELECT label AS lbl, vec_id AS id, unnest(embedding) AS v,
+        |    unnest(range(len(embedding))) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT lbl, CAST(dim AS INT) AS dim,
+        |    list_sum(list(CAST(v AS DOUBLE) ORDER BY id)) / COUNT(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT lbl, sqrt(list_sum(list(c * c ORDER BY dim))) AS nrm
+        |  FROM cent GROUP BY lbl),
+        |dots AS (
+        |  SELECT a.lbl AS lbl_a, b.lbl AS lbl_b,
+        |    list_sum(list(a.c * b.c ORDER BY a.dim)) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.lbl < b.lbl
+        |  GROUP BY 1, 2)
+        |SELECT lbl_a, lbl_b,
+        |  ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+        |FROM dots
+        |JOIN norms na ON na.lbl = lbl_a
+        |JOIN norms nb ON nb.lbl = lbl_b
+        |ORDER BY lbl_a, lbl_b""".stripMargin,
 
     // The q122 z/natural measurement plus the Hilbert d recomputed by a
     // 16-level recursive CTE (quadrant digit + reflect/swap per level,

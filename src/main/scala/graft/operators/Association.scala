@@ -52,4 +52,41 @@ object Association {
         round(col("__nb").cast("double") * col("support") /
           (col("cnt_a") * col("cnt_b")), 6).as("lift"))
   }
+
+  /** Sequential association rules a→b — the DIRECTIONAL sibling of
+    * [[cooccurrencePairs]] and the prep behind next-item
+    * recommendation: consecutive (item, next-item) pairs per actor in
+    * event-time order, gap-bounded so a pair spans a session, not a
+    * fortnight. Confidence = count(a→b)/count(a→·), the conditional
+    * the recommender serves; exact integer counts, one rounded
+    * division.
+    *
+    * Scale shape: one exchange by actor for the lead window (the
+    * stream each actor's events already cluster by), then a pair-keyed
+    * aggregation whose cardinality is the item-transition matrix —
+    * item-vocabulary-bounded, never event-bounded. Timestamps compare
+    * as integer microseconds (truncated micros order identically in
+    * any engine). */
+  def sequentialRules(df: DataFrame, actorCol: String, tsCol: String,
+                      tieCol: String, itemCol: String,
+                      maxGapSec: Long, minSupport: Long): DataFrame = {
+    require(maxGapSec > 0 && minSupport >= 1,
+      s"need positive gap/support: $maxGapSec/$minSupport")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(actorCol))
+      .orderBy(col("__us"), col(tieCol))
+    val seq0 = df.select(col(actorCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"), col(itemCol).as("item_a"))
+      .withColumn("item_b", lead(col("item_a"), 1).over(w))
+      .withColumn("__us_b", lead(col("__us"), 1).over(w))
+      .where(col("item_b").isNotNull &&
+        col("__us_b") - col("__us") <= maxGapSec * 1000000L)
+    val pairCnt = seq0.groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairCnt.groupBy("item_a").agg(sum("cnt").as("total_a"))
+    pairCnt.where(col("cnt") >= minSupport)
+      .join(broadcast(totals), Seq("item_a"))
+      .select(col("item_a"), col("item_b"), col("cnt"), col("total_a"),
+        round(col("cnt").cast("double") / col("total_a"), 6).as("confidence"))
+  }
 }

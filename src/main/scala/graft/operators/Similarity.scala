@@ -476,6 +476,50 @@ object Similarity {
     * input rankings. Scale shape: one union + one (query, doc)
     * aggregation + a per-query rank window over candidate lists whose
     * size is bounded by N·topK-of-inputs — never corpus-sized. */
+  /** Pairwise cosine similarity between LABEL CENTROIDS — the class-
+    * separation audit for an embedding space: high off-diagonal
+    * centroid cosines mean the classes a downstream head must separate
+    * sit on top of each other, a property worth measuring BEFORE
+    * training on 100 TB of it. Everything folds in deterministic order
+    * (per-dim sums over vec_id-sorted values, dot/norm sums over
+    * dim-sorted products), so the matrix is hash-exact on any engine —
+    * the unigram-NLL sorted-fold contract applied to float vectors.
+    *
+    * Scale shape: one exchange carrying (label, dim, id, v) quads; the
+    * per-(label, dim) lists hold one label's values for one dimension
+    * (class-size-bounded); the centroid table is labels×dims and every
+    * pairwise step is labels²-bounded. */
+  def labelCentroidCosines(df: DataFrame, labelCol: String, idCol: String,
+                           vecCol: String): DataFrame = {
+    val expl = df.select(col(labelCol).as("lbl"), col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val cent = expl.groupBy("lbl", "dim")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("id"), col("v")))).as("__cs"))
+      .withColumn("c", aggregate(col("__cs"), lit(0.0),
+        (a, x) => a + x.getField("v")) / col("n"))
+      .select("lbl", "dim", "c")
+    val norms = cent.groupBy("lbl")
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("__ds"))
+      .withColumn("nrm", sqrt(aggregate(col("__ds"), lit(0.0),
+        (a, x) => a + x.getField("c") * x.getField("c"))))
+      .select("lbl", "nrm")
+    val a = cent.select(col("lbl").as("lbl_a"), col("dim"), col("c").as("ca"))
+    val b = cent.select(col("lbl").as("lbl_b"), col("dim"), col("c").as("cb"))
+    a.join(b, Seq("dim")).where(col("lbl_a") < col("lbl_b"))
+      .groupBy("lbl_a", "lbl_b")
+      .agg(sort_array(collect_list(struct(col("dim"),
+        (col("ca") * col("cb")).as("p")))).as("__ps"))
+      .withColumn("dot", aggregate(col("__ps"), lit(0.0),
+        (acc, x) => acc + x.getField("p")))
+      .join(broadcast(norms.select(col("lbl").as("lbl_a"),
+        col("nrm").as("na"))), Seq("lbl_a"))
+      .join(broadcast(norms.select(col("lbl").as("lbl_b"),
+        col("nrm").as("nb"))), Seq("lbl_b"))
+      .select(col("lbl_a"), col("lbl_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+  }
+
   /** Top-k agreement between two retrieval rankings — the diagnostic
     * that justifies (or refutes) fusing them: overlap@k near 1 means
     * the second retriever adds nothing; near 0 means the rankings see

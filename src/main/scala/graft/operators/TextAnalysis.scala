@@ -104,6 +104,18 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Head/tail language split — the mixed-language screen: classify the
+    * first and second half of the text independently; disagreement
+    * flags concatenation artifacts (scraped pages that glue a foreign
+    * footer/boilerplate onto the body), which poison both language
+    * filters and language-conditional training mixes. Pure projection —
+    * two [[langIdMulti]] evaluations over substrings, no shuffle. */
+  def halfLangs(text: Column): (Column, Column) = {
+    val half = floor(length(text) / 2).cast("int")
+    (langIdMulti(text.substr(lit(1), half)),
+      langIdMulti(text.substr(half + 1, length(text))))
+  }
+
   /** Stable document fingerprint: md5 of case/whitespace-normalized text —
     * the exact-dedup key (content-defined; reorder-sensitive). */
   def fingerprint(text: Column): Column =

@@ -1908,6 +1908,47 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((1L, 2L, 60.0))) // 40 + 0.5·40
   }
 
+  test("sequentialRules: directional counts, gap cut, complete denominators") {
+    val t0 = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, ts(t0), 1L, 10), (1L, ts(t0 + 60), 2L, 20),     // 10->20
+      (1L, ts(t0 + 120), 3L, 10), (1L, ts(t0 + 180), 4L, 20), // 20->10, 10->20
+      (1L, ts(t0 + 9999), 5L, 30),                         // gap: no 20->30
+      (2L, ts(t0), 6L, 10), (2L, ts(t0 + 10), 7L, 20)      // 10->20
+    ).toDF("u", "ts", "eid", "item")
+    val got = Association.sequentialRules(ev, "u", "ts", "eid", "item",
+        maxGapSec = 1800, minSupport = 2)
+      .as[(Int, Int, Long, Long, Double)].collect().toSet
+    // 10->20 three times; 20->10 once (below support, but still counted
+    // in 20's denominator had it passed — here only 10->20 survives)
+    assert(got == Set((10, 20, 3L, 3L, 1.0)))
+  }
+
+  test("halfLangs flags glued bilingual text, agrees on monolingual") {
+    val docs = Seq(
+      (1L, "the of is that it with " * 3 + "der die und das ist nicht " * 3),
+      (2L, "the of is that it with " * 6)).toDF("id", "text")
+    val (h, t) = TextAnalysis.halfLangs(col("text"))
+    val got = docs.select(col("id"), h.as("a"), t.as("b"))
+      .as[(Long, String, String)].collect()
+      .map { case (i, a, b) => i -> ((a, b)) }.toMap
+    assert(got(1L) == (("en", "de")))
+    assert(got(2L) == (("en", "en")))
+  }
+
+  test("labelCentroidCosines: identical classes cos 1, orthogonal cos 0") {
+    val rows = Seq(
+      ("a", 1L, Seq(1.0f, 0.0f)), ("a", 2L, Seq(1.0f, 0.0f)),
+      ("b", 3L, Seq(1.0f, 0.0f)),                     // same centroid as a
+      ("c", 4L, Seq(0.0f, 2.0f))                      // orthogonal
+    ).toDF("lbl0", "id", "vec")
+    val m = Similarity.labelCentroidCosines(rows, "lbl0", "id", "vec")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(m(("a", "b")) == 1.0 && m(("a", "c")) == 0.0 && m(("b", "c")) == 0.0)
+  }
+
   test("hilbertValueExpr: bijection on the grid, unit-step locality") {
     val bits = 3
     val pts = for (x <- 0 until 8; y <- 0 until 8) yield (x, y)
