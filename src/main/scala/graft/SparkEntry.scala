@@ -53,6 +53,48 @@ object SparkEntry {
   }
   private def sum6(c: Column): Column = graft.functions.Numeric.sumExactD(c, 6)
 
+  /** The dense (brute-force cosine) and lexical (distinct-token overlap)
+    * top-`depth` rankings for query docs `vec_id < nQueries` — shared by
+    * the RRF fusion (q185) and the overlap diagnostic (q194) so the two
+    * queries and their oracles can never drift apart. */
+  private def denseLexRankings(s: SparkSession, d: String, nQueries: Int,
+                               depth: Int): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val cosR = graft.operators.Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < nQueries), "vec_id", "embedding", depth)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rnk"))
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(filter(
+        split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))).as("token"))
+    val lexR = toks.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token"))
+      .join(toks, Seq("token"))
+      .where(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ov"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ov").desc, col("doc_id"))))
+      .where(col("rnk") <= depth)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    (cosR, lexR)
+  }
+
+  /** Top-`topK` co-supplier co-occurrence backbone (deterministic
+    * (count, u, v) tie-break) — shared by triangle counting (q161) and
+    * the k-core peel (q192); see q161's rationale for why the RAW
+    * co-occurrence graph must not be used. */
+  private def coSupplierBackbone(s: SparkSession, d: String,
+                                 topK: Int): DataFrame = {
+    val sup = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
+      .where(col("sk") < col("sk2"))
+      .groupBy(col("sk").as("u"), col("sk2").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("u"), col("v")).limit(topK)
+      .select("u", "v")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1802,9 +1844,6 @@ object SparkEntry {
     // triangles from canonical id-ordered edges.
     "q161_triangle_count" -> ((s0, d) => {
       val s = prep(s0)
-      val sup = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
       // co-occurrence BACKBONE, not the raw co-occurrence graph: raw
       // co-supplier pairs approach the complete graph as orders pile up
       // (measured sf0.1: 454k of 500k possible pairs present → ~10^8
@@ -1813,13 +1852,8 @@ object SparkEntry {
       // TakeOrderedAndProject — bounded at any scale): triangle counts
       // then measure the strong-tie clustering, the graph the analysis
       // actually wants.
-      val edges = sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
-        .where(col("sk") < col("sk2"))
-        .groupBy(col("sk").as("u"), col("sk2").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("u"), col("v")).limit(2000)
-        .select("u", "v")
-      graft.operators.Graphs.triangleCounts(edges, "u", "v")
+      graft.operators.Graphs.triangleCounts(
+          coSupplierBackbone(s, d, topK = 2000), "u", "v")
         .orderBy("id")
     }),
 
@@ -2203,12 +2237,9 @@ object SparkEntry {
     // pruning actually feels.
     "q197_hilbert_layout" -> ((s0, d) => {
       val s = prep(s0)
-      val li = Tables.lineitem(s, d)
-      Seq(10, 11).map { bb =>
-        graft.operators.Layout.curveQuality(li,
-            "l_partkey", "l_suppkey", "l_orderkey", bits = 16, bucketBits = bb)
-          .withColumn("bucket_bits", lit(bb))
-      }.reduce(_ unionByName _)
+      graft.operators.Layout.curveQualityMulti(Tables.lineitem(s, d),
+          "l_partkey", "l_suppkey", "l_orderkey", bits = 16,
+          bucketBitsSeq = Seq(10, 11))
         .orderBy("bucket_bits", "layout")
     }),
 
@@ -2247,24 +2278,8 @@ object SparkEntry {
     // the fusion-headroom diagnostic.
     "q194_ranking_overlap" -> ((s0, d) => {
       val s = prep(s0)
-      import graft.operators.Similarity
-      val emb = Tables.embeddings(s, d)
-      val cosR = Similarity.bruteForceTopK(emb,
-          emb.where(col("vec_id") < 5), "vec_id", "embedding", 20)
-        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rnk"))
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        explode(array_distinct(filter(
-          split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))).as("token"))
-      val lexR = toks.where(col("doc_id") < 5)
-        .select(col("doc_id").as("query_id"), col("token"))
-        .join(toks, Seq("token"))
-        .where(col("query_id") =!= col("doc_id"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ov"))
-        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("ov").desc, col("doc_id"))))
-        .where(col("rnk") <= 20)
-        .select(col("query_id"), col("doc_id"), col("rnk"))
-      Similarity.overlapAtK(cosR, lexR, k = 10)
+      val (cosR, lexR) = denseLexRankings(s, d, nQueries = 5, depth = 20)
+      graft.operators.Similarity.overlapAtK(cosR, lexR, k = 10)
         .orderBy("query_id")
     }),
 
@@ -2307,16 +2322,9 @@ object SparkEntry {
     // >= k in the output) strip low-degree hangers-on.
     "q192_kcore" -> ((s0, d) => {
       val s = prep(s0)
-      val sup = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
-        .where(col("sk") < col("sk2"))
-        .groupBy(col("sk").as("u"), col("sk2").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("u"), col("v")).limit(2000)
-        .select("u", "v")
-      graft.operators.Graphs.kCorePeel(edges, "u", "v", k = 3, rounds = 12)
+      graft.operators.Graphs.kCorePeel(
+          coSupplierBackbone(s, d, topK = 2000), "u", "v",
+          k = 3, rounds = 12)
         .orderBy("id")
     }),
 
@@ -2412,24 +2420,9 @@ object SparkEntry {
     // calibration; terms are exact rationals of integer ranks.
     "q185_rrf_fusion" -> ((s0, d) => {
       val s = prep(s0)
-      import graft.operators.Similarity
-      val emb = Tables.embeddings(s, d)
-      val cosR = Similarity.bruteForceTopK(emb,
-          emb.where(col("vec_id") < 5), "vec_id", "embedding", 20)
-        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rnk"))
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        explode(array_distinct(filter(
-          split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))).as("token"))
-      val lexR = toks.where(col("doc_id") < 5)
-        .select(col("doc_id").as("query_id"), col("token"))
-        .join(toks, Seq("token"))
-        .where(col("query_id") =!= col("doc_id"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ov"))
-        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("ov").desc, col("doc_id"))))
-        .where(col("rnk") <= 20)
-        .select(col("query_id"), col("doc_id"), col("rnk"))
-      Similarity.rrfFuse(Seq(cosR, lexR), kConst = 60, topK = 10)
+      val (cosR, lexR) = denseLexRankings(s, d, nQueries = 5, depth = 20)
+      graft.operators.Similarity.rrfFuse(Seq(cosR, lexR), kConst = 60,
+          topK = 10)
         .orderBy("query_id", "fused_rank")
     }),
 
@@ -5669,20 +5662,20 @@ object SparkEntry {
         |  AND levenshtein(a.p_name, b.p_name) <= 1
         |ORDER BY id1, id2""".stripMargin,
 
-    // Each dependency recomputed as a two-level aggregate; the ' null'
-    // sentinel mirrors the engine's null-variant coalesce.
+    // Each dependency recomputed as a two-level aggregate; the
+    // '__null__' sentinel mirrors the engine's null-variant coalesce.
     "q174_fd_discovery" ->
       """WITH g1 AS (SELECT o_orderkey,
-        |    COUNT(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), ' null')) AS n_rhs,
+        |    COUNT(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), '__null__')) AS n_rhs,
         |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1),
         |g2 AS (SELECT o_custkey,
-        |    COUNT(DISTINCT coalesce(CAST(o_orderstatus AS VARCHAR), ' null')) AS n_rhs,
+        |    COUNT(DISTINCT coalesce(CAST(o_orderstatus AS VARCHAR), '__null__')) AS n_rhs,
         |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1),
         |g3 AS (SELECT l_partkey,
-        |    COUNT(DISTINCT coalesce(CAST(l_suppkey AS VARCHAR), ' null')) AS n_rhs,
+        |    COUNT(DISTINCT coalesce(CAST(l_suppkey AS VARCHAR), '__null__')) AS n_rhs,
         |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1),
         |g4 AS (SELECT l_orderkey, l_linenumber,
-        |    COUNT(DISTINCT coalesce(CAST(l_partkey AS VARCHAR), ' null')) AS n_rhs,
+        |    COUNT(DISTINCT coalesce(CAST(l_partkey AS VARCHAR), '__null__')) AS n_rhs,
         |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1, 2)
         |SELECT * FROM (
         |  SELECT 'orderkey_to_custkey' AS dependency,
@@ -6299,11 +6292,11 @@ object SparkEntry {
         s"""p$k AS (
            |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
            |    SELECT freq, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
-           |    FROM (SELECT freq, string_split(TRIM(rep), ' ') AS l FROM w${k - 1}) s$k) z$k
+           |    FROM (SELECT freq, string_split(trim(rep, '|'), '||') AS l FROM w${k - 1}) s$k) z$k
            |  GROUP BY 1, 2),
            |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
            |w$k AS (SELECT freq,
-           |  replace(rep, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS rep
+           |  replace(rep, '|' || a || '||' || b || '|', '|' || a || b || '|') AS rep
            |  FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
       }.mkString(",\n")
       val finals = (1 to 6).map { k =>
@@ -6318,7 +6311,7 @@ object SparkEntry {
          |words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
          |          FROM tok GROUP BY 1),
          |w0 AS (SELECT freq,
-         |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep
+         |  '|' || array_to_string(string_split(word, ''), '||') || '|' AS rep
          |  FROM words),
          |$stages
          |SELECT * FROM ($finals) u ORDER BY step""".stripMargin

@@ -30,18 +30,24 @@ object Association {
   def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
                         minSupport: Long, maxBasket: Int = 10000): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
-    val memb = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+    val memb0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .dropDuplicates("b", "i")
-    val sized = memb.join(
-      memb.groupBy("b").agg(count(lit(1)).as("__bsz")), Seq("b"))
+    // capped baskets leave EVERY statistic, not just pair generation:
+    // support, item counts and the basket total must describe one
+    // universe or lift = n·support/(cnt_a·cnt_b) holds on none of them
+    // (a dropped mega-basket would inflate denominators it contributed
+    // no pairs to, understating lift for every item it touched)
+    val sized = memb0.join(
+      memb0.groupBy("b").agg(count(lit(1)).as("__bsz")), Seq("b"))
       .where(col("__bsz") <= maxBasket)
+      .localCheckpoint(true) // 3 consumers: pairs (twice), counts, total
     val pairs = sized.select(col("b"), col("i").as("ia"))
       .join(sized.select(col("b"), col("i").as("ib")), Seq("b"))
       .where(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
-    val itemCnt = memb.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-    val nBaskets = memb.agg(countDistinct(col("b")).as("__nb"))
+    val itemCnt = sized.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = sized.agg(countDistinct(col("b")).as("__nb"))
     pairs
       .join(broadcast(itemCnt.select(col("i").as("ia"), col("cnt").as("cnt_a"))),
         Seq("ia"))

@@ -135,7 +135,19 @@ object Layout {
     * data: hilbert ≤ zorder « natural on average span. */
   def curveQuality(df: DataFrame, xCol: String, yCol: String,
                    orderCol: String, bits: Int = 16,
-                   bucketBits: Int = 10): DataFrame = {
+                   bucketBits: Int = 10): DataFrame =
+    curveQualityMulti(df, xCol, yCol, orderCol, bits, Seq(bucketBits))
+      .drop("bucket_bits")
+
+  /** [[curveQuality]] for SEVERAL bucket granularities from ONE pass:
+    * the expensive per-row work (bounds scan, Morton interleave, the
+    * 16-level Hilbert fold) computes once and every granularity is just
+    * another shift of the same curve values — the shape the oracle uses
+    * too. Output adds a `bucket_bits` column. */
+  def curveQualityMulti(df: DataFrame, xCol: String, yCol: String,
+                        orderCol: String, bits: Int,
+                        bucketBitsSeq: Seq[Int]): DataFrame = {
+    require(bucketBitsSeq.nonEmpty, "need at least one granularity")
     val bounds = df.agg(
       min(col(xCol)).cast("long").as("min_x"), max(col(xCol)).cast("long").as("max_x"),
       min(col(yCol)).cast("long").as("min_y"), max(col(yCol)).cast("long").as("max_y"),
@@ -146,8 +158,10 @@ object Layout {
       .withColumn("uy", normalize(col(yCol).cast("long"), col("min_y"), col("max_y"), bits))
       .withColumn("z", zValueExpr("ux", "uy", bits))
       .withColumn("hv", hilbertValueExpr("ux", "uy", bits))
-    val shift = 2 * bits - bucketBits
-    def summarize(spans: DataFrame, name: String): DataFrame =
+      // one materialization feeds 3 × |granularities| summaries; the
+      // Hilbert fold and Morton interleave never recompute
+      .localCheckpoint(true)
+    def summarize(spans: DataFrame, name: String, bb: Int): DataFrame =
       spans.agg(
         count(lit(1)).as("n_buckets"),
         sum(col("span_x")).as("sx"), sum(col("span_y")).as("sy"))
@@ -155,15 +169,19 @@ object Layout {
           round(col("sx").cast("double")
             / (col("n_buckets") * lit(1L << bits)).cast("double"), 6).as("avg_span_x"),
           round(col("sy").cast("double")
-            / (col("n_buckets") * lit(1L << bits)).cast("double"), 6).as("avg_span_y"))
-    summarize(bucketSpans(u, shiftright(col("hv"), shift), col("ux"), col("uy")),
-        "hilbert")
-      .unionByName(summarize(
-        bucketSpans(u, shiftright(col("z"), shift), col("ux"), col("uy")),
-        "zorder"))
-      .unionByName(summarize(bucketSpans(
-        u.withColumn("nb", normalize(col(orderCol).cast("long"),
-          col("min_o"), col("max_o"), bucketBits)),
-        col("nb"), col("ux"), col("uy")), "natural"))
+            / (col("n_buckets") * lit(1L << bits)).cast("double"), 6).as("avg_span_y"),
+          lit(bb).as("bucket_bits"))
+    bucketBitsSeq.map { bb =>
+      val shift = 2 * bits - bb
+      summarize(bucketSpans(u, shiftright(col("hv"), shift),
+          col("ux"), col("uy")), "hilbert", bb)
+        .unionByName(summarize(
+          bucketSpans(u, shiftright(col("z"), shift), col("ux"), col("uy")),
+          "zorder", bb))
+        .unionByName(summarize(bucketSpans(
+          u.withColumn("nb", normalize(col(orderCol).cast("long"),
+            col("min_o"), col("max_o"), bb)),
+          col("nb"), col("ux"), col("uy")), "natural", bb))
+    }.reduce(_ unionByName _)
   }
 }

@@ -54,19 +54,6 @@ object Scoring {
       .withColumn("kept", col("margin") > 0)
   }
 
-  /** ROC-AUC per group from ranks (the Mann–Whitney U identity):
-    * AUC = (Σ avg-rank of positives − nPos(nPos+1)/2) / (nPos·nNeg) —
-    * the classifier-evaluation metric for the scoring family, computed
-    * WITHOUT thresholds, curves, or a single float comparison: scores
-    * rank with `rank()` plus the tie-midpoint correction
-    * (rank + (ties−1)/2, the textbook tie handling), so on integer or
-    * quantized scores every intermediate is an exact rational and any
-    * SQL engine reproduces the value bit for bit. Degenerate groups
-    * (one class absent) return NULL, not a division by zero.
-    *
-    * Scale shape: one exchange by group for the rank window (score
-    * ranks stream — no per-row state), one tie-count aggregation
-    * sharing that partitioning, one final row per group. */
   /** Score-calibration reliability table: fixed equal-width score bins
     * (the q184/q186 fixed-grid argument — data-dependent edges make two
     * models' tables incomparable), per bin the count and the observed
@@ -113,6 +100,19 @@ object Scoring {
           (col("tp") * 2 + col("fp") + col("fn")), 6)).as("f1"))
   }
 
+  /** ROC-AUC per group from ranks (the Mann–Whitney U identity):
+    * AUC = (Σ avg-rank of positives − nPos(nPos+1)/2) / (nPos·nNeg) —
+    * the classifier-evaluation metric for the scoring family, computed
+    * WITHOUT thresholds, curves, or a single float comparison: scores
+    * rank with `rank()` plus the tie-midpoint correction
+    * (rank + (ties−1)/2, the textbook tie handling), so on integer or
+    * quantized scores every intermediate is an exact rational and any
+    * SQL engine reproduces the value bit for bit. Degenerate groups
+    * (one class absent) return NULL, not a division by zero.
+    *
+    * Scale shape: one exchange by group for the rank window (score
+    * ranks stream — no per-row state), one tie-count aggregation
+    * sharing that partitioning, one final row per group. */
   def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                  labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -463,19 +463,6 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
   }
 
-  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR '09) of N
-    * retrieval rankings — the standard hybrid-search merge (dense
-    * cosine + lexical overlap) that needs NO score calibration because
-    * it consumes only ranks: each appearance of a doc contributes
-    * 1/(kConst + rank), fused rank orders by the sum. Every input frame
-    * carries (query_id, doc_id, rnk).
-    *
-    * Determinism: terms are exact-rational doubles from integer ranks;
-    * the per-doc fold runs over rank-sorted collected terms (ties are
-    * identical values), so sums are bit-reproducible for any number of
-    * input rankings. Scale shape: one union + one (query, doc)
-    * aggregation + a per-query rank window over candidate lists whose
-    * size is bounded by N·topK-of-inputs — never corpus-sized. */
   /** Pairwise cosine similarity between LABEL CENTROIDS — the class-
     * separation audit for an embedding space: high off-diagonal
     * centroid cosines mean the classes a downstream head must separate
@@ -553,6 +540,19 @@ object Similarity {
           (col("n_a") + col("n_b") - col("n_common")), 6)))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR '09) of N
+    * retrieval rankings — the standard hybrid-search merge (dense
+    * cosine + lexical overlap) that needs NO score calibration because
+    * it consumes only ranks: each appearance of a doc contributes
+    * 1/(kConst + rank), fused rank orders by the sum. Every input frame
+    * carries (query_id, doc_id, rnk).
+    *
+    * Determinism: terms are exact-rational doubles from integer ranks;
+    * the per-doc fold runs over rank-sorted collected terms (ties are
+    * identical values), so sums are bit-reproducible for any number of
+    * input rankings. Scale shape: one union + one (query, doc)
+    * aggregation + a per-query rank window over candidate lists whose
+    * size is bounded by N·topK-of-inputs — never corpus-sized. */
   def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
               topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")

@@ -703,13 +703,17 @@ object TextAnalysis {
     * one vocabulary-sized aggregation; (2) argmax under the total order
     * (count desc, left, right) — a 1-row bounded collect, the IVF-
     * centroid pattern; (3) apply the merge to every word's symbol
-    * string via delimiter-exact `replace(' a b ' → ' ab ')`. The
-    * space-delimited string form is deliberate: left-to-right
-    * non-overlapping replace IS greedy BPE application ('b b b' with
-    * merge (b,b) → 'bb b'), and both Spark's `replace` and ANSI
-    * REPLACE share those semantics exactly, which makes an 8-round
-    * trainer hash-checkable stage by stage in plain SQL. Symbols stay
-    * in the lowercased [a-z] channel (word boundaries = anything else).
+    * string via `replace('|a||b|' → '|ab|')`. Each symbol carries its
+    * OWN delimiters ('|a||b||a||b|'), which is what makes plain
+    * left-to-right non-overlapping replace EXACTLY symbol-level greedy
+    * BPE application: consecutive matches share no characters, so
+    * '|b||b||b|' with merge (b,b) → '|bb||b|' and '|a||b||a||b|' →
+    * '|ab||ab|' (a single-space-joined form would CONSUME the shared
+    * delimiter and skip every second back-to-back repeat). Both
+    * Spark's `replace` and ANSI REPLACE share these semantics, which
+    * makes the trainer hash-checkable stage by stage in plain SQL.
+    * Symbols stay in the lowercased [a-z] channel (word boundaries =
+    * anything else), so '|' can never occur inside a symbol.
     *
     * Returns (step, left, right, merged, pair_freq). Scale shape: the
     * word-type table localCheckpoints once per round (lineage cut —
@@ -725,14 +729,14 @@ object TextAnalysis {
           regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "),
         t => t =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat(lit(" "),
-        concat_ws(" ", filter(split(col("word"), ""), c => c =!= "")),
-        lit(" ")).as("rep"))
+      .select(col("freq"), concat(lit("|"),
+        concat_ws("||", filter(split(col("word"), ""), c => c =!= "")),
+        lit("|")).as("rep"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
     for (step <- 1 to nMerges if !exhausted) {
-      val toksC = filter(split(trim(col("rep")), " "), t => t =!= "")
+      val toksC = filter(split(trim(col("rep"), "|"), "\\|\\|"), t => t =!= "")
       val pairs = cur
         .select(col("freq"), toksC.as("t"))
         .select(col("freq"), explode(zip_with(
@@ -749,7 +753,7 @@ object TextAnalysis {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, a, b, cnt))
         cur = cur.withColumn("rep",
-            replace(col("rep"), lit(s" $a $b "), lit(s" $a$b ")))
+            replace(col("rep"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
           .localCheckpoint(true)
       }
     }

@@ -359,7 +359,7 @@ object Validation {
     deps.map { case (name, df, lhs, rhs) =>
       val grouped = df
         .groupBy(lhs.map(col): _*)
-        .agg(countDistinct(coalesce(col(rhs).cast("string"), lit(" null")))
+        .agg(countDistinct(coalesce(col(rhs).cast("string"), lit("__null__")))
           .as("n_rhs"), count(lit(1)).as("n_rows"))
       grouped.agg(
           count(lit(1)).as("n_groups"),

@@ -2033,7 +2033,11 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("bpeMerges equals an in-memory reference trainer (Sennrich corpus)") {
-    val wordFreq = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    // papa/aaaa force back-to-back repeats of a winning pair inside one
+    // word — the case where a shared-delimiter replace would skip every
+    // second occurrence and diverge from symbol-level greedy BPE
+    val wordFreq = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3,
+      "papa" -> 7, "aaaa" -> 4)
     // reference: greedy BPE with (count desc, left, right) tie-break and
     // left-to-right non-overlapping application
     var reps = wordFreq.map { case (w, f) => (w.map(_.toString).toList, f.toLong) }
