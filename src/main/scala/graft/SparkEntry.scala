@@ -2191,6 +2191,29 @@ object SparkEntry {
     // jumps, so at the same bucket width its per-bucket dimension spans
     // undercut Morton's diagonal-seam buckets — measured, not claimed,
     // with the same fixed-width-bucket statistic as q122.
+    // Volume-spike alerting over the streaming windowed-counts state
+    // table (q33's): windows whose count exceeds 2x their type's
+    // all-window average, decided by the exact integer cross-product
+    // n·slots > 2·tot (q172's trick, continuous form) — a report over
+    // state, never a second pass over events.
+    "q201_stream_volume_anomaly" -> ((s0, d) => {
+      val s = prep(s0)
+      val wc = graft.streaming.EventsStream.tumblingCounts(s, d, 600)
+        .select(col("win_start").as("win_start"),
+          col("event_type").as("event_type"), col("n").as("n"))
+      val base = wc.select(col("event_type").as("event_type"),
+          col("n").as("__n0"))
+        .groupBy("event_type")
+        .agg(sum("__n0").as("tot"), count(lit(1)).as("slots"))
+      wc.join(base, Seq("event_type"))
+        .where(col("n") * col("slots") > col("tot") * 2)
+        .select(col("win_start"), col("event_type"), col("n"),
+          round(col("tot").cast("double") / col("slots"), 6).as("type_avg"),
+          round(col("n") * col("slots") / col("tot").cast("double"), 6)
+            .as("ratio"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // Next-item rules: directional session transitions (a -> b within
     // 30 min) with confidence = P(b | a) — the sequential sibling of
     // q181's basket mining and the prep a recommender serves from.
@@ -5880,6 +5903,24 @@ object SparkEntry {
         |FROM terms GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // Batch recompute of the windowed counts + the exact integer spike
+    // screen; drain finality makes the full recompute the oracle.
+    "q201_stream_volume_anomaly" ->
+      """WITH w AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS win_start,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS slots
+        |  FROM w GROUP BY 1)
+        |SELECT win_start, w.event_type, n,
+        |  ROUND(CAST(tot AS DOUBLE) / slots, 6) AS type_avg,
+        |  ROUND(n * slots / CAST(tot AS DOUBLE), 6) AS ratio
+        |FROM w JOIN b ON b.event_type = w.event_type
+        |WHERE n * slots > tot * 2
+        |ORDER BY win_start, w.event_type""".stripMargin,
+
     // LEAD over (user, micros, event_id); totals BEFORE the support
     // filter so confidence denominators stay complete.
     "q198_next_item_rules" ->
@@ -6301,7 +6342,10 @@ object SparkEntry {
       }.mkString(",\n")
       val finals = (1 to 6).map { k =>
         s"""SELECT CAST($k AS INT) AS step, a AS "left", b AS "right",
-           |  a || b AS merged, cnt AS pair_freq FROM b$k""".stripMargin
+           |  a || b AS merged, cnt AS pair_freq,
+           |  (SELECT CAST(SUM(freq * len(string_split(trim(rep, '|'), '||')))
+           |     AS BIGINT) FROM w$k) AS symbols_after
+           |FROM b$k""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH tok AS (
          |  SELECT unnest(list_filter(string_split(TRIM(

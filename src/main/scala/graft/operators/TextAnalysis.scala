@@ -733,7 +733,8 @@ object TextAnalysis {
         concat_ws("||", filter(split(col("word"), ""), c => c =!= "")),
         lit("|")).as("rep"))
       .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
     var exhausted = false
     for (step <- 1 to nMerges if !exhausted) {
       val toksC = filter(split(trim(col("rep"), "|"), "\\|\\|"), t => t =!= "")
@@ -751,15 +752,22 @@ object TextAnalysis {
       else {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, a, b, cnt))
         cur = cur.withColumn("rep",
             replace(col("rep"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
           .localCheckpoint(true)
+        // the compression curve: corpus symbol count after this merge —
+        // the number a tokenizer budget actually negotiates with (each
+        // merge trades one vocab slot for Σ freq fewer symbols)
+        val nSyms = cur.agg(sum(col("freq") *
+            size(filter(split(trim(col("rep"), "|"), "\\|\\|"),
+              t => t =!= ""))).as("ns"))
+          .first().getLong(0)
+        merges += ((step, a, b, cnt, nSyms))
       }
     }
-    merges.toSeq.toDF("step", "left", "right", "pair_freq")
+    merges.toSeq.toDF("step", "left", "right", "pair_freq", "symbols_after")
       .withColumn("merged", concat(col("left"), col("right")))
-      .select("step", "left", "right", "merged", "pair_freq")
+      .select("step", "left", "right", "merged", "pair_freq", "symbols_after")
   }
 
   /** Keyword-in-context (KWIC) snippet extraction: for every occurrence

@@ -2041,13 +2041,13 @@ class OperatorsSpec extends SparkSpec {
     // reference: greedy BPE with (count desc, left, right) tie-break and
     // left-to-right non-overlapping application
     var reps = wordFreq.map { case (w, f) => (w.map(_.toString).toList, f.toLong) }
-    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    val expect = scala.collection.mutable
+      .ArrayBuffer[(Int, String, String, String, Long, Long)]()
     for (step <- 1 to 6) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       reps.foreach { case (syms, f) =>
         syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f) }
       val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
-      expect += ((step, a, b, a + b, cnt))
       reps = reps.map { case (syms, f) =>
         val out = scala.collection.mutable.ListBuffer[String]()
         var i = 0
@@ -2058,12 +2058,15 @@ class OperatorsSpec extends SparkSpec {
         }
         (out.toList, f)
       }
+      val nSyms = reps.map { case (syms, f) => syms.length * f }.sum
+      expect += ((step, a, b, a + b, cnt, nSyms))
     }
     val docs = wordFreq.flatMap { case (w, f) => Seq.fill(f)(w) }
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
     val rows = TextAnalysis.bpeMerges(docs, "text", nMerges = 6)
-      .orderBy("step").select("step", "left", "right", "merged", "pair_freq")
-      .as[(Int, String, String, String, Long)].collect().toSeq
+      .orderBy("step")
+      .select("step", "left", "right", "merged", "pair_freq", "symbols_after")
+      .as[(Int, String, String, String, Long, Long)].collect().toSeq
     assert(rows == expect.toSeq, s"got $rows\nwant $expect")
   }
 
