@@ -2187,10 +2187,6 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
-    // Hilbert vs z-order vs natural layout: the Hilbert curve never
-    // jumps, so at the same bucket width its per-bucket dimension spans
-    // undercut Morton's diagonal-seam buckets — measured, not claimed,
-    // with the same fixed-width-bucket statistic as q122.
     // Volume-spike alerting over the streaming windowed-counts state
     // table (q33's): windows whose count exceeds 2x their type's
     // all-window average, decided by the exact integer cross-product
@@ -3607,6 +3603,28 @@ object SparkEntry {
           SaleReports.supplierNum(col("text")).as("supplier_num"),
           SaleReports.supplierName(col("text")).as("supplier_name"))
         .orderBy("page")
+    }),
+
+    // Partition-PRUNED read-back of the year-partitioned table: the
+    // design the reference's table-per-year hack (gec_inv_2023/24/25
+    // migrations) actually wants. lineitem lands partitioned by ship
+    // year (K4's dynamic-overwrite sink); the read filters ONE year and
+    // the scan's PartitionFilters prove whole directories are skipped —
+    // directory-level pruning, not just row-group stats (PlanAuditSpec
+    // asserts the plan; this row gates the VALUES that survive it).
+    "q202_partition_pruned_read" -> ((s0, d) => {
+      val s = prep(s0)
+      val out = scratch("q202_part")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"),
+        year(col("l_shipdate")).as("ship_year"))
+      graft.sources.Sinks.writePartitionedByYear(li, out, "ship_year")
+      s.read.parquet(out).where(col("ship_year") === 1995)
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum2(col("l_quantity")).as("sum_qty"),
+          sum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy("ship_month")
     }),
   )
 
@@ -5797,7 +5815,9 @@ object SparkEntry {
         |  FROM feats),
         |pr AS (
         |  SELECT lang, q,
-        |    percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+        |    CASE WHEN COUNT(*) OVER (PARTITION BY lang) = 1 THEN 1.0
+        |      ELSE percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id)
+        |    END AS pr
         |  FROM scored)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN pr >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -6368,7 +6388,8 @@ object SparkEntry {
         |  SELECT doc_id, source, n_chars,
         |    -ln((CAST(((doc_id * 2654435761) % 4294967296) % 1048576 AS DOUBLE)
         |         + 1.0) / 1048576.0) / n_chars AS key
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
         |r AS (
         |  SELECT doc_id, source, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
@@ -7932,5 +7953,17 @@ object SparkEntry {
         |) AS t(doc_id, registration_no, registered_date, capital,
         |       directors_json, binding_rule, address)
         |ORDER BY doc_id""".stripMargin,
+
+    // The partitioned write/read roundtrip recomputed straight from
+    // lineitem: pruning must never change values, only skip directories.
+    "q202_partition_pruned_read" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+        | COUNT(*) AS n_items,
+        | CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1995
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 }

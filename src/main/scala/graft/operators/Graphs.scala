@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: each iteration is one join (ranks onto the edge list)
   * plus one groupBy over edges — the standard distributed PageRank;
   * nothing driver-side grows with the graph (N and the dangling mass
-  * are scalar aggregates). Edge-set skew (a hub page with 10^6
-  * in-links) lands in one group's collect_list; for hash-exact oracle
-  * parity the per-target fold is sorted-by-source (the q110 recipe),
-  * which bounds the struct list by in-degree. For graphs with
-  * pathological in-degree hubs, plain `sum` (order-free up to 1 ulp)
-  * is the scalable spelling — `exactFold = false` selects it.
+  * are scalar aggregates). The dangling mass is ALWAYS a plain
+  * distributed `sum` — it is one scalar per iteration, and a
+  * collect_list fold over the dangling set would funnel every dangling
+  * node (10^8 of them on a web graph) into one task. Edge-set skew (a
+  * hub page with 10^6 in-links) lands in one group's collect_list; for
+  * hash-exact oracle parity the per-target fold is sorted-by-source
+  * (the q110 recipe), which bounds the struct list by in-degree. For
+  * graphs with pathological in-degree hubs, plain `sum` (order-free up
+  * to 1 ulp) is the scalable spelling — `exactFold = false` selects it.
   */
 object Graphs {
 
@@ -27,11 +30,16 @@ object Graphs {
     * out-edges (redistributed uniformly, the standard correction).
     *
     * Determinism: with `exactFold` (default), per-target contributions
-    * fold in sorted-source order and the dangling mass folds in sorted
-    * node order, so every float add happens in one engine-independent
-    * order and a SQL oracle reproduces ranks bit-for-bit. Fixed
-    * iteration count (not convergence-tested): curation wants a stable,
-    * rerun-identical score, not a fixpoint certificate. */
+    * fold in sorted-source order, so every per-target float add happens
+    * in one engine-independent order and a SQL oracle reproduces ranks
+    * bit-for-bit on graphs without dangling nodes (the q127 contract —
+    * its synthetic graph has out-degree 3 everywhere). The dangling
+    * mass itself is a plain distributed sum (scalar; order-free only up
+    * to 1 ulp): on graphs WITH dangling nodes, exactness of the oracle
+    * match extends only as far as that one scalar's fold order, which
+    * is the price of not collecting the dangling set into one task.
+    * Fixed iteration count (not convergence-tested): curation wants a
+    * stable, rerun-identical score, not a fixpoint certificate. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85,
                exactFold: Boolean = true): DataFrame = {
@@ -49,17 +57,12 @@ object Graphs {
     for (_ <- 1 to iters) {
       val withDeg = pr.join(deg, pr("id") === deg("src"), "left")
         .select(col("id"), col("pr"), col("deg"))
-      // dangling rank mass: nodes with no out-edges; sorted fold (or a
-      // plain sum at hub scale) — a scalar either way
-      val danglingRows = withDeg.where(col("deg").isNull)
-      val dangling =
-        if (exactFold)
-          danglingRows
-            .agg(sort_array(collect_list(struct(col("id"), col("pr")))).as("xs"))
-            .select(aggregate(col("xs"), lit(0.0),
-              (a, x) => a + x.getField("pr")).as("dm"))
-            .head().getDouble(0)
-        else danglingRows.agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      // dangling rank mass: nodes with no out-edges — one SCALAR per
+      // iteration, so a plain distributed sum (map-side partials, one
+      // double per partition to the driver); never a collect_list of
+      // the dangling set, which is node-cardinality-sized on web graphs
+      val dangling = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
       val contribs = e.join(pr, e("src") === pr("id"))
         .join(deg, "src")
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))

@@ -121,7 +121,13 @@ object Sampling {
     * contract, one division by the exact weight; ties (identical ids
     * impossible, identical keys near-impossible) break by id. Scale
     * shape: one exchange by group, a per-group rank window that streams
-    * (row_number only) — same cost envelope as [[capPerGroup]]. */
+    * (row_number only) — same cost envelope as [[capPerGroup]].
+    *
+    * Weight contract: A-ES keys are only defined for w > 0 — w = 0
+    * yields an Inf (or NaN) clock and w < 0 INVERTS the sampling order,
+    * both silently wrong. Rows with NULL or non-positive weight are
+    * ineligible and filtered out before keying (the zero-weight row
+    * "never fires", which is also its A-ES limit behavior). */
   def weightedReservoirPerGroup(df: DataFrame, groupCol: String,
                                 idCol: String, weightCol: String,
                                 k: Int): DataFrame = {
@@ -132,7 +138,8 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__key"), col(idCol))
-    df.withColumn("__key", -log(u) / col(weightCol))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key", -log(u) / col(weightCol))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .drop("__key", "__rn")

@@ -112,12 +112,19 @@ object Scoring {
     *
     * Scale shape: one exchange by group for the rank window (score
     * ranks stream — no per-row state), one tie-count aggregation
-    * sharing that partitioning, one final row per group. */
+    * sharing that partitioning, one final row per group.
+    *
+    * NULL labels are excluded BEFORE ranking: an unlabeled row is not an
+    * observation of either class, and letting it occupy a score rank
+    * while counting in neither n_pos nor n_neg would silently skew the
+    * rank-sum (the Mann–Whitney identity assumes ranks over exactly the
+    * labeled sample). */
   def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                  labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = df.select(col(groupCol).as("grp"),
         col(scoreCol).as("s"), col(labelCol).cast("boolean").as("pos"))
+      .where(col("pos").isNotNull)
       .withColumn("rk", rank().over(
         Window.partitionBy(col("grp")).orderBy(col("s"))))
       .withColumn("avg_rk",

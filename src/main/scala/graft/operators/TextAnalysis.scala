@@ -840,20 +840,25 @@ object TextAnalysis {
     * Determinism: percent_rank is the exact rational (rank−1)/(n−1) —
     * identical doubles on any engine — and the score is already
     * quantized (4 dp), so the gate compares exact values; rank ties get
-    * identical pr and identical decisions. Scale shape: one exchange by
-    * group for the window; groups are languages (dozens), so skew is the
-    * concern — acceptable because the window computes rank only (no
-    * per-row state beyond the sort), and a salt-and-merge two-pass rank
-    * is the documented upgrade if one language dominates. */
+    * identical pr and identical decisions. A singleton group (n = 1)
+    * is pinned to pr = 1.0: SQL percent_rank gives its only row 0/0 → 0,
+    * which would DROP the group's only (and therefore best) document —
+    * "keep the top fraction of each group" must never starve a group of
+    * size 1. Scale shape: one exchange by group for the window; groups
+    * are languages (dozens), so skew is the concern — acceptable because
+    * the window computes rank only (no per-row state beyond the sort),
+    * and a salt-and-merge two-pass rank is the documented upgrade if one
+    * language dominates. */
   def qualityPercentileFilter(df: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String,
                               groupCol: String,
                               keepFrac: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp")
     df.select(col(idCol), col(groupCol).as("grp"),
         qualityScore(col(textCol)).as("q"))
-      .withColumn("pr", percent_rank().over(
-        Window.partitionBy("grp").orderBy(col("q"), col(idCol))))
+      .withColumn("pr", when(count(lit(1)).over(w) === 1, lit(1.0))
+        .otherwise(percent_rank().over(w.orderBy(col("q"), col(idCol)))))
       .withColumn("kept", col("pr") >= lit(1.0) - lit(keepFrac))
   }
 }

@@ -2083,6 +2083,45 @@ class OperatorsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("weightedReservoirPerGroup: w <= 0 and NULL rows are ineligible") {
+    // w=0 would key at Inf (or NaN at u=1) and w<0 would INVERT the
+    // order — both filtered, never sampled, and the survivors fill k
+    val rows = Seq(("g", 1L, Some(2.0)), ("g", 2L, Some(0.0)),
+      ("g", 3L, Some(-4.0)), ("g", 4L, None), ("g", 5L, Some(1.0)))
+    val got = Sampling.weightedReservoirPerGroup(
+        rows.toDF("src", "id", "w"), "src", "id", "w", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L), s"sample $got")
+  }
+
+  test("aucByGroup: NULL labels never occupy ranks") {
+    // the null-labeled middle score would otherwise shift the positive's
+    // rank-sum without entering n_pos/n_neg — AUC must equal the version
+    // with the row absent (here: perfectly separable = 1.0)
+    val rows = Seq(("g", 1.0, Some(false)), ("g", 2.0, None),
+      ("g", 3.0, Some(true)))
+    val got = Scoring.aucByGroup(rows.toDF("g", "s", "y"), "g", "s", "y")
+      .select("n_pos", "n_neg", "auc")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1.0)), s"got $got")
+  }
+
+  test("qualityPercentileFilter: a singleton group keeps its only doc") {
+    // SQL percent_rank gives a 1-row partition 0, which would DROP the
+    // group's only (best) doc at any keepFrac < 1 — singletons pin to 1.0
+    val docs = Seq((1L, "en", "the quick brown fox and the lazy dog again"),
+      (2L, "en", "xx"), (3L, "solo", "a single document for this group"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.qualityPercentileFilter(
+        docs, "doc_id", "text", "lang", keepFrac = 0.25)
+      .select("doc_id", "pr", "kept")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(3L) == ((1.0, true)), s"singleton got ${got(3L)}")
+    // the 2-doc group still gates by percent_rank: best kept, worst not
+    assert(got(1L)._2 && !got(2L)._2, s"got $got")
+  }
+
   test("dHash63: monotone ramps saturate, one-pixel edits flip <= 2 bits") {
     val asc = (0 until 72).map(i => i)            // every right neighbor bigger
     val desc = (0 until 72).map(i => 72 - i)

@@ -25,7 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "q121_stream_hll_window", "q129_orc_sink_roundtrip",
     "q130_stream_static_enrich", "q133_stream_outer_join",
     "q145_bucketed_join", "q150_incremental_agg", "q151_stream_cdc_apply",
-    "q157_stream_semi_join")
+    "q157_stream_semi_join", "q202_partition_pruned_read")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.filterNot(q => machinery(q._1)).map { case (name, fn) =>
@@ -78,6 +78,54 @@ class PlanAuditSpec extends SparkSpec {
     // q110: df + query map broadcast, corpus never broadcast
     val q110 = plans("q110_bm25_topk")
     assert(q110.contains("BroadcastHashJoin"), "q110 lost its broadcast joins")
+  }
+
+  test("no ungrouped collect_list anywhere in the suite") {
+    // an ungrouped (keys=[]) collect_list materializes its ENTIRE input
+    // in one task — the exact shape that OOMs at row cardinality (the
+    // round-5 PageRank dangling fold). Grouped collect_lists stay legal:
+    // their state is bounded by the group's fan-in (in-degree, basket
+    // size), which each operator documents. This is the CI form of that
+    // review finding: any refactor reintroducing a global collect_list
+    // fails here, not on the cluster.
+    val ungrouped = "keys=\\[\\], functions=\\[[^\\]]*collect_list".r
+    // SKETCH-WIDTH-bounded digests, explicitly exempt: these global
+    // collects fold a table whose size is a pipeline CONSTANT, never the
+    // data — q123 digests the 4x1024 CMS counter table, q119 the <=2048
+    // -word Bloom mask, q60 the requested year-range dict. The exemption
+    // list is asserted EXACTLY, so a new global collect_list (or one of
+    // these growing past its bound into a different plan shape) fails.
+    val boundedDigests = Set("q60_financial_response",
+      "q119_bloom_membership", "q123_cms_frequency")
+    val offenders = plans.collect {
+      case (name, plan) if ungrouped.findFirstIn(plan).isDefined => name
+    }.toSet
+    assert(offenders == boundedDigests,
+      s"ungrouped collect_list drift: unexpected ${offenders -- boundedDigests}, " +
+        s"stale exemptions ${boundedDigests -- offenders}")
+  }
+
+  test("year-partitioned read-back prunes DIRECTORIES, not just row groups") {
+    // the q202 shape: a year filter on a partitioned table must land in
+    // the scan's PartitionFilters (directory-level pruning — at 100 TB
+    // the other years' files are never even listed into tasks), and the
+    // partition count read must be exactly the one matching directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
+        year(col("l_shipdate")).as("ship_year"))
+    graft.sources.Sinks.writePartitionedByYear(li, dir, "ship_year")
+    val back = spark.read.parquet(dir).where(col("ship_year") === 1995)
+      .groupBy("ship_year").agg(count(lit(1)).as("n"))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_year"),
+      s"ship_year filter fell off PartitionFilters:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      "scan lists every partition — pruning lost")
+    // prune actually excludes the other years' rows
+    val total = spark.read.parquet(dir)
+      .where(year(col("l_shipdate")) === 1995).count()
+    assert(back.collect().map(_.getLong(1)).sum == total)
   }
 
   test("sketch plans: model sides broadcast, bounded aggregate in place") {
