@@ -3605,6 +3605,21 @@ object SparkEntry {
         .orderBy("page")
     }),
 
+    // Batched BPE training at TRAINER scale-shape: 64 merges in 8
+    // rounds of 8 compatible picks (vs one driver round-trip + lineage
+    // cut PER MERGE in q190) — the change that makes a 32k-merge vocab
+    // a few thousand rounds instead of 32k job chains. Greedy
+    // compatibility selection over a bounded top-64 candidate window;
+    // the oracle unrolls all 8 rounds, spelling the greedy fold as a
+    // recursive CTE over candidate ranks.
+    "q203_bpe_batched" -> ((s0, d) => {
+      val s = prep(s0)
+      import graft.operators.TextAnalysis
+      TextAnalysis.bpeMergesBatched(Tables.documents(s, d), "text",
+          nMerges = 64, batch = 8)
+        .orderBy("step")
+    }),
+
     // Partition-PRUNED read-back of the year-partitioned table: the
     // design the reference's table-per-year hack (gec_inv_2023/24/25
     // migrations) actually wants. lineitem lands partitioned by ship
@@ -7953,6 +7968,84 @@ object SparkEntry {
         |) AS t(doc_id, registration_no, registered_date, capital,
         |       directors_json, binding_rule, address)
         |ORDER BY doc_id""".stripMargin,
+
+    // The 8 batched-BPE rounds unrolled: per round, pair counts from the
+    // previous word table, a top-64 candidate rank window, the GREEDY
+    // compatibility fold as a recursive CTE over candidate ranks (a pick
+    // claims {left, right, left||right}; later overlapping candidates are
+    // skipped), then the same chained delimiter-exact REPLACE in pick
+    // order. chr(1) guards pad the replace chain when a round under-picks
+    // (a never-matching pattern instead of a NULL that would nuke rep).
+    // c/fin/w are MATERIALIZED (the q192 trick): fin$k feeds the step
+    // offsets of every later round and w$k both the next round and its
+    // symbols_after — inlined, the 8-level chain re-evaluates
+    // exponentially (minutes instead of <1s).
+    "q203_bpe_batched" -> {
+      val (wnd, m, rounds) = (64, 8, 8)
+      def chainReplace(m: Int): String =
+        (1 to m).foldLeft("rep") { (e, j) =>
+          s"replace($e, coalesce('|' || pa[$j] || '||' || pb[$j] || '|', chr(1)), " +
+            s"coalesce('|' || pa[$j] || pb[$j] || '|', ''))"
+        }
+      val stages = (1 to rounds).map { r =>
+        val prev = s"w${r - 1}"
+        s"""p$r AS (
+           |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
+           |    FROM (SELECT freq, string_split(trim(rep, '|'), '||') AS l FROM $prev) s$r) z$r
+           |  GROUP BY 1, 2),
+           |c$r AS MATERIALIZED (
+           |  SELECT a, b, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rk
+           |  FROM (SELECT * FROM p$r ORDER BY cnt DESC, a, b LIMIT $wnd) t$r),
+           |sel$r(i, used, pa, pb, pc) AS (
+           |  SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]),
+           |    CAST([] AS VARCHAR[]), CAST([] AS BIGINT[])
+           |  UNION ALL
+           |  SELECT c.rk,
+           |    CASE WHEN len(list_intersect([c.a, c.b, c.a||c.b], s.used)) = 0
+           |           AND len(s.pa) < $m
+           |      THEN s.used || [c.a, c.b, c.a||c.b] ELSE s.used END,
+           |    CASE WHEN len(list_intersect([c.a, c.b, c.a||c.b], s.used)) = 0
+           |           AND len(s.pa) < $m
+           |      THEN s.pa || [c.a] ELSE s.pa END,
+           |    CASE WHEN len(list_intersect([c.a, c.b, c.a||c.b], s.used)) = 0
+           |           AND len(s.pa) < $m
+           |      THEN s.pb || [c.b] ELSE s.pb END,
+           |    CASE WHEN len(list_intersect([c.a, c.b, c.a||c.b], s.used)) = 0
+           |           AND len(s.pa) < $m
+           |      THEN s.pc || [c.cnt] ELSE s.pc END
+           |  FROM sel$r s JOIN c$r c ON c.rk = s.i + 1
+           |  WHERE s.i < $wnd),
+           |fin$r AS MATERIALIZED (SELECT pa, pb, pc FROM sel$r ORDER BY i DESC LIMIT 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT freq, ${chainReplace(m)} AS rep
+           |  FROM $prev CROSS JOIN fin$r)""".stripMargin
+      }.mkString(",\n")
+      def priorSteps(r: Int): String =
+        if (r == 1) "0"
+        else (1 until r).map(k => s"(SELECT len(pa) FROM fin$k)").mkString(" + ")
+      val finals = (1 to rounds).map { r =>
+        s"""SELECT CAST(${priorSteps(r)} + j AS INT) AS step, CAST($r AS INT) AS round,
+           |  pa[j] AS "left", pb[j] AS "right", pa[j] || pb[j] AS merged,
+           |  pc[j] AS pair_freq,
+           |  (SELECT CAST(SUM(freq * len(string_split(trim(rep, '|'), '||')))
+           |     AS BIGINT) FROM w$r) AS symbols_after
+           |FROM (SELECT unnest(generate_series(1, len(pa))) AS j, pa, pb, pc
+           |      FROM fin$r) u$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT unnest(list_filter(string_split(TRIM(
+         |    regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' '),
+         |    x -> x <> '')) AS word
+         |  FROM documents),
+         |words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |          FROM tok GROUP BY 1),
+         |w0 AS (SELECT freq,
+         |  '|' || array_to_string(string_split(word, ''), '||') || '|' AS rep
+         |  FROM words),
+         |$stages
+         |SELECT * FROM ($finals) z ORDER BY step""".stripMargin
+    },
 
     // The partitioned write/read roundtrip recomputed straight from
     // lineitem: pruning must never change values, only skip directories.

@@ -770,6 +770,104 @@ object TextAnalysis {
       .select("step", "left", "right", "merged", "pair_freq", "symbols_after")
   }
 
+  /** BATCHED BPE merge training — the production spelling of
+    * [[bpeMerges]]: a 32 k-merge vocabulary cannot afford one Spark job
+    * chain per merge (32 k argmax collects + 32 k checkpoints), so each
+    * ROUND applies up to `batch` mutually COMPATIBLE merges from one
+    * pair-count pass, cutting driver round-trips and checkpoints by the
+    * batch factor. Selection is greedy over the top-`candWindow`
+    * candidates in (count desc, left, right) order: a pair is picked
+    * unless any of its three symbols {left, right, left+right} was
+    * already claimed by an earlier pick of the SAME round — the
+    * "non-chaining" rule. It keeps the round's pre-computed counts
+    * honest (no picked pair consumes another picked pair's occurrences:
+    * overlap at a shared position needs a shared symbol) and blocks
+    * textual chaining through the merged string (picking (t,h) and then
+    * (th,e) in one round would let the second replace consume
+    * boundaries the first just created).
+    *
+    * Batched greedy is the standard approximation (per-round counts are
+    * a round stale vs. per-merge recount) — with batch = 1 it IS
+    * [[bpeMerges]], pick for pick (the spec pins that equivalence).
+    *
+    * Determinism and oracle parity: candidates are a deterministic
+    * top-`candWindow` slice; greedy selection over that bounded slice is
+    * pure; application is the same delimiter-exact REPLACE chain in pick
+    * order, so an engine unrolling (rank window → greedy fold → chained
+    * REPLACE) per round reproduces every stage — the q203 oracle spells
+    * the greedy fold as a recursive CTE over the candidate ranks.
+    *
+    * Scale shape per round: one vocabulary-sized pair aggregation, one
+    * top-W TakeOrdered (W = `candWindow` rows to the driver — a bounded
+    * constant, NOT the pair table), one chained-replace projection with
+    * a lineage cut, one symbol-count aggregate. `symbols_after` is the
+    * corpus symbol count after the whole ROUND (per-merge curve
+    * granularity is what [[bpeMerges]] trades its round-trips for).
+    * Under-picking (fewer than `batch` compatible candidates in the
+    * window) applies a smaller round; rounds stop once `nMerges` merges
+    * are applied or the pair table empties. Returns
+    * (step, round, left, right, merged, pair_freq, symbols_after). */
+  def bpeMergesBatched(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       nMerges: Int, batch: Int,
+                       candWindow: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    require(batch >= 1, s"batch must be >= 1: $batch")
+    val wnd = if (candWindow > 0) candWindow else batch * 8
+    require(wnd >= batch, s"candWindow $wnd < batch $batch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df
+      .select(explode(filter(split(trim(
+          regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit("|"),
+        concat_ws("||", filter(split(col("word"), ""), c => c =!= "")),
+        lit("|")).as("rep"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable
+      .ArrayBuffer[(Int, Int, String, String, String, Long, Long)]()
+    var step = 0
+    var exhausted = false
+    val rounds = (nMerges + batch - 1) / batch
+    for (round <- 1 to rounds if !exhausted && step < nMerges) {
+      val m = math.min(batch, nMerges - step)
+      val toksC = filter(split(trim(col("rep"), "|"), "\\|\\|"), t => t =!= "")
+      val cands = cur
+        .select(col("freq"), toksC.as("t"))
+        .select(col("freq"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(wnd)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picks = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        for ((a, b, c) <- cands if picks.size < m) {
+          val syms = Seq(a, b, a + b)
+          if (!syms.exists(used.contains)) { picks += ((a, b, c)); used ++= syms }
+        }
+        cur = cur.withColumn("rep",
+            picks.foldLeft(col("rep")) { case (e, (a, b, _)) =>
+              replace(e, lit(s"|$a||$b|"), lit(s"|$a$b|")) })
+          .localCheckpoint(true)
+        val nSyms = cur.agg(sum(col("freq") *
+            size(filter(split(trim(col("rep"), "|"), "\\|\\|"),
+              t => t =!= ""))).as("ns"))
+          .first().getLong(0)
+        picks.zipWithIndex.foreach { case ((a, b, c), j) =>
+          out += ((step + j + 1, round, a, b, a + b, c, nSyms)) }
+        step += picks.size
+      }
+    }
+    out.toSeq.toDF("step", "round", "left", "right", "merged",
+      "pair_freq", "symbols_after")
+  }
+
   /** Keyword-in-context (KWIC) snippet extraction: for every occurrence
     * of `term` in a document, the surrounding ±`window` tokens joined
     * back into a display string — the search-result snippet / concordance

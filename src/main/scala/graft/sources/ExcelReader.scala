@@ -271,48 +271,69 @@ object ExcelReader {
 
   /** [[multiSheetUnion]] plus the reject channel: (rows, rejects) where
     * rejects = (source_file, reject_reason) for files failing the format
-    * sniff or parse. */
+    * sniff or parse.
+    *
+    * Scale shape: per-sheet header metadata NEVER rides through the
+    * driver as per-file maps — the (file, sheet) → name-position map is
+    * computed as a DataFrame (header normalization + uniquify as array
+    * expressions) and joins the cell rows as a broadcast, so nothing
+    * driver-side scales with FILE COUNT. The one driver action left is
+    * the output-column name list — the distinct header VOCABULARY across
+    * the glob — which is driver-bound by definition (a DataFrame schema
+    * is a driver object) and bounded by how many distinct column names
+    * exist, not how many workbooks. At many-million-file scale with a
+    * big metadata frame, drop the broadcast hint and let the (file,
+    * sheet) equi-join shuffle — the resolution logic is unchanged. */
   def multiSheetUnionWithRejects(spark: SparkSession, path: String,
                                  headerIdx: Long = 0): (DataFrame, DataFrame) = {
-    import graft.functions.TextClean
     val tagged = sheetsGridTagged(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rejects = tagged.where(col("reject_reason").isNotNull)
       .select(col("source_file"), col("reject_reason"))
     val grid = tagged.where(col("reject_reason").isNull)
 
-    // ONE job for all metadata: per (file, sheet), the header row and
-    // whether any data row has a non-blank cell
-    val meta = grid.groupBy("source_file", "source_sheet").agg(
-        max(when(col("row_idx") === headerIdx, col("cells"))).as("hdr"),
+    // ONE aggregation for all sheet metadata: per (file, sheet), the
+    // header row and whether any data row has a non-blank cell; header
+    // names normalize (trim, blank→"col") and uniquify (k-th duplicate
+    // gets _k — TextClean.uniquifyHeaders as an array expression) and
+    // fold into the name→position map, all WITHOUT leaving executors
+    val hdrn = transform(col("__hdr"),
+      h => coalesce(nullif(trim(h), lit("")), lit("col")))
+    val metaDf = grid.groupBy("source_file", "source_sheet").agg(
+        max(when(col("row_idx") === headerIdx, col("cells"))).as("__hdr"),
         max(when(col("row_idx") > headerIdx &&
           exists(col("cells"), c => c.isNotNull && trim(c) =!= ""), 1)
-          .otherwise(0)).as("has_data"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1),
-        Option(r.getSeq[String](2)), r.getInt(3) == 1))
-      .collect { case (file, sheet, Some(header), true) =>
-        (file, sheet, TextClean.uniquifyHeaders(header.map(h =>
-          Option(h).map(_.trim).filter(_.nonEmpty).getOrElse("col"))))
-      }
-      .sortBy(m => (m._1, m._2))
-
-    if (meta.isEmpty) return (spark.emptyDataFrame, rejects)
+          .otherwise(0)).as("__has_data"))
+      .where(col("__has_data") === 1 && col("__hdr").isNotNull)
+      .withColumn("__hdrn", hdrn)
+      .withColumn("__names", transform(col("__hdrn"), (h, i) => {
+        val k = size(filter(slice(col("__hdrn"), lit(1), i + 1), x => x === h))
+        when(k === 1, h).otherwise(concat(h, lit("_"), k.cast("string")))
+      }))
+      .select(col("source_file"), col("source_sheet"), col("__names"),
+        map_from_arrays(col("__names"),
+          sequence(lit(1), size(col("__names")))).as("__pos"))
 
     // output columns: every name, first-seen order across (file, sheet)
-    val allNames = meta.flatMap(_._3).distinct.toSeq
+    // — the schema collect, bounded by header-name vocabulary
+    val allNames = metaDf
+      .select(col("source_file"), col("source_sheet"),
+        posexplode(col("__names")).as(Seq("__idx", "__name")))
+      .groupBy("__name")
+      .agg(min(struct(col("source_file"), col("source_sheet"), col("__idx")))
+        .as("__k"))
+      .orderBy("__k")
+      .select("__name").collect().map(_.getString(0)).toSeq
+
+    if (allNames.isEmpty) return (spark.emptyDataFrame, rejects)
 
     // the rows come back in ONE scan: each row joins its own sheet's
     // name→position map (broadcast — sheet metadata is small) and resolves
     // every output column positionally against ITS OWN header, so files
     // with drifted column order still land correctly (the poCsvMany trick)
-    import spark.implicits._
-    val metaDf = meta.toSeq
-      .map { case (f, sh, names) =>
-        (f, sh, names.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
-      }
-      .toDF("source_file", "source_sheet", "__pos")
     val data = grid.where(col("row_idx") > headerIdx)
-      .join(broadcast(metaDf), Seq("source_file", "source_sheet"))
+      .join(broadcast(metaDf.select("source_file", "source_sheet", "__pos")),
+        Seq("source_file", "source_sheet"))
     val projected = data.select(
       col("source_file") +: col("source_sheet") +: col("row_idx") +:
         allNames.map { n =>

@@ -2070,6 +2070,48 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == expect.toSeq, s"got $rows\nwant $expect")
   }
 
+  test("bpeMergesBatched: batch=1 IS the unbatched trainer, pick for pick") {
+    val wordFreq = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3,
+      "papa" -> 7, "aaaa" -> 4)
+    val docs = wordFreq.flatMap { case (w, f) => Seq.fill(f)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val unbatched = TextAnalysis.bpeMerges(docs, "text", nMerges = 6)
+      .select("step", "left", "right", "merged", "pair_freq", "symbols_after")
+      .orderBy("step")
+      .as[(Int, String, String, String, Long, Long)].collect().toSeq
+    val batched = TextAnalysis.bpeMergesBatched(docs, "text",
+        nMerges = 6, batch = 1)
+      .select("step", "left", "right", "merged", "pair_freq", "symbols_after")
+      .orderBy("step")
+      .as[(Int, String, String, String, Long, Long)].collect().toSeq
+    assert(batched == unbatched, s"got $batched\nwant $unbatched")
+  }
+
+  test("bpeMergesBatched: rounds hold the batch bound and picks are compatible") {
+    // enough distinct pair mass that every round fills its batch: the
+    // whole lowercase corpus of q203's shape in miniature
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"lower newest widest paper stone brick cloud ${i % 7}g")
+    }.toDF("id", "text")
+    val got = TextAnalysis.bpeMergesBatched(docs, "text",
+        nMerges = 12, batch = 4)
+      .select("step", "round", "left", "right", "pair_freq")
+      .as[(Int, Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 12, s"wanted 12 merges, got ${got.size}")
+    assert(got.map(_._2).max <= 3, s"12 merges must fit 3 rounds: $got")
+    // within a round: no two picks share a symbol (incl. merged strings),
+    // and pick order follows (freq desc, left, right)
+    got.groupBy(_._2).foreach { case (_, picks) =>
+      val symSets = picks.sortBy(_._1)
+        .map(p => Set(p._3, p._4, p._3 + p._4))
+      for (i <- symSets.indices; j <- 0 until i)
+        assert((symSets(i) & symSets(j)).isEmpty,
+          s"round shares symbols: ${symSets(j)} vs ${symSets(i)}")
+      val freqs = picks.sortBy(_._1).map(_._5)
+      assert(freqs == freqs.sorted.reverse, s"picks out of freq order: $picks")
+    }
+  }
+
   test("weightedReservoirPerGroup: exact k, heavy weights dominate") {
     val rows = (1 to 200).map(i => ("g", i.toLong, 1.0)) :+ (("g", 999L, 1e9))
     val got = Sampling.weightedReservoirPerGroup(

@@ -33,6 +33,8 @@ object SinksSpec {
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
+  private val fixtures = "/root/repo/src/test/resources/fixtures"
+
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_sink").toString
 
@@ -217,6 +219,56 @@ class SinksSpec extends SparkSpec {
       // rasterizer failure → one file-level reject, no partial pages
       ("bad.pdf", -1L, null,
         "rasterize_error: IllegalArgumentException: not a pdf")))
+  }
+
+  test("S6 local OCR drives REAL pdftoppm + tesseract when installed") {
+    // the one reference capability whose native binaries stay external by
+    // design (VERDICT r5 #8): where a deployment HAS poppler + tesseract
+    // on PATH, this drives localOcrPdfs end to end with real wrappers
+    // over the shipped text-layer fixture — rasterize fan-out, two PSM
+    // passes, voting merge, zero rejects. Elsewhere the spec cancels
+    // (assume), never fails: binaries are a deployment choice.
+    import graft.sources.OcrConnector
+    def onPath(bin: String): Boolean =
+      sys.env.getOrElse("PATH", "").split(":")
+        .exists(p => new java.io.File(p, bin).canExecute)
+    assume(onPath("pdftoppm") && onPath("tesseract"),
+      "pdftoppm/tesseract not on PATH — real-binary OCR leg not exercised here")
+    val raster = (bytes: Array[Byte], dpi: Int) => {
+      val pdf = java.nio.file.Files.createTempFile("graft_ocr_in", ".pdf")
+      java.nio.file.Files.write(pdf, bytes)
+      val pages = java.nio.file.Files.createTempDirectory("graft_ocr_pg")
+      val p = new ProcessBuilder("pdftoppm", "-png", "-r", dpi.toString,
+          pdf.toString, pages.resolve("pg").toString)
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      require(p.waitFor() == 0, "pdftoppm failed")
+      val files = pages.toFile.listFiles().sortBy(_.getName)
+      require(files.nonEmpty, "pdftoppm produced no pages")
+      files.toSeq.map(f => java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    val ocr = (img: Array[Byte], pass: Int) => {
+      val png = java.nio.file.Files.createTempFile("graft_ocr_img", ".png")
+      java.nio.file.Files.write(png, img)
+      // the multi-pass shape: PSM 3 (auto layout) vs PSM 6 (one block)
+      val psm = if (pass == 0) "3" else "6"
+      val p = new ProcessBuilder("tesseract", png.toString, "stdout",
+          "--psm", psm).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      out.trim
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocr_real").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fixtures/rm_pages.pdf"),
+      java.nio.file.Paths.get(s"$dir/rm_pages.pdf"))
+    val got = OcrConnector.localOcrPdfs(spark, dir, 200, 2, raster, ocr)
+      .collect()
+    assert(got.nonEmpty && got.forall(_.getString(3) == null),
+      s"real-binary OCR rejected pages: ${got.mkString("; ")}")
+    val text = got.map(_.getString(2)).mkString(" ").toUpperCase
+    assert(Seq("CONSIGN", "CN-001", "IV-", "500").exists(text.contains),
+      s"no fixture token recognized in: $text")
   }
 
   test("json-records sink preserves non-ASCII") {
