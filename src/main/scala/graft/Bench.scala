@@ -102,12 +102,6 @@ object Bench {
     // round-over-round comparison never depends on tail-capture luck.
     // Subset runs (BENCH_ONLY) skip the write — a 4-query debug run must
     // not overwrite the full-suite artifact.
-    if (only.isEmpty) try {
-      val out = java.nio.file.Paths.get("bench_full_last.json")
-      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    spark.stop()
-
     // Regression gate: `--compare prev.json` (or SPARK_GRAFT_BENCH_COMPARE)
     // exits non-zero with a NAMED list when any query present in the prior
     // artifact regresses >1.5x, newly errors, or goes missing — the round-4
@@ -115,12 +109,24 @@ object Bench {
     // makes round-over-round drift a hard failure in the workflow itself.
     // Sub-second queries jitter well past 1.5x on a shared host, so a flag
     // additionally requires +0.5s absolute growth (documented noise floor).
+    // The prior artifact LOADS BEFORE the new one is written, so comparing
+    // against bench_full_last.json itself (the natural workflow) works.
     val comparePath = args.sliding(2).collectFirst {
       case Array("--compare", p) => p
     }.orElse(sys.env.get("SPARK_GRAFT_BENCH_COMPARE"))
-    comparePath.foreach { path =>
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val prev = om.readTree(new java.io.File(path)).get("queries")
+    val prevQueries = comparePath.map { path =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path)).get("queries")
+    }
+
+    if (only.isEmpty) try {
+      val out = java.nio.file.Paths.get("bench_full_last.json")
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    spark.stop()
+
+    prevQueries.foreach { prev =>
+      val path = comparePath.get
       val cur = results.toMap
       val names = new scala.collection.mutable.ArrayBuffer[String]()
       prev.properties().forEach { e =>

@@ -3123,7 +3123,12 @@ object SparkEntry {
             concat(col("text"), lit(" "), col("leak")))
             .otherwise(col("text")))
         .drop("leak")
-      val bad = Dedup.contaminatedIdsBloomPrefilter(corpus, test, "doc_id", "text", n = 8)
+      // bloomHexChars=5: 2^20-bit filter — sized for the sf1 test-gram
+      // count (~10^5 grams; the 16-bit default saturates there and the
+      // prefilter stops pruning). Decisions are bloom-size-independent
+      // (no false negatives), so the oracle doesn't mention the filter.
+      val bad = Dedup.contaminatedIdsBloomPrefilter(corpus, test,
+        "doc_id", "text", n = 8, bloomHexChars = 5)
       corpus.join(bad, Seq("doc_id"), "left_semi")
         .groupBy("source")
         .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("id_sum"))

@@ -396,21 +396,28 @@ object Dedup {
     * confirm-shuffle width ~4x for prose). */
   def contaminatedIdsBloomPrefilter(corpus: DataFrame, testDocs: DataFrame,
                                     idCol: String, textCol: String,
-                                    n: Int = 8): DataFrame = {
+                                    n: Int = 8,
+                                    bloomHexChars: Int = 4): DataFrame = {
     val testGrams = testDocs
       .withColumn("__toks", tokens(col(textCol)))
       .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(md5(col("g")).as("gk"))
       .distinct()
-    val bloom = Sketches.bloomWords(testGrams, Seq.empty, "gk")
+    val bloom = Sketches.bloomWords(testGrams, Seq.empty, "gk",
+      hexChars = bloomHexChars)
     val corpusGrams = corpus
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gk"))
-    // literal-array probe: the filter is bounded at 2048 words, so the
+    // literal-array probe: the filter is bounded by its SIZE CONSTANT
+    // (2048 words at the default width, 32k at bloomHexChars=5), so the
     // corpus side filters inside its own scan stage — zero exchange
-    // before the (rare-survivor) exact confirm join
-    val survivors = Sketches.bloomProbeLiteral(bloom, corpusGrams, "gk")
+    // before the (rare-survivor) exact confirm join. SIZE THE FILTER to
+    // the test-gram count (~10 bits/entry): an undersized filter
+    // saturates, every probe reads positive, and this degrades into
+    // [[contaminatedIds]] plus pure overhead — correct, never fast.
+    val survivors = Sketches.bloomProbeLiteral(bloom, corpusGrams, "gk",
+        hexChars = bloomHexChars)
       .where(col("bloom_positive"))
       .select(col(idCol), col("gk"))
     survivors

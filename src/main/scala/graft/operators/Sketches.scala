@@ -208,14 +208,21 @@ object Sketches {
 
   /** Bit position of draw `j` for one value — THE hash definition; both
     * the build (via [[bloomPositions]]) and the literal probe derive from
-    * it, so the two can never drift apart. */
-  private def bloomPosition(v: Column, j: Column): Column =
+    * it, so the two can never drift apart. `hexChars` md5 hex digits give
+    * a 4·hexChars-bit position domain: 4 (default) = 65,536 bits — right
+    * for test sets up to a few thousand entries; 5 = 1,048,576 bits for
+    * ~10^5-entry sets (the q124 sf1 sizing — an UNDERSIZED filter
+    * saturates, every probe reads positive, and the prefilter degrades
+    * into pure overhead while staying CORRECT). Size ~10 bits/entry. */
+  private def bloomPosition(v: Column, j: Column, hexChars: Int = 4): Column =
     conv(substring(md5(concat(v.cast("string"), lit("#"), j.cast("string"))),
-      1, 4), 16, 10).cast("long")
+      1, hexChars), 16, 10).cast("long")
 
-  /** Bit positions for one value: numHashes independent 16-bit md5 draws. */
-  def bloomPositions(v: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j => bloomPosition(v, j))
+  /** Bit positions for one value: numHashes independent md5 draws of
+    * 4·hexChars bits each. */
+  def bloomPositions(v: Column, numHashes: Int, hexChars: Int = 4): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => bloomPosition(v, j, hexChars))
 
   /** Build per-group Bloom filters as (groupCols..., word, mask) rows:
     * word = bit-position >> 5, mask = OR of 1L << (pos % 32) — 32 bits
@@ -228,9 +235,9 @@ object Sketches {
     * groupBy-bit_or. Absent words are absent rows (all-zero masks are
     * never materialized). */
   def bloomWords(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                 numHashes: Int = 3): DataFrame =
+                 numHashes: Int = 3, hexChars: Int = 4): DataFrame =
     df.select(groupCols.map(col) :+
-        explode(bloomPositions(col(valueCol), numHashes)).as("pos"): _*)
+        explode(bloomPositions(col(valueCol), numHashes, hexChars)).as("pos"): _*)
       .withColumn("word", shiftright(col("pos"), 5))
       .withColumn("m", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
       .groupBy((groupCols :+ "word").map(col): _*)
@@ -323,8 +330,11 @@ object Sketches {
     * Building the literal is one bounded job over the (small) filter
     * side — the same boundedness the broadcast in [[bloomProbe]] needs. */
   def bloomProbeLiteral(words: DataFrame, probes: DataFrame, valueCol: String,
-                        numHashes: Int = 3): DataFrame = {
-    val arr = new Array[Long](2048)
+                        numHashes: Int = 3, hexChars: Int = 4): DataFrame = {
+    // filter words: position domain 4·hexChars bits, 32 bits per word —
+    // 2048 longs at the default, 32k longs (256 KB literal) at hexChars=5;
+    // bounded by the FILTER SIZE constant either way, never the data
+    val arr = new Array[Long](1 << (4 * hexChars - 5))
     // OR, not overwrite: a filter formed by unioning bloomWords outputs
     // without re-aggregating may carry duplicate word rows, and dropping
     // either row's bits would create false negatives
@@ -333,7 +343,7 @@ object Sketches {
     val filterLit = typedlit(arr.toSeq)
     val positive = (0 until numHashes).map { j =>
       // same bloomPosition definition as the build — no drift possible
-      val pos = bloomPosition(col(valueCol), lit(j))
+      val pos = bloomPosition(col(valueCol), lit(j), hexChars)
       call_function("shiftright",
         element_at(filterLit, (pos / 32).cast("int") + 1),
         (pos % 32).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
