@@ -26,9 +26,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle width defaults to core count (right at sf0.1); scale runs
+    // override it — partition count must grow with data volume, exactly
+    // as a cluster's would (see PLANS.md round 6: the sf10 second decade
+    // goes super-linear at 32 partitions from per-partition spill, and
+    // returns to linear when the width scales)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -181,17 +181,37 @@ object Dedup {
     val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)
     val prefFrac = threshold / (1.0 + threshold)
+    // rk = rank among the doc's SHARED shingles (df-ordered); nsh = how
+    // many shared shingles the doc has. Both feed the POSITIONAL filter
+    // below — PPJoin's second prune (Xiao et al., WWW '08).
     val ranked = posting.join(freq, Seq("g"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("id"))))
       .where(col("rk") <= col("sz") - floor(col("sz") * prefFrac) + 1)
-      .select(col("g"), col("id"), col("sz"))
-    val a = ranked.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = ranked.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+      .select(col("g"), col("id"), col("sz"), col("rk"), col("nsh"))
+    val a = ranked.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"),
+      col("rk").as("rk_a"), col("nsh").as("nsh_a"))
+    val b = ranked.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"),
+      col("rk").as("rk_b"), col("nsh").as("nsh_b"))
+    // POSITIONAL filter: matching at shared-rank positions (rk_a, rk_b)
+    // bounds the overlap by 1 + min(remaining shared shingles on either
+    // side); J >= t needs overlap >= t/(1+t)·(sz_a+sz_b). An upper-bound
+    // argument — NO false negatives, so pairs-completeness holds — but it
+    // kills exactly the quadratic pathology the plain bucket join has: a
+    // boilerplate gram shared by k short docs sits at the END of each
+    // prefix (highest df), its remaining-shingle bound is tiny, and the
+    // k²/2 candidates it would emit die inside the join instead of
+    // flooding the verify exchange (measured at the sf10 decade: 55M
+    // candidates -> linear, see PLANS.md round 6). The 1e-9 slack keeps
+    // float rounding on the safe (over-keeping) side.
+    val alpha = lit(prefFrac) * (col("sz_a") + col("sz_b")).cast("double")
     val cand = a.join(b, Seq("g"))
       .where(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") /
-          greatest(col("sz_a"), col("sz_b")) >= threshold)
+          greatest(col("sz_a"), col("sz_b")) >= threshold &&
+        (lit(1.0) + least(col("nsh_a") - col("rk_a"),
+          col("nsh_b") - col("rk_b")).cast("double")) >= alpha - lit(1e-9))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     // verify: re-join the sorted hash arrays by id, linear-merge Jaccard
     val arrA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))

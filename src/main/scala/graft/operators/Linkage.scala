@@ -95,13 +95,25 @@ object Linkage {
       post.join(freq, Seq("g"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("id"))))
         .where(col("rk") <= col("sz") - floor(col("sz") * prefFrac) + 1)
-        .select(col("g"), col("id"), col("sz"))
-    val a = prefix(lPost).select(col("g"), col("id").as("left_id"), col("sz").as("sz_a"))
-    val b = prefix(rPost).select(col("g"), col("id").as("right_id"), col("sz").as("sz_b"))
+        .select(col("g"), col("id"), col("sz"), col("rk"), col("nsh"))
+    val a = prefix(lPost).select(col("g"), col("id").as("left_id"),
+      col("sz").as("sz_a"), col("rk").as("rk_a"), col("nsh").as("nsh_a"))
+    val b = prefix(rPost).select(col("g"), col("id").as("right_id"),
+      col("sz").as("sz_b"), col("rk").as("rk_b"), col("nsh").as("nsh_b"))
+    // POSITIONAL filter (PPJoin's second prune) — same upper-bound
+    // argument as Dedup.jaccardPairsPrefixFilter: a match at shared-rank
+    // (rk_a, rk_b) caps the overlap at 1 + min(remaining shared grams),
+    // so a boilerplate gram shared by k short names never floods the
+    // verify exchange with k·k' dead candidates. Completeness holds (a
+    // true pair's FIRST common gram always passes); 1e-9 over-keeps.
+    val alpha = lit(prefFrac) * (col("sz_a") + col("sz_b")).cast("double")
     val cand = a.join(b, Seq("g"))
       .where(least(col("sz_a"), col("sz_b")).cast("double") /
-        greatest(col("sz_a"), col("sz_b")) >= threshold)
+        greatest(col("sz_a"), col("sz_b")) >= threshold &&
+        (lit(1.0) + least(col("nsh_a") - col("rk_a"),
+          col("nsh_b") - col("rk_b")).cast("double")) >= alpha - lit(1e-9))
       .select("left_id", "right_id").dropDuplicates("left_id", "right_id")
     // verify: sorted-hash-array linear-merge Jaccard; ROUND before the
     // threshold filter, matching the SQL oracle's round-then-filter order
