@@ -21,7 +21,15 @@ for q in "${QS[@]}"; do
     SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-1} SPARK_GRAFT_BENCH_ONLY="$q" \
     java $OPENS -Xmx${SPARK_DRIVER_MEM:-48g} -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench 2>/dev/null | grep '"metric"')
-  echo "{\"query\":\"$q\",\"sf\":\"$SFDIR\",\"bench\":$line}" >> "$OUT"
-  echo "[isolated_bench] $q done" >&2
+  # a failed run (or one with no metric line) must land as an explicit
+  # error record — an empty $line would write '"bench":}', invalid JSON
+  # silently corrupting the artifact
+  if [ -z "$line" ]; then
+    echo "{\"query\":\"$q\",\"sf\":\"$SFDIR\",\"bench\":null,\"error\":\"no metric line (JVM failed or query crashed)\"}" >> "$OUT"
+    echo "[isolated_bench] $q FAILED (no metric line)" >&2
+  else
+    echo "{\"query\":\"$q\",\"sf\":\"$SFDIR\",\"bench\":$line}" >> "$OUT"
+    echo "[isolated_bench] $q done" >&2
+  fi
 done
 echo DONE >> "$OUT"

@@ -21,7 +21,11 @@ object Bench {
   // SPARK_GRAFT_BENCH_RUNS overrides for long scale runs (sf1+), where
   // per-query seconds are large enough that the median-of-3 noise armor
   // costs more wall-clock than the interference it guards against
-  private val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+  private val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { v =>
+    try v.trim.toInt catch { case _: NumberFormatException =>
+      System.err.println(s"SPARK_GRAFT_BENCH_RUNS='$v' is not an integer"); sys.exit(2)
+    }
+  }.getOrElse(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,12 +121,27 @@ object Bench {
     // additionally requires +0.5s absolute growth (documented noise floor).
     // The prior artifact LOADS BEFORE the new one is written, so comparing
     // against bench_full_last.json itself (the natural workflow) works.
+    // The gate only makes sense against a FULL run: a BENCH_ONLY subset
+    // would read every unrun query as MISSING (and with the compare path
+    // set via env — the natural CI setup — every debug subset run would
+    // exit 1). Subset runs skip the gate with a note.
     val comparePath = args.sliding(2).collectFirst {
       case Array("--compare", p) => p
     }.orElse(sys.env.get("SPARK_GRAFT_BENCH_COMPARE"))
+      .filter { p =>
+        val full = only.isEmpty
+        if (!full) System.err.println(
+          s"bench compare vs $p SKIPPED: subset run (SPARK_GRAFT_BENCH_ONLY)")
+        full
+      }
     val prevQueries = comparePath.map { path =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File(path)).get("queries")
+      if (node == null) {
+        System.err.println(s"bench compare: $path has no 'queries' key — not a bench artifact")
+        sys.exit(2)
+      }
+      node
     }
 
     if (only.isEmpty) try {

@@ -3123,12 +3123,14 @@ object SparkEntry {
             concat(col("text"), lit(" "), col("leak")))
             .otherwise(col("text")))
         .drop("leak")
-      // bloomHexChars=5: 2^20-bit filter — sized for the sf1 test-gram
-      // count (~10^5 grams; the 16-bit default saturates there and the
-      // prefilter stops pruning). Decisions are bloom-size-independent
-      // (no false negatives), so the oracle doesn't mention the filter.
+      // Bloom width AUTO-SIZED from the test-gram count (~10 bits/entry;
+      // one cheap count on the small side): hand-sized widths were right
+      // at one scale and silently saturated at the next (2^20 bits fit
+      // sf1's ~10^5 grams, degraded 13x at sf10's ~10^6). Decisions are
+      // bloom-size-independent (no false negatives), so the oracle
+      // doesn't mention the filter.
       val bad = Dedup.contaminatedIdsBloomPrefilter(corpus, test,
-        "doc_id", "text", n = 8, bloomHexChars = 5)
+        "doc_id", "text", n = 8)
       corpus.join(bad, Seq("doc_id"), "left_semi")
         .groupBy("source")
         .agg(count(lit(1)).as("n_contaminated"), sum("doc_id").as("id_sum"))

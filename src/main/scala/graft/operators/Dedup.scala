@@ -413,32 +413,64 @@ object Dedup {
     *
     * Grams cross both phases as md5 digests, never text (the exact join
     * on a 32-hex-char key instead of a raw 8-gram also cuts the
-    * confirm-shuffle width ~4x for prose). */
+    * confirm-shuffle width ~4x for prose).
+    *
+    * SIZING IS AUTOMATIC by default (`bloomHexChars = 0`): one cheap
+    * count of the distinct test grams picks the smallest width holding
+    * the ~10 bits/entry law (an undersized filter saturates, every probe
+    * reads positive, and the prefilter degrades into [[contaminatedIds]]
+    * plus pure overhead — CORRECT at every width, which is why the old
+    * hand-sized parameter failed silently: q124's 2^20-bit filter was
+    * right at sf1 and 13x super-linear at sf10). Past
+    * `literalMaxHexChars` (default 6 = 2^24 bits, a 4 MB literal) the
+    * probe auto-switches from the plan-literal form to the
+    * [[Sketches.bloomProbe]] broadcast-word-join form, whose filter side
+    * ships as joined rows instead of a task-binary literal. Decisions are
+    * width- and form-independent (no false negatives), so callers never
+    * re-verify outputs after a sizing change. Pass `bloomHexChars > 0`
+    * to pin a width (skips the counting job). */
   def contaminatedIdsBloomPrefilter(corpus: DataFrame, testDocs: DataFrame,
                                     idCol: String, textCol: String,
                                     n: Int = 8,
-                                    bloomHexChars: Int = 4): DataFrame = {
+                                    bloomHexChars: Int = 0,
+                                    literalMaxHexChars: Int = 6): DataFrame = {
     val testGrams = testDocs
       .withColumn("__toks", tokens(col(textCol)))
       .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(md5(col("g")).as("gk"))
       .distinct()
+    val hexChars =
+      if (bloomHexChars > 0) bloomHexChars
+      else {
+        // the width law needs ONE number — the distinct-gram count of the
+        // SMALL side (the same side the filter build scans anyway). Eager
+        // by design: a plan-time scalar, like the broadcast threshold.
+        val nGrams = math.max(testGrams.count(), 1L)
+        var h = 4 // floor: 2^16 bits, the historical default
+        while (h < 8 && (1L << (4 * h)) < 10L * nGrams) h += 1
+        log.info(s"contaminatedIdsBloomPrefilter: auto-sized bloom to " +
+          s"hexChars=$h (2^${4 * h} bits) for $nGrams test grams" +
+          (if (h > literalMaxHexChars) " — using broadcast-join probe form" else ""))
+        h
+      }
     val bloom = Sketches.bloomWords(testGrams, Seq.empty, "gk",
-      hexChars = bloomHexChars)
+      hexChars = hexChars)
     val corpusGrams = corpus
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gk"))
-    // literal-array probe: the filter is bounded by its SIZE CONSTANT
-    // (2048 words at the default width, 32k at bloomHexChars=5), so the
-    // corpus side filters inside its own scan stage — zero exchange
-    // before the (rare-survivor) exact confirm join. SIZE THE FILTER to
-    // the test-gram count (~10 bits/entry): an undersized filter
-    // saturates, every probe reads positive, and this degrades into
-    // [[contaminatedIds]] plus pure overhead — correct, never fast.
-    val survivors = Sketches.bloomProbeLiteral(bloom, corpusGrams, "gk",
-        hexChars = bloomHexChars)
-      .where(col("bloom_positive"))
+    // literal-array probe while the filter fits a task-binary literal
+    // (2048 longs at hexChars=4, 512k longs = 4 MB at 6): the corpus side
+    // filters inside its own scan stage — zero exchange before the
+    // (rare-survivor) exact confirm join. Wider filters switch to the
+    // broadcast-word-join probe: same decisions, filter ships as rows.
+    val survivors = (
+      if (hexChars <= literalMaxHexChars)
+        Sketches.bloomProbeLiteral(bloom, corpusGrams, "gk", hexChars = hexChars)
+      else
+        Sketches.bloomProbe(bloom, corpusGrams, Seq.empty, "gk",
+          carryCols = Seq(idCol), hexChars = hexChars)
+      ).where(col("bloom_positive"))
       .select(col(idCol), col("gk"))
     survivors
       .join(testGrams, Seq("gk"), "left_semi")

@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Fixed-iteration PageRank over an edge list. Returns (id, pr).
     *
     * pr_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} pr_k(u)/deg(u) + dangling_k/N)
@@ -39,13 +41,36 @@ object Graphs {
     * match extends only as far as that one scalar's fold order, which
     * is the price of not collecting the dangling set into one task.
     * Fixed iteration count (not convergence-tested): curation wants a
-    * stable, rerun-identical score, not a fixpoint certificate. */
+    * stable, rerun-identical score, not a fixpoint certificate.
+    *
+    * The exact fold groups a sorted struct list PER TARGET, bounded by
+    * in-degree — fine on bounded-degree graphs, but a web-scale hub with
+    * 10^7 in-links would materialize its whole in-edge list in one task.
+    * So `exactFold = true` is a REQUEST, not a command: a cheap
+    * max-in-degree probe (one count agg over the edge list) demotes the
+    * run to the plain-sum fold when any target's in-degree exceeds
+    * `exactFoldMaxInDegree`, logging the switch — bit-parity is a
+    * property worth one bounded list, never an OOM. Plain sum differs
+    * from the exact fold only in float association order (<= 1 ulp per
+    * add). `exactFold = false` skips the probe and always plain-sums. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85,
-               exactFold: Boolean = true): DataFrame = {
+               exactFold: Boolean = true,
+               exactFoldMaxInDegree: Long = 100000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of [1,50]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val useExactFold = exactFold && {
+      val maxIn = Option(
+        e.groupBy("dst").agg(count(lit(1)).as("d"))
+          .agg(max("d")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val ok = maxIn <= exactFoldMaxInDegree
+      if (!ok) log.warn(s"pageRank: max in-degree $maxIn exceeds " +
+        s"exactFoldMaxInDegree=$exactFoldMaxInDegree — demoting the " +
+        "contribution fold to plain distributed sum (order-free float " +
+        "adds; ranks may differ from the exact fold by ulps)")
+      ok
+    }
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
@@ -67,7 +92,7 @@ object Graphs {
         .join(deg, "src")
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
       val summed =
-        if (exactFold)
+        if (useExactFold)
           contribs.groupBy("dst")
             .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
             .select(col("dst"), aggregate(col("cs"), lit(0.0),

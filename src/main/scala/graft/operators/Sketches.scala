@@ -407,11 +407,11 @@ object Sketches {
 
   def bloomProbe(words: DataFrame, probes: DataFrame, groupCols: Seq[String],
                  valueCol: String, numHashes: Int = 3,
-                 carryCols: Seq[String] = Nil): DataFrame = {
+                 carryCols: Seq[String] = Nil, hexChars: Int = 4): DataFrame = {
     val keep = (groupCols ++ carryCols) :+ valueCol
     val exploded = probes
       .select(keep.map(col) :+
-        explode(bloomPositions(col(valueCol), numHashes)).as("pos"): _*)
+        explode(bloomPositions(col(valueCol), numHashes, hexChars)).as("pos"): _*)
       .withColumn("word", shiftright(col("pos"), 5))
     exploded
       .join(broadcast(words), groupCols :+ "word", "left")

@@ -215,8 +215,9 @@ object ExcelReader {
     * reject row (null cells, `reject_reason` set) per file that fails the
     * magic-bytes sniff or zip/XML parse. One task per file (binaryFiles),
     * rows in file order per sheet. */
-  def sheetsGridTagged(spark: SparkSession, path: String): DataFrame = {
-    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+  def sheetsGridTagged(spark: SparkSession, path: String,
+                       cacheRdd: Boolean = false): DataFrame = {
+    val rows0 = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
       val bytes = pds.toArray()
       def reject(reason: String) =
         Seq(Row(file, null, null, null, null, reason))
@@ -246,6 +247,15 @@ object ExcelReader {
           reject("unknown_format: no zip (PK) signature")
       }
     }
+    // cacheRdd: cache at the RDD layer, NOT DataFrame.persist — RDD cache
+    // entries are released by Spark's ContextCleaner as soon as the RDD
+    // becomes unreachable, so a multi-pass consumer (multiSheetUnion's
+    // metadata pass + data pass) parses each workbook once WITHOUT
+    // leaking a CacheManager entry past the call (DataFrame persist is
+    // never auto-evicted and was accumulating one grid per call)
+    val rows = if (cacheRdd)
+      rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else rows0
     spark.createDataFrame(rows, gridSchema)
   }
 
@@ -286,8 +296,12 @@ object ExcelReader {
     * sheet) equi-join shuffle — the resolution logic is unchanged. */
   def multiSheetUnionWithRejects(spark: SparkSession, path: String,
                                  headerIdx: Long = 0): (DataFrame, DataFrame) = {
-    val tagged = sheetsGridTagged(spark, path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grid cache lives at the RDD layer (ContextCleaner-released when the
+    // returned frames are dropped); the per-sheet metadata frame is tiny
+    // and localCheckpoint(eager) both materializes it ONCE for its two
+    // consumers (schema collect + broadcast join) and cuts its lineage
+    // off the grid, so the data pass is the only post-metadata grid scan
+    val tagged = sheetsGridTagged(spark, path, cacheRdd = true)
     val rejects = tagged.where(col("reject_reason").isNotNull)
       .select(col("source_file"), col("reject_reason"))
     val grid = tagged.where(col("reject_reason").isNull)
@@ -304,7 +318,13 @@ object ExcelReader {
         max(when(col("row_idx") > headerIdx &&
           exists(col("cells"), c => c.isNotNull && trim(c) =!= ""), 1)
           .otherwise(0)).as("__has_data"))
-      .where(col("__has_data") === 1 && col("__hdr").isNotNull)
+      // size > 0: a header row that parses to ZERO cells has no columns
+      // to resolve — drop the sheet (the driver-era path's tolerance);
+      // left in, map_from_arrays would meet sequence(1,0) = [1,0] (Spark
+      // sequences DESCEND to an end below start) and throw on mismatched
+      // key/value lengths at runtime
+      .where(col("__has_data") === 1 && col("__hdr").isNotNull &&
+        size(col("__hdr")) > 0)
       .withColumn("__hdrn", hdrn)
       .withColumn("__names", transform(col("__hdrn"), (h, i) => {
         val k = size(filter(slice(col("__hdrn"), lit(1), i + 1), x => x === h))
@@ -313,6 +333,7 @@ object ExcelReader {
       .select(col("source_file"), col("source_sheet"), col("__names"),
         map_from_arrays(col("__names"),
           sequence(lit(1), size(col("__names")))).as("__pos"))
+      .localCheckpoint(true)
 
     // output columns: every name, first-seen order across (file, sheet)
     // — the schema collect, bounded by header-name vocabulary

@@ -84,9 +84,15 @@ object EventsStream {
   private def eventsStream(spark: SparkSession, dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    graft.core.Tables.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    // spark.graft.streaming.maxFilesPerTrigger splits the backlog into
+    // real micro-batches (AvailableNow honors source read limits) — the
+    // steady-state measurement mode StreamBench uses. Default (unset)
+    // keeps the whole-backlog single batch the oracle queries run.
+    val rs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+    val rs2 = spark.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+      .fold(rs)(v => rs.option("maxFilesPerTrigger", v))
+    graft.core.Tables.normalizeEventTs(rs2.parquet(dir))
   }
 
   /** Start-run-drain a streaming query into a memory table.
@@ -520,6 +526,23 @@ object EventsStream {
                             aheadSec: Long): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // spark.graft.streaming.drain=false runs the query WITHOUT the drain
+    // sentinel — the sentinel is a finite-run convenience that is WRONG
+    // under multi-batch triggers: its MemoryStream row lands in batch 1,
+    // jumping the watermark past end-of-input so every later batch's
+    // events read as late and drop. Multi-batch runs (StreamBench, over
+    // time-ordered files) advance the watermark naturally instead; the
+    // cost is that trailing windows/sessions stay unemitted at shutdown,
+    // exactly as on a live stream.
+    if (spark.conf.getOption("spark.graft.streaming.drain")
+        .exists(_.equalsIgnoreCase("false"))) {
+      val mem0 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](org.apache.spark.sql.Encoders.scalaLong, spark.sqlContext)
+      return mem0.toDF().select( // no addData: a forever-empty source
+        timestamp_seconds(col("value")).as("ts"),
+        lit(DrainType).as("event_type"),
+        lit(0.0).as("value"))
+    }
     // empty input → max(ts) is NULL; fall back to epoch 0 so the drain
     // wrappers return an empty result instead of throwing on .getLong
     val maxEpochSec = maxTsEpochSecFromFooters(spark, dir)
