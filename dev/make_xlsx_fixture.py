@@ -151,4 +151,24 @@ edge_sheet1 = (
 build(f"{FIX}/xlsx_edge.xlsx", [("Edge", [])], edge_shared,
       raw_sheet_xml={"Edge": edge_sheet1})
 
-print("wrote", f"{FIX}/supplier_sheets.xlsx", "and", f"{FIX}/xlsx_edge.xlsx")
+# --- xlsx_empty_header.xlsx: zero-cell header row ------------------------
+# Sheet "NoHdr": row 1 is ABSENT from the XML, so the header row gap-fills
+# to zero cells while data rows exist below it — the reader must DROP the
+# sheet (the driver-era tolerance), not die in map_from_arrays on a
+# zero-length name array. Sheet "Good" is normal so the union still
+# yields rows from the same workbook.
+nohdr_xml = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+    "<sheetData>"
+    '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>11</v></c></row>'
+    '<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3"><v>22</v></c></row>'
+    "</sheetData></worksheet>")
+build(f"{FIX}/xlsx_empty_header.xlsx", [
+    ("NoHdr", []),
+    ("Good", [[("s", 0), ("s", 1)],
+              [("s", 5), ("n", "99")]]),
+], shared, raw_sheet_xml={"NoHdr": nohdr_xml})
+
+print("wrote", f"{FIX}/supplier_sheets.xlsx", f"{FIX}/xlsx_edge.xlsx",
+      "and", f"{FIX}/xlsx_empty_header.xlsx")

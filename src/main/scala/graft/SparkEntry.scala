@@ -2882,6 +2882,31 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // K1 roundtrip: the JSON-records sink re-read and oracle-checked
+    // against the source rows (the q68 recipe for the other text sink).
+    "q204_json_sink_roundtrip" -> ((s0, d) => {
+      val s = prep(s0)
+      val out = scratch("q204_json")
+      graft.sources.Sinks.writeJsonRecords(
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"), out)
+      s.read.json(out)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // A5/C27 under the oracle: best-token extraction (longest regex
+    // candidate, ties broken by byte-descending token, then global
+    // look-alike repair) over real document text — upgrades the last
+    // cleanse op that was spec-gated only.
+    "q205_best_token" -> ((s0, d) => {
+      val s = prep(s0)
+      Tables.documents(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id"),
+          graft.functions.OcrRepair.bestToken(col("text")).as("best_token"))
+        .orderBy("doc_id")
+    }),
+
     // S2/S4 at scale: a GLOB of workbooks through one metadata aggregation.
     // Workbook B's "Sheet1" reverses A's column order and ships its own
     // extra sheet — per-(file, sheet) header keying is what lands every
@@ -6979,6 +7004,21 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q204_json_sink_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q205_best_token" ->
+      """SELECT doc_id,
+        |  replace(replace(upper(trim(
+        |    (list_sort(list_transform(
+        |       regexp_extract_all(text, '([A-Za-z0-9]{2,}-?[A-Za-z0-9]{2,})', 1),
+        |       t -> {'len': length(t), 'tok': t}), 'DESC'))[1].tok
+        |  )), 'O', '0'), 'I', '1') AS best_token
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
 
     "q66_xlsx_many_union" ->
       """SELECT * FROM (VALUES

@@ -145,8 +145,19 @@ object StreamBench {
       val t0 = System.nanoTime()
       val outRows = queries(name)(spark, workDir).count()
       val totalSec = (System.nanoTime() - t0) / 1e9
-      // the listener bus is async — let the final progress events land
-      Thread.sleep(2000)
+      // the listener bus is async — poll until the stat queue stops
+      // growing (two consecutive stable 200 ms checks) instead of a
+      // fixed sleep, so a loaded machine can't silently truncate the
+      // trailing batches out of batch_ms_max / state_rows_max
+      var stable = 0
+      var lastSize = -1
+      var waitedMs = 0
+      while (stable < 2 && waitedMs < 15000) {
+        Thread.sleep(200); waitedMs += 200
+        val sz = stats.size()
+        if (sz == lastSize && sz > 0) stable += 1 else stable = 0
+        lastSize = sz
+      }
       // steady state: batches that actually carried input, minus the
       // first (store instantiation + code paths warm there)
       import scala.jdk.CollectionConverters._

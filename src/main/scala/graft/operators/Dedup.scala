@@ -416,7 +416,9 @@ object Dedup {
     * confirm-shuffle width ~4x for prose).
     *
     * SIZING IS AUTOMATIC by default (`bloomHexChars = 0`): one cheap
-    * count of the distinct test grams picks the smallest width holding
+    * no-shuffle agg over the test docs (total gram count from token
+    * lengths — an upper bound on distinct grams, and over-sizing is the
+    * safe direction) picks the smallest width holding
     * the ~10 bits/entry law (an undersized filter saturates, every probe
     * reads positive, and the prefilter degrades into [[contaminatedIds]]
     * plus pure overhead — CORRECT at every width, which is why the old
@@ -442,14 +444,30 @@ object Dedup {
     val hexChars =
       if (bloomHexChars > 0) bloomHexChars
       else {
-        // the width law needs ONE number — the distinct-gram count of the
-        // SMALL side (the same side the filter build scans anyway). Eager
-        // by design: a plan-time scalar, like the broadcast threshold.
-        val nGrams = math.max(testGrams.count(), 1L)
+        // the width law needs ONE number >= the distinct-gram count of
+        // the SMALL side. TOTAL grams (sum of per-doc token counts, one
+        // map-side agg over testDocs with NO explode/distinct shuffle)
+        // upper-bounds distinct grams, and OVER-sizing is the safe
+        // direction — the law is ">= 10 bits/entry", saturation only
+        // threatens under-sizing — so the bound trades at most one
+        // hexChar step of width (the duplication factor is < 16) for
+        // skipping the testGrams.count() pass that cost q124 +0.24 s at
+        // sf0.1. Eager by design: a plan-time scalar, like the broadcast
+        // threshold.
+        val nGrams = math.max(testDocs
+          .agg(coalesce(sum(greatest(size(tokens(col(textCol))) - (n - 1),
+            lit(0)).cast("long")), lit(0L)))
+          .head().getLong(0), 1L)
         var h = 4 // floor: 2^16 bits, the historical default
         while (h < 8 && (1L << (4 * h)) < 10L * nGrams) h += 1
+        if ((1L << 32) < 10L * nGrams)
+          log.warn(s"contaminatedIdsBloomPrefilter: $nGrams test grams " +
+            s"exceed the 2^32-bit cap's ~4.3e8-entry capacity at 10 " +
+            "bits/entry — the filter will partially saturate and the " +
+            "prefilter degrades toward pure overhead (decisions stay " +
+            "exact; consider contaminatedIds direct at this test-set size)")
         log.info(s"contaminatedIdsBloomPrefilter: auto-sized bloom to " +
-          s"hexChars=$h (2^${4 * h} bits) for $nGrams test grams" +
+          s"hexChars=$h (2^${4 * h} bits) for <=$nGrams test grams" +
           (if (h > literalMaxHexChars) " — using broadcast-join probe form" else ""))
         h
       }

@@ -47,7 +47,8 @@ object Graphs {
     * in-degree — fine on bounded-degree graphs, but a web-scale hub with
     * 10^7 in-links would materialize its whole in-edge list in one task.
     * So `exactFold = true` is a REQUEST, not a command: a cheap
-    * max-in-degree probe (one count agg over the edge list) demotes the
+    * max-in-degree probe (skipped outright when the edge COUNT is within
+    * the bound, since max in-degree <= |E|) demotes the
     * run to the plain-sum fold when any target's in-degree exceeds
     * `exactFoldMaxInDegree`, logging the switch — bit-parity is a
     * property worth one bounded list, never an OOM. Plain sum differs
@@ -60,17 +61,8 @@ object Graphs {
     require(iters >= 1 && iters <= 50, s"iters $iters out of [1,50]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val useExactFold = exactFold && {
-      val maxIn = Option(
-        e.groupBy("dst").agg(count(lit(1)).as("d"))
-          .agg(max("d")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val ok = maxIn <= exactFoldMaxInDegree
-      if (!ok) log.warn(s"pageRank: max in-degree $maxIn exceeds " +
-        s"exactFoldMaxInDegree=$exactFoldMaxInDegree — demoting the " +
-        "contribution fold to plain distributed sum (order-free float " +
-        "adds; ranks may differ from the exact fold by ulps)")
-      ok
-    }
+    val useExactFold = exactFold &&
+      resolveExactFold(e, exactFoldMaxInDegree)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
@@ -108,6 +100,29 @@ object Graphs {
     }
     pr
   }
+
+  /** The exact-fold safety decision, factored out so the demotion branch
+    * is directly testable. max in-degree <= |E|, so when the WHOLE edge
+    * list fits the bound no probe can fail — skip it: the count is a
+    * cache-warming scan of the just-persisted edge list (map-side partial
+    * counts, no shuffle), strictly cheaper than the groupBy+max probe it
+    * replaces for the small graphs the oracle exercises. The shuffle
+    * probe only runs on graphs big enough that a hub is actually
+    * possible, where its cost is noise next to the iterations it
+    * protects. */
+  private[graft] def resolveExactFold(e: DataFrame,
+                                      exactFoldMaxInDegree: Long): Boolean =
+    e.count() <= exactFoldMaxInDegree || {
+      val maxIn = Option(
+        e.groupBy("dst").agg(count(lit(1)).as("d"))
+          .agg(max("d")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val ok = maxIn <= exactFoldMaxInDegree
+      if (!ok) log.warn(s"pageRank: max in-degree $maxIn exceeds " +
+        s"exactFoldMaxInDegree=$exactFoldMaxInDegree — demoting the " +
+        "contribution fold to plain distributed sum (order-free float " +
+        "adds; ranks may differ from the exact fold by ulps)")
+      ok
+    }
 
   /** Per-node triangle participation counts over an undirected graph,
     * via degree-ordered edge orientation (the MPS / "compact-forward"

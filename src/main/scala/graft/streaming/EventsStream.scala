@@ -88,11 +88,23 @@ object EventsStream {
     // real micro-batches (AvailableNow honors source read limits) — the
     // steady-state measurement mode StreamBench uses. Default (unset)
     // keeps the whole-backlog single batch the oracle queries run.
+    // The events table exists in two layouts and each needs a different
+    // source spelling: the driver testdata ships events.parquet as a
+    // single FILE (a file can't be a stream basePath → stream the parent
+    // dir with pathGlobFilter on the name), while scaled/prepared dirs
+    // ship it as a DIRECTORY of part files (stream the directory ITSELF
+    // — pathGlobFilter matches leaf-file NAMES, so filtering the parent
+    // dir by "events.parquet" dropped every part-*.parquet and the
+    // stream read zero rows, found the first time StreamBench ran).
+    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(evPath).isDirectory
     val rs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
     val rs2 = spark.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
       .fold(rs)(v => rs.option("maxFilesPerTrigger", v))
-    graft.core.Tables.normalizeEventTs(rs2.parquet(dir))
+    graft.core.Tables.normalizeEventTs(
+      if (isDir) rs2.parquet(evPath.toString)
+      else rs2.option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Start-run-drain a streaming query into a memory table.

@@ -1561,6 +1561,31 @@ class OperatorsSpec extends SparkSpec {
     three.foreach { case (id, pr) => assert(math.abs(loose(id) - pr) < 1e-12) }
   }
 
+  test("pageRank: synthetic hub demotes the exact fold; plain-sum ranks match") {
+    // hub node 0 has in-degree 30; spokes also chain so ranks are
+    // non-trivial. With exactFoldMaxInDegree = 5 the probe must demote;
+    // without a cap it must keep the exact fold.
+    val hubEdges = ((1L to 30L).map(s => (s, 0L)) ++
+      (1L until 30L).map(s => (s, s + 1))).toDF("src", "dst")
+    val eNorm = hubEdges.select(col("src"), col("dst"))
+    assert(!Graphs.resolveExactFold(eNorm, 5L), "hub in-degree 30 must demote")
+    assert(Graphs.resolveExactFold(eNorm, 100000L),
+      "default bound must keep the exact fold on a 59-edge graph")
+    // |E| <= bound short-circuit: the probe is skipped, fold kept, even
+    // though this graph's hub violates a hypothetical per-target read
+    assert(Graphs.resolveExactFold(eNorm, 59L))
+    // demoted run end-to-end: ranks match the exact fold within
+    // float-reassociation noise, and mass is conserved
+    val demoted = Graphs.pageRank(hubEdges, "src", "dst", iters = 3,
+        exactFold = true, exactFoldMaxInDegree = 5L)
+      .as[(Long, Double)].collect()
+    val exact = Graphs.pageRank(hubEdges, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(demoted.length == 31)
+    assert(math.abs(demoted.map(_._2).sum - 1.0) < 1e-9)
+    demoted.foreach { case (id, pr) => assert(math.abs(exact(id) - pr) < 1e-12) }
+  }
+
   // ---- targeted delete
 
   test("targetedDelete rewrites only victim-bearing files; idempotent rerun") {

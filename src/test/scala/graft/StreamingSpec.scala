@@ -299,6 +299,48 @@ class StreamingSpec extends SparkSpec {
     assert(steady.forall(_ >= 0))
   }
 
+  test("drain-off multi-batch run equals the single-drain run on every " +
+    "watermark-closed window; trailing windows stay unemitted") {
+    // the drain=false + maxFilesPerTrigger mode rewires the sentinel
+    // union every streaming oracle query flows through — this pins that
+    // on time-ordered files the multi-batch run's emitted rows are
+    // EXACTLY the single-drain run's rows restricted to windows the
+    // natural watermark closed (a prefix by win_start), nothing altered
+    val base = java.nio.file.Files.createTempDirectory("graft_drainoff").toString
+    val out = s"$base/events.parquet"
+    Tables.events(spark, sfDir).repartitionByRange(5, col("ts"))
+      .sortWithinPartitions("ts").write.parquet(out)
+    // FileStreamSource consumes oldest-modTime-first: force mtimes into
+    // part order = time-range order (the StreamBench prepare protocol)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val drained = EventsStream.tumblingCounts(spark, base, 300).collect()
+      .map(r => key(r) -> r).toMap
+    val partial =
+      try {
+        spark.conf.set("spark.graft.streaming.drain", "false")
+        spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+        EventsStream.tumblingCounts(spark, base, 300).collect()
+          .map(r => key(r) -> r).toMap
+      } finally {
+        spark.conf.unset("spark.graft.streaming.drain")
+        spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+      }
+    assert(partial.nonEmpty, "multi-batch run emitted nothing — watermark never advanced")
+    assert(partial.size < drained.size,
+      "drain-off must withhold the trailing windows the sentinel would close")
+    // emitted rows are bit-identical to the drained run's
+    partial.foreach { case (k, row) => assert(drained(k) == row, s"row differs at $k") }
+    // and form a win_start-prefix of the drained result: every drained
+    // window at or before the last emitted one must have been emitted
+    val cutoff = partial.keys.map(_._1).max
+    drained.keys.filter(_._1 <= cutoff).foreach(k =>
+      assert(partial.contains(k), s"window $k closed by the watermark but missing"))
+  }
+
   test("streaming incremental dedup accumulates the index across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
