@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted measurement probes — the apparatus behind PLANS.md's skew
+  * and phase-attribution tables. Each subcommand builds its own session
+  * (fresh-JVM isolation is the caller's job, as with `Bench`) and
+  * prints ONE JSON line.
+  *
+  * `skew <sfDir> <plain|aqe|salted> [saltFactor]` — the same
+  * lineitem⋈supplier revenue aggregation under three treatments of a
+  * hot l_suppkey (run against a `MakeScale --skew-suppkey` dir):
+  * plain = shuffle join with AQE's skew split OFF; aqe = skew split ON;
+  * salted = the q67 [[operators.Skew.saltedJoin]] wrapper. All three
+  * run with auto-broadcast DISABLED: at bench scale the 100k-row
+  * supplier side would broadcast and no skew mechanism would engage at
+  * all, but the 100 TB case this measures is a dimension too big to
+  * broadcast — the shuffle-join spelling is the thing under test. For
+  * the same reason the AQE skew thresholds are scaled DOWN from their
+  * production defaults (256 MB partitions don't exist at sf1; at real
+  * scale the defaults engage on their own). Every variant prints the
+  * same result checksum — a treatment that changed the answer would be
+  * a bug, not a tuning.
+  *
+  * `q152 <sfDir>` — phase attribution for the variant-shred query
+  * (to_json → parse_json → variant_get×4 → groupBy): times cumulative
+  * prefixes of the pipeline and reports per-phase deltas, the q29-style
+  * table that explains a decade ratio instead of guessing at it. Each
+  * prefix consumes its columns through an aggregate (column pruning
+  * would otherwise skip the work being measured).
+  */
+object Probes {
+
+  private def session(name: String, extra: Map[String, String]): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val withExtra = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    val s = withExtra.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed(runs: Int)(body: => Unit): Seq[Double] =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("skew") => skew(args(1), args(2),
+      args.lift(3).map(_.toInt).getOrElse(8))
+    case Some("q152") => q152Phases(args(1))
+    case _ =>
+      System.err.println(
+        "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | q152 <sfDir>")
+      sys.exit(2)
+  }
+
+  private def skew(sfDir: String, variant: String, saltFactor: Int): Unit = {
+    require(Set("plain", "aqe", "salted")(variant), s"variant $variant")
+    val spark = session(s"graft-skewprobe-$variant", Map(
+      // the 100 TB premise: dimension too big to broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> (variant == "aqe").toString,
+      // production defaults (256 MB / factor 5) sized for real executors;
+      // scaled to engage at bench partition sizes, same mechanism
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m"))
+    import graft.core.Tables
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    def joined: DataFrame = {
+      val j =
+        if (variant == "salted")
+          operators.Skew.saltedJoin(li, supp, Seq("suppkey"), saltFactor)
+        else li.join(supp, Seq("suppkey"))
+      j.groupBy("s_nationkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }
+    // untimed: hot-key diagnostics + warmup (page cache, codegen)
+    val hot = operators.Skew.heavyHitters(li, "suppkey", 1).head()
+    val hotShare = hot.getDouble(hot.length - 1)
+    val check = joined.agg(sum(round(col("revenue"), 0)).cast("long"),
+      sum("n_items").cast("long"), count(lit(1))).head()
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val secs = timed(runs) { joined.write.format("noop").mode("overwrite").save() }
+    println(s"""{"probe":"skew","variant":"$variant","sf":"$sfDir"""" +
+      s""","salt_factor":${if (variant == "salted") saltFactor else 0}""" +
+      s""","hot_key_share":$hotShare""" +
+      s""","runs":${secs.map(s => f"$s%.2f").mkString("[", ",", "]")}""" +
+      s""","median":${f"${median(secs)}%.2f"}""" +
+      s""","checksum":[${check.getLong(0)},${check.getLong(1)},${check.getLong(2)}]}""")
+    spark.stop()
+  }
+
+  private def q152Phases(sfDir: String): Unit = {
+    val spark = session("graft-q152-phases", Map.empty)
+    import graft.core.Tables
+    val o = Tables.orders(spark, sfDir)
+    val payload = to_json(struct(
+      col("o_orderstatus").as("status"),
+      struct(col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("prio")).as("detail"),
+      array(col("o_custkey"), col("o_orderkey")).as("refs")))
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    def m(body: => Unit): Double = { body; median(timed(runs)(body)) } // 1 warmup
+    // cumulative prefixes; each consumes its product via an agg so
+    // column pruning can't skip the phase under measurement
+    val tScan = m(o.agg(count(lit(1)), sum(col("o_totalprice"))).head())
+    val tJson = m(o.select(payload.as("p")).agg(sum(length(col("p")))).head())
+    // parse_json and variant_get are measured as ONE rung: separating
+    // them would need the probe to consume the bare variant, and every
+    // consumption of a variant re-serializes it (to_json/cast), biasing
+    // the split; the typed variant_get outputs consume as plain scalars
+    val tGet = m(o.select(parse_json(payload).as("var"))
+      .select(
+        variant_get(col("var"), "$.status", "string").as("status"),
+        variant_get(col("var"), "$.detail.amount", "double").as("amount"),
+        variant_get(col("var"), "$.detail.prio", "string").as("prio"),
+        variant_get(col("var"), "$.refs[0]", "bigint").as("custkey"))
+      .agg(sum(length(col("status"))), sum(col("amount")),
+        sum(length(col("prio"))), sum(col("custkey"))).head())
+    val tFull = m(SparkEntry.queries("q152_variant_shred")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    def f(d: Double) = f"$d%.2f"
+    println(s"""{"probe":"q152_phases","sf":"$sfDir","runs_per_point":$runs""" +
+      s""","scan":${f(tScan)},"to_json":${f(tJson)}""" +
+      s""","parse_and_get":${f(tGet)},"full":${f(tFull)}""" +
+      s""","deltas":{"to_json":${f(tJson - tScan)}""" +
+      s""","parse_and_get":${f(tGet - tJson)},"group_agg":${f(tFull - tGet)}}}""")
+    spark.stop()
+  }
+}
