@@ -61,9 +61,11 @@ object Probes {
     case Some("skew") => skew(args(1), args(2),
       args.lift(3).map(_.toInt).getOrElse(8))
     case Some("q152") => q152Phases(args(1))
+    case Some("q76") => q76Phases(args(1))
     case _ =>
       System.err.println(
-        "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | q152 <sfDir>")
+        "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | " +
+          "q152 <sfDir> | q76 <sfDir>")
       sys.exit(2)
   }
 
@@ -106,6 +108,40 @@ object Probes {
       s""","runs":${secs.map(s => f"$s%.2f").mkString("[", ",", "]")}""" +
       s""","median":${f"${median(secs)}%.2f"}""" +
       s""","checksum":[${check.getLong(0)},${check.getLong(1)},${check.getLong(2)}]}""")
+    spark.stop()
+  }
+
+  /** q76 decade attribution: q76 should cost ~ q29 (the pairs join on a
+    * slightly bigger corpus) + a small connected-components leg over the
+    * ~10^5 true-pair edges — but it measures far above q29 at sf10.
+    * Times (a) the pairs join alone on q76's three-way corpus,
+    * (b) the pairs join on q29's two-way corpus for reference,
+    * (c) full q76 — the (c)-(a) delta is the CC + groupBy leg. */
+  private def q76Phases(sfDir: String): Unit = {
+    val spark = session("graft-q76-phases", Map.empty)
+    import graft.core.Tables
+    import graft.operators.Dedup
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val m1 = base.where(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+    val m2 = base.where(col("doc_id") % 22 === 0)
+      .withColumn("doc_id", col("doc_id") + 400000)
+      .withColumn("text", concat(col("text"), lit(" extra suffix added")))
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    def m(body: => Unit): Double = { body; median(timed(runs)(body)) } // 1 warmup
+    var nPairs3 = 0L; var nPairs2 = 0L
+    val tPairs3 = m { nPairs3 = Dedup.jaccardPairsPrefixFilter(
+      base.unionByName(m1).unionByName(m2), "doc_id", "text", 3, 0.5).count() }
+    val tPairs2 = m { nPairs2 = Dedup.jaccardPairsPrefixFilter(
+      base.unionByName(m1), "doc_id", "text", 3, 0.5).count() }
+    val tFull = m(SparkEntry.queries("q76_neardup_components")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    def f(d: Double) = f"$d%.2f"
+    println(s"""{"probe":"q76_phases","sf":"$sfDir","runs_per_point":$runs""" +
+      s""","pairs_3way":${f(tPairs3)},"n_pairs_3way":$nPairs3""" +
+      s""","pairs_2way_q29corpus":${f(tPairs2)},"n_pairs_2way":$nPairs2""" +
+      s""","full":${f(tFull)},"cc_plus_tail":${f(tFull - tPairs3)}}""")
     spark.stop()
   }
 

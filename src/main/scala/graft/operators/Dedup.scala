@@ -471,7 +471,12 @@ object Dedup {
           (if (h > literalMaxHexChars) " — using broadcast-join probe form" else ""))
         h
       }
-    val bloom = Sketches.bloomWords(testGrams, Seq.empty, "gk",
+    // digest-sliced positions: gk IS an md5 hex digest, so filter bits
+    // come from substring slices of it instead of 3 fresh md5 draws per
+    // gram — on the corpus side (the 10^8-gram leg at scale) that
+    // removes ALL per-gram hashing from the probe. Build + probe share
+    // the scheme; decisions stay exact either way (the confirm join).
+    val bloom = Sketches.bloomWordsDigest(testGrams, Seq.empty, "gk",
       hexChars = hexChars)
     val corpusGrams = corpus
       .withColumn("__toks", tokens(col(textCol)))
@@ -484,9 +489,10 @@ object Dedup {
     // broadcast-word-join probe: same decisions, filter ships as rows.
     val survivors = (
       if (hexChars <= literalMaxHexChars)
-        Sketches.bloomProbeLiteral(bloom, corpusGrams, "gk", hexChars = hexChars)
+        Sketches.bloomProbeLiteralDigest(bloom, corpusGrams, "gk",
+          hexChars = hexChars)
       else
-        Sketches.bloomProbe(bloom, corpusGrams, Seq.empty, "gk",
+        Sketches.bloomProbeDigest(bloom, corpusGrams, Seq.empty, "gk",
           carryCols = Seq(idCol), hexChars = hexChars)
       ).where(col("bloom_positive"))
       .select(col(idCol), col("gk"))

@@ -236,12 +236,49 @@ object Sketches {
     * never materialized). */
   def bloomWords(df: DataFrame, groupCols: Seq[String], valueCol: String,
                  numHashes: Int = 3, hexChars: Int = 4): DataFrame =
-    df.select(groupCols.map(col) :+
-        explode(bloomPositions(col(valueCol), numHashes, hexChars)).as("pos"): _*)
+    wordsFromPositions(df, groupCols,
+      bloomPositions(col(valueCol), numHashes, hexChars))
+
+  private def wordsFromPositions(df: DataFrame, groupCols: Seq[String],
+                                 positions: Column): DataFrame =
+    df.select(groupCols.map(col) :+ explode(positions).as("pos"): _*)
       .withColumn("word", shiftright(col("pos"), 5))
       .withColumn("m", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
       .groupBy((groupCols :+ "word").map(col): _*)
       .agg(expr("bit_or(m)").as("mask"))
+
+  // ------------------------------------------------------------------
+  // Digest-sliced Bloom variants — for values that already ARE md5 hex
+  // digests (the dedup/decontamination gram keys). The md5-re-draw
+  // positions above hash "value#j" per bit — 3 extra md5s per probed
+  // value, which on a 10^8-gram corpus side is the dominant probe cost.
+  // A 128-bit digest already holds 32 hex chars of uniform bits, so
+  // hash j just takes the non-overlapping slice [1 + j·hexChars,
+  // hexChars]: identical independence and false-positive math, zero
+  // additional hashing (substring + conv per bit). Build and probe must
+  // BOTH use the digest form — mixing schemes silently probes the wrong
+  // bits (no false negatives are only guaranteed scheme-internally).
+  // Oracle-spelled sketches (the SQL-mirrored user-ID filter) keep the
+  // md5 re-draw scheme; these variants exist for prefilters whose
+  // oracles pin DECISIONS, not positions.
+  // ------------------------------------------------------------------
+
+  private def digestPosition(v: Column, j: Int, hexChars: Int): Column =
+    conv(substring(v, 1 + j * hexChars, hexChars), 16, 10).cast("long")
+
+  /** numHashes non-overlapping 4·hexChars-bit slices of an md5 hex
+    * digest (requires numHashes·hexChars <= 32 hex chars). */
+  def digestPositions(v: Column, numHashes: Int, hexChars: Int): Column = {
+    require(numHashes * hexChars <= 32,
+      s"digest slicing needs numHashes*hexChars <= 32, got $numHashes*$hexChars")
+    array((0 until numHashes).map(j => digestPosition(v, j, hexChars)): _*)
+  }
+
+  /** [[bloomWords]] with positions sliced from an md5-hex `valueCol`. */
+  def bloomWordsDigest(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       numHashes: Int = 3, hexChars: Int = 4): DataFrame =
+    wordsFromPositions(df, groupCols,
+      digestPositions(col(valueCol), numHashes, hexChars))
 
   // ------------------------------------------------------------------
   // Count-Min sketch — approximate FREQUENCIES, completing the family:
@@ -330,7 +367,22 @@ object Sketches {
     * Building the literal is one bounded job over the (small) filter
     * side — the same boundedness the broadcast in [[bloomProbe]] needs. */
   def bloomProbeLiteral(words: DataFrame, probes: DataFrame, valueCol: String,
-                        numHashes: Int = 3, hexChars: Int = 4): DataFrame = {
+                        numHashes: Int = 3, hexChars: Int = 4): DataFrame =
+    probeLiteralWith(words, probes, numHashes, hexChars,
+      // same bloomPosition definition as the build — no drift possible
+      j => bloomPosition(col(valueCol), lit(j), hexChars))
+
+  /** [[bloomProbeLiteral]] against a [[bloomWordsDigest]]-built filter:
+    * positions sliced from the md5-hex `valueCol`, no per-probe md5. */
+  def bloomProbeLiteralDigest(words: DataFrame, probes: DataFrame,
+                              valueCol: String, numHashes: Int = 3,
+                              hexChars: Int = 4): DataFrame =
+    probeLiteralWith(words, probes, numHashes, hexChars,
+      j => digestPosition(col(valueCol), j, hexChars))
+
+  private def probeLiteralWith(words: DataFrame, probes: DataFrame,
+                               numHashes: Int, hexChars: Int,
+                               posOf: Int => Column): DataFrame = {
     // filter words: position domain 4·hexChars bits, 32 bits per word —
     // 2048 longs at the default, 32k longs (256 KB literal) at hexChars=5;
     // bounded by the FILTER SIZE constant either way, never the data
@@ -342,8 +394,7 @@ object Sketches {
       .foreach(r => arr(r.getLong(0).toInt) |= r.getLong(1))
     val filterLit = typedlit(arr.toSeq)
     val positive = (0 until numHashes).map { j =>
-      // same bloomPosition definition as the build — no drift possible
-      val pos = bloomPosition(col(valueCol), lit(j), hexChars)
+      val pos = posOf(j)
       call_function("shiftright",
         element_at(filterLit, (pos / 32).cast("int") + 1),
         (pos % 32).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
@@ -407,11 +458,25 @@ object Sketches {
 
   def bloomProbe(words: DataFrame, probes: DataFrame, groupCols: Seq[String],
                  valueCol: String, numHashes: Int = 3,
-                 carryCols: Seq[String] = Nil, hexChars: Int = 4): DataFrame = {
+                 carryCols: Seq[String] = Nil, hexChars: Int = 4): DataFrame =
+    probeJoinWith(words, probes, groupCols, valueCol, numHashes, carryCols,
+      bloomPositions(col(valueCol), numHashes, hexChars))
+
+  /** [[bloomProbe]] against a [[bloomWordsDigest]]-built filter. */
+  def bloomProbeDigest(words: DataFrame, probes: DataFrame,
+                       groupCols: Seq[String], valueCol: String,
+                       numHashes: Int = 3, carryCols: Seq[String] = Nil,
+                       hexChars: Int = 4): DataFrame =
+    probeJoinWith(words, probes, groupCols, valueCol, numHashes, carryCols,
+      digestPositions(col(valueCol), numHashes, hexChars))
+
+  private def probeJoinWith(words: DataFrame, probes: DataFrame,
+                            groupCols: Seq[String], valueCol: String,
+                            numHashes: Int, carryCols: Seq[String],
+                            positions: Column): DataFrame = {
     val keep = (groupCols ++ carryCols) :+ valueCol
     val exploded = probes
-      .select(keep.map(col) :+
-        explode(bloomPositions(col(valueCol), numHashes, hexChars)).as("pos"): _*)
+      .select(keep.map(col) :+ explode(positions).as("pos"): _*)
       .withColumn("word", shiftright(col("pos"), 5))
     exploded
       .join(broadcast(words), groupCols :+ "word", "left")

@@ -300,7 +300,12 @@ object ExcelReader {
     // returned frames are dropped); the per-sheet metadata frame is tiny
     // and localCheckpoint(eager) both materializes it ONCE for its two
     // consumers (schema collect + broadcast join) and cuts its lineage
-    // off the grid, so the data pass is the only post-metadata grid scan
+    // off the grid, so the data pass is the only post-metadata grid scan.
+    // localCheckpoint is NON-reliable: the blocks live on executors, so
+    // on a real cluster an executor loss mid-query fails the job instead
+    // of recomputing — acceptable for this kilobyte-scale metadata frame
+    // (re-running the read is cheap); a reliable checkpoint would buy
+    // fault tolerance at the cost of a distributed-FS round trip
     val tagged = sheetsGridTagged(spark, path, cacheRdd = true)
     val rejects = tagged.where(col("reject_reason").isNotNull)
       .select(col("source_file"), col("reject_reason"))

@@ -1479,6 +1479,32 @@ class OperatorsSpec extends SparkSpec {
     assert(merged.toSeq == whole.toSeq)
   }
 
+  test("bloom digest-sliced variant: zero false negatives, both probe forms") {
+    // values that ARE md5 digests — the dedup gram-key shape
+    val members = (1 to 2000).map(i => Tuple1(s"m$i")).toDF("raw")
+      .select(md5(col("raw")).as("gk"))
+    val words = Sketches.bloomWordsDigest(members, Seq.empty, "gk")
+    // every member positive under BOTH probe spellings (literal + join)
+    val posLit = Sketches.bloomProbeLiteralDigest(words, members, "gk")
+      .where(col("bloom_positive")).count()
+    val posJoin = Sketches.bloomProbeDigest(words, members, Seq.empty, "gk")
+      .where(col("bloom_positive")).count()
+    assert(posLit == 2000 && posJoin == 2000)
+    // the two probe forms agree on every stranger too (same bits read)
+    val strangers = (1 to 4000).map(i => Tuple1(s"q$i")).toDF("raw")
+      .select(md5(col("raw")).as("gk"))
+    val litSet = Sketches.bloomProbeLiteralDigest(words, strangers, "gk")
+      .where(col("bloom_positive")).select("gk").as[String].collect().toSet
+    val joinSet = Sketches.bloomProbeDigest(words, strangers, Seq.empty, "gk")
+      .where(col("bloom_positive")).select("gk").as[String].collect().toSet
+    assert(litSet == joinSet)
+    assert(litSet.size <= 40, s"implausible false-positive count ${litSet.size}")
+    // scheme-mixing guard: slicing needs the hex digits to exist
+    intercept[IllegalArgumentException] {
+      Sketches.digestPositions(col("gk"), 3, 12)
+    }
+  }
+
   // ---- record linkage
 
   test("linkPairsPrefixFilter equals brute-force bipartite Jaccard") {
