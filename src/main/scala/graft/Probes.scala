@@ -44,7 +44,7 @@ object Probes {
       .config("spark.ui.enabled", "false")
     val withExtra = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
     val s = withExtra.getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     s
   }
 
@@ -62,11 +62,29 @@ object Probes {
       args.lift(3).map(_.toInt).getOrElse(8))
     case Some("q152") => q152Phases(args(1))
     case Some("q76") => q76Phases(args(1))
+    case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
     case _ =>
       System.err.println(
         "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | " +
-          "q152 <sfDir> | q76 <sfDir>")
+          "q152 <sfDir> | q76 <sfDir> | refile <sfDir> <table> <n> <outDir>")
       sys.exit(2)
+  }
+
+  /** Rewrite one table of a scaled dir into `n` files (round-robin).
+    * MakeScale's single-output-file layout makes the whole scan ONE map
+    * task, and AQE's skew split subdivides a reduce partition along
+    * map-output boundaries — one mapper means nothing to subdivide, so
+    * the mechanism can never engage no matter how hot the key. A 100 TB
+    * scan is thousands of map tasks; this restores that property for
+    * the skew measurements. Values are untouched (same rows, same
+    * checksums) — only file count changes. */
+  private def refile(sfDir: String, table: String, n: Int, outDir: String): Unit = {
+    val spark = session("graft-refile", Map.empty)
+    spark.read.parquet(s"$sfDir/$table.parquet")
+      .repartition(n)
+      .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    println(s"""{"probe":"refile","table":"$table","n":$n,"out":"$outDir"}""")
+    spark.stop()
   }
 
   private def skew(sfDir: String, variant: String, saltFactor: Int): Unit = {
@@ -77,9 +95,23 @@ object Probes {
       "spark.sql.adaptive.skewJoin.enabled" -> (variant == "aqe").toString,
       // production defaults (256 MB / factor 5) sized for real executors;
       // scaled to engage at bench partition sizes, same mechanism
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m"))
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "8m"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_FACTOR", "2.0"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_ADVISORY", "4m"),
+      // AQE splits a skewed REDUCE partition along MAP-output boundaries
+      // — a fact this probe measured the hard way: the 75 MB single-file
+      // lineitem scan is ONE map task at the 128 MB default, so the hot
+      // partition arrives from one mapper and createSkewPartitionSpecs
+      // has nowhere to cut (split count would be 1 → rule declines, the
+      // DEBUG log shows "skewed partitions: left 0" despite a 13×-median
+      // partition). A 100 TB scan is thousands of mappers, so the
+      // realistic regime needs many map tasks — size scan splits down
+      // for it with SPARK_GRAFT_MAX_PARTITION_BYTES.
+      "spark.sql.files.maxPartitionBytes" ->
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")))
     import graft.core.Tables
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_suppkey").as("suppkey"),
@@ -95,6 +127,17 @@ object Probes {
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2))
           .as("revenue"), count(lit(1)).as("n_items"))
     }
+    // capture the FINAL adaptive plan of each execution — "did AQE's
+    // skew split actually engage" is a claim the timing table can't
+    // settle by itself (an un-engaged mechanism and an engaged-but-
+    // useless one read identically as "no speedup")
+    @volatile var lastPlan = ""
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    ns: Long): Unit = lastPlan = qe.executedPlan.toString
+      def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    e: Exception): Unit = ()
+    })
     // untimed: hot-key diagnostics + warmup (page cache, codegen)
     val hot = operators.Skew.heavyHitters(li, "suppkey", 1).head()
     val hotShare = hot.getDouble(hot.length - 1)
@@ -102,11 +145,25 @@ object Probes {
       sum("n_items").cast("long"), count(lit(1))).head()
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val secs = timed(runs) { joined.write.format("noop").mode("overwrite").save() }
+    // listener events are async — poll (bounded) rather than fixed-sleep
+    val deadline = System.nanoTime() + 10000000000L
+    while (lastPlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    // Spark 4 renders an engaged skew split as an AQEShuffleRead whose
+    // partition spec is printed "skewed" (optionally with "coalesced"),
+    // and the join node carries isSkewJoin=true. A bare "skew" match
+    // would false-positive on the data directory PATH in FileScan nodes
+    // (e.g. .../graft_sf1_skew4/...), so match the exact spellings.
+    val skewEngaged = lastPlan.contains("skewed") || lastPlan.contains("isSkewJoin=true")
+    sys.env.get("SPARK_GRAFT_DUMP_PLAN").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        lastPlan.getBytes("UTF-8"))
+    }
     println(s"""{"probe":"skew","variant":"$variant","sf":"$sfDir"""" +
       s""","salt_factor":${if (variant == "salted") saltFactor else 0}""" +
       s""","hot_key_share":$hotShare""" +
       s""","runs":${secs.map(s => f"$s%.2f").mkString("[", ",", "]")}""" +
       s""","median":${f"${median(secs)}%.2f"}""" +
+      s""","aqe_skew_engaged":$skewEngaged""" +
       s""","checksum":[${check.getLong(0)},${check.getLong(1)},${check.getLong(2)}]}""")
     spark.stop()
   }
