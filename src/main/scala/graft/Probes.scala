@@ -63,11 +63,59 @@ object Probes {
     case Some("q152") => q152Phases(args(1))
     case Some("q76") => q76Phases(args(1))
     case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
+    case Some("q66") => q66Phases(args.lift(1).map(_.toInt).getOrElse(64))
     case _ =>
       System.err.println(
         "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | " +
-          "q152 <sfDir> | q76 <sfDir> | refile <sfDir> <table> <n> <outDir>")
+          "q152 <sfDir> | q76 <sfDir> | refile <sfDir> <table> <n> <outDir> | " +
+          "q66 [nFiles]")
       sys.exit(2)
+  }
+
+  /** q66 attribution: is the 0.44–0.47 s bench cost per-FILE work or the
+    * FIXED overhead of the broadcast header-resolution design (grid parse
+    * job + metadata agg + localCheckpoint + schema collect + broadcast
+    * data pass)? Times the same multiSheetUnion at 2 files (the bench
+    * fixture set) and at `nFiles` (the 2 fixtures copied round-robin),
+    * plus a grid-parse-only rung at each count so the parse leg splits
+    * from the resolution legs. If the 2→N cost grows far slower than N/2,
+    * the sf0.1 number is the fixed job-structure cost — the price paid
+    * ONCE per query for a resolution path with nothing driver-side that
+    * scales in file count, which is the 100 TB trade the round-7 rework
+    * made deliberately. */
+  private def q66Phases(nFiles: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = session("graft-q66probe", Map.empty)
+    val src = Paths.get("src/test/resources/fixtures/xlsx_many")
+    val base = Files.createTempDirectory("graft_q66probe")
+    val many = base.resolve("many"); Files.createDirectory(many)
+    val two = base.resolve("two"); Files.createDirectory(two)
+    val fixtures = Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".xlsx")).sortBy(_.toString)
+    fixtures.foreach(f => Files.copy(f, two.resolve(f.getFileName),
+      StandardCopyOption.REPLACE_EXISTING))
+    (0 until nFiles).foreach { i =>
+      val f = fixtures(i % fixtures.length)
+      Files.copy(f, many.resolve(s"copy_$i.xlsx"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
+    def gridOnly(dir: java.nio.file.Path): Unit =
+      sources.ExcelReader.sheetsGridTagged(spark, s"$dir/*.xlsx").count()
+    def full(dir: java.nio.file.Path): Unit =
+      sources.ExcelReader.multiSheetUnion(spark, s"$dir/*.xlsx")
+        .orderBy("source_file", "source_sheet", "row_idx")
+        .write.format("noop").mode("overwrite").save()
+    full(two) // warmup: codegen + classloading, untimed
+    val g2 = timed(runs)(gridOnly(two)); val f2 = timed(runs)(full(two))
+    val gN = timed(runs)(gridOnly(many)); val fN = timed(runs)(full(many))
+    def fmt(xs: Seq[Double]) = f"${median(xs)}%.3f"
+    println(s"""{"probe":"q66","n_files":$nFiles,"runs":$runs""" +
+      s""","grid_2":${fmt(g2)},"full_2":${fmt(f2)}""" +
+      s""","grid_n":${fmt(gN)},"full_n":${fmt(fN)}""" +
+      s""","resolution_2":${f"${median(f2) - median(g2)}%.3f"}""" +
+      s""","resolution_n":${f"${median(fN) - median(gN)}%.3f"}}""")
+    spark.stop()
   }
 
   /** Rewrite one table of a scaled dir into `n` files (round-robin).
