@@ -61,7 +61,7 @@ object Probes {
     case Some("skew") => skew(args(1), args(2),
       args.lift(3).map(_.toInt).getOrElse(8))
     case Some("q152") => q152Phases(args(1))
-    case Some("q76") => q76Phases(args(1))
+    case Some("q76") => q76Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
     case Some("q66") => q66Phases(args.lift(1).map(_.toInt).getOrElse(64))
     case _ =>
@@ -222,7 +222,17 @@ object Probes {
     * Times (a) the pairs join alone on q76's three-way corpus,
     * (b) the pairs join on q29's two-way corpus for reference,
     * (c) full q76 — the (c)-(a) delta is the CC + groupBy leg. */
-  private def q76Phases(sfDir: String): Unit = {
+  /** `rung` selects ONE phase ("pairs3" | "pairs2" | "full") so the
+    * caller can give each phase its own fresh JVM — the lesson of the
+    * first all-in-one sf10 run: within a single JVM the FIRST rung pays
+    * JIT compilation and heap-growth costs the later rungs inherit for
+    * free, and at sf10 that ordering bias was larger than the phase
+    * split itself (the pairs rung read 64.8 s while the FULL query —
+    * which contains that same pairs join — read 48.8 s right after it).
+    * "all" keeps the one-JVM behavior for quick sf0.1/sf1 looks, where
+    * the bias is small next to the phases. */
+  private def q76Phases(sfDir: String, rung: String): Unit = {
+    require(Set("all", "pairs3", "pairs2", "full")(rung), s"rung $rung")
     val spark = session("graft-q76-phases", Map.empty)
     import graft.core.Tables
     import graft.operators.Dedup
@@ -235,18 +245,36 @@ object Probes {
       .withColumn("text", concat(col("text"), lit(" extra suffix added")))
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     def m(body: => Unit): Double = { body; median(timed(runs)(body)) } // 1 warmup
-    var nPairs3 = 0L; var nPairs2 = 0L
-    val tPairs3 = m { nPairs3 = Dedup.jaccardPairsPrefixFilter(
-      base.unionByName(m1).unionByName(m2), "doc_id", "text", 3, 0.5).count() }
-    val tPairs2 = m { nPairs2 = Dedup.jaccardPairsPrefixFilter(
-      base.unionByName(m1), "doc_id", "text", 3, 0.5).count() }
-    val tFull = m(SparkEntry.queries("q76_neardup_components")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save())
     def f(d: Double) = f"$d%.2f"
-    println(s"""{"probe":"q76_phases","sf":"$sfDir","runs_per_point":$runs""" +
-      s""","pairs_3way":${f(tPairs3)},"n_pairs_3way":$nPairs3""" +
-      s""","pairs_2way_q29corpus":${f(tPairs2)},"n_pairs_2way":$nPairs2""" +
-      s""","full":${f(tFull)},"cc_plus_tail":${f(tFull - tPairs3)}}""")
+    def doRung(name: String): (Double, Long) = name match {
+      case "pairs3" =>
+        var n = 0L
+        val t = m { n = Dedup.jaccardPairsPrefixFilter(
+          base.unionByName(m1).unionByName(m2), "doc_id", "text", 3, 0.5).count() }
+        (t, n)
+      case "pairs2" =>
+        var n = 0L
+        val t = m { n = Dedup.jaccardPairsPrefixFilter(
+          base.unionByName(m1), "doc_id", "text", 3, 0.5).count() }
+        (t, n)
+      case "full" =>
+        (m(SparkEntry.queries("q76_neardup_components")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()), -1L)
+    }
+    if (rung == "all") {
+      val (tPairs3, nPairs3) = doRung("pairs3")
+      val (tPairs2, nPairs2) = doRung("pairs2")
+      val (tFull, _) = doRung("full")
+      println(s"""{"probe":"q76_phases","sf":"$sfDir","runs_per_point":$runs""" +
+        s""","pairs_3way":${f(tPairs3)},"n_pairs_3way":$nPairs3""" +
+        s""","pairs_2way_q29corpus":${f(tPairs2)},"n_pairs_2way":$nPairs2""" +
+        s""","full":${f(tFull)},"cc_plus_tail":${f(tFull - tPairs3)}}""")
+    } else {
+      val (t, n) = doRung(rung)
+      println(s"""{"probe":"q76_phases","sf":"$sfDir","rung":"$rung"""" +
+        s""","runs_per_point":$runs,"median":${f(t)}""" +
+        (if (n >= 0) s""","n_pairs":$n}""" else "}"))
+    }
     spark.stop()
   }
 
