@@ -64,12 +64,108 @@ object Probes {
     case Some("q76") => q76Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
     case Some("q66") => q66Phases(args.lift(1).map(_.toInt).getOrElse(64))
+    case Some("plan") => planOf(args(1), args(2))
+    case Some("scanaudit") => scanAudit(args(1), args.lift(2).map(_.toInt).getOrElse(4))
     case _ =>
       System.err.println(
         "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | " +
-          "q152 <sfDir> | q76 <sfDir> | refile <sfDir> <table> <n> <outDir> | " +
-          "q66 [nFiles]")
+          "q152 <sfDir> | q76 <sfDir> [all|pairs3|pairs2|full] | " +
+          "refile <sfDir> <table> <n> <outDir> | q66 [nFiles] | " +
+          "plan <queryName> <sfDir> | scanaudit <sfDir> [flagScans]")
       sys.exit(2)
+  }
+
+  /** Plan-multiplicity audit over EVERY SparkEntry query: runs each one
+    * against a noop sink, collects every executed (final adaptive) plan
+    * it fires (eagerly-checkpointed operators fire several), and flags
+    * queries where a SINGLE plan contains ≥ `flagScans` source scans —
+    * the fan-out disease: a multi-consumer frame whose upstream subtree
+    * Catalyst inlines into every branch, so the source re-scans once per
+    * consumer (ReuseExchange only dedupes identical exchanges, not
+    * same-subtree-different-key consumers). Found this way and fixed with
+    * `Checkpoints.cut`: q161 31 scans → tail of 0, q117 12 → 2, q176
+    * 7 → 1. One JSON line per flagged query; a trailing summary line
+    * always prints, so "flagged":0 is itself recorded evidence. */
+  private def scanAudit(sfDir: String, flagScans: Int): Unit = {
+    val spark = session("graft-scanaudit", Map.empty)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    ns: Long): Unit = plans.add(qe.executedPlan.toString)
+      def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    e: Exception): Unit = ()
+    })
+    def count(s: String, pat: String): Int = pat.r.findAllIn(s).length
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val before = plans.size()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // listener bus is async: wait for the plan count to go stable
+        var stable = 0; var last = -1; var waited = 0
+        while (stable < 2 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          val sz = plans.size()
+          if (sz == last && sz > before) stable += 1 else stable = 0
+          last = sz
+        }
+        import scala.jdk.CollectionConverters._
+        val mine = plans.asScala.toSeq.drop(before)
+        // the true fan-out signal is the SAME source path appearing many
+        // times in ONE plan — N different tables scanned once each is a
+        // normal join, and a persisted frame prints its child subtree
+        // under InMemoryRelation even though execution reads the cache
+        // (so raw FileScan counts overestimate for cached plans; the
+        // cached_reads count disambiguates)
+        def maxSamePath(p: String): Int = {
+          val paths = "[\\w./-]+\\.(?:parquet|orc|csv|json|xlsx)"
+            .r.findAllIn(p).toSeq
+          if (paths.isEmpty) 0 else paths.groupBy(identity).values.map(_.size).max
+        }
+        val perPlan = mine.map(p => (maxSamePath(p), p))
+        val (maxRescan, worst) =
+          if (perPlan.isEmpty) (0, "") else perPlan.maxBy(_._1)
+        if (maxRescan >= flagScans) {
+          flagged += 1
+          println(s"""{"query":"$name","n_execs":${mine.size}""" +
+            s""","max_same_source_in_one_plan":$maxRescan""" +
+            s""","cached_reads":${count(worst, "InMemoryTableScan|TableCacheQueryStage")}""" +
+            s""","exchanges":${count(worst, "Exchange")}""" +
+            s""","reused":${count(worst, "ReusedExchange")}}""")
+        }
+      } catch {
+        case e: Exception =>
+          println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")
+      }
+    }
+    println(s"""{"probe":"scanaudit","sf":"$sfDir","flag_threshold":$flagScans""" +
+      s""","queries":${SparkEntry.queries.size},"flagged":$flagged}""")
+    spark.stop()
+  }
+
+  /** Print the EXECUTED (final adaptive) physical plan of any SparkEntry
+    * query — `.explain` on the unexecuted frame shows the initial plan,
+    * which hides what AQE actually did (exchange reuse, coalesce, skew
+    * splits, runtime join demotions). Runs the query once against a noop
+    * sink, then prints the plan the run actually used. The plan-audit
+    * workflow: run this after touching any multi-consumer operator and
+    * look for ReusedExchange/ReusedSubquery nodes where a frame fans out
+    * to several joins. */
+  private def planOf(queryName: String, sfDir: String): Unit = {
+    val spark = session("graft-planprobe", Map.empty)
+    @volatile var lastPlan = ""
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    ns: Long): Unit = lastPlan = qe.executedPlan.toString
+      def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    e: Exception): Unit = ()
+    })
+    SparkEntry.queries(queryName)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 10000000000L
+    while (lastPlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    println(lastPlan)
+    spark.stop()
   }
 
   /** q66 attribution: is the 0.44–0.47 s bench cost per-FILE work or the

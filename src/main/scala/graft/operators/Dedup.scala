@@ -532,11 +532,23 @@ object Dedup {
       .where(size(col("toks")) >= n)
     // position-stamped grams (NOT distinct — positions are the payload);
     // toks is a materialized attribute so the HOF slices don't re-tokenize
+    // persist: `grams` feeds BOTH the df-prune aggregate and the position
+    // join below, and the two consumers exchange on different keys so
+    // ReuseExchange cannot share them — unshared, the whole
+    // scan→tokenize→posexplode→md5 subtree (the corpus-sized leg) runs
+    // once per consumer (measured: 12 parquet scans in q117's executed
+    // plan). A LAZY persist, not an eager Checkpoints.cut: the cut's
+    // extra materialization job cost q120 (a small-subset caller) +1.0 s
+    // of fixed overhead at sf0.1, while persist computes on first use
+    // and the second consumer reads cache — same single tokenization,
+    // no extra job; blocks release via the ContextCleaner when the
+    // returned frame is dropped (the ExcelReader grid-cache pattern).
     val grams = toked
       .select(col("id"), posexplode(
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), md5(col("gram")).as("gkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df prune: only grams in 2..maxGramDf distinct docs can contribute
     val usable = grams.select("gkey", "id").distinct()
       .groupBy("gkey").agg(count(lit(1)).as("gdf"))
@@ -888,18 +900,29 @@ object Dedup {
     * [[dedupBatchAgainstIndex]] can build each batch's signatures exactly
     * once (they were being recomputed for the survivor append, doubling
     * the dominant tokenize/md5 cost per delivery). */
-  private def nearDupDropsFromIndex(newIdx: DataFrame, index: DataFrame,
+  private def nearDupDropsFromIndex(newIdx0: DataFrame, index: DataFrame,
                                     k: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
     val minMatches = math.ceil(threshold * k).toInt
+    // cut: the batch index fans out to THREE consumers (the index probe
+    // + both intra-batch self-join legs), and uncut each one re-derives
+    // it from scratch — for a caller coming through
+    // incrementalNearDupDrops that is re-tokenizing + re-minhashing the
+    // whole delivery per consumer, the exact cost class the
+    // dedupBatchAgainstIndex split (below) was built to avoid
+    // (measured: 27 same-source scans in q140's executed plan).
+    val newIdx = graft.core.Checkpoints.cut(newIdx0)
     def estMatches(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)
-    val oldHits = newIdx
+    // cut: consumed by the union leg AND the intra-batch anti-join —
+    // uncut, the index band-join (the expensive probe against the
+    // accumulated corpus) runs twice
+    val oldHits = graft.core.Checkpoints.cut(newIdx
       .join(index.select(col("band_idx"), col("band_sig"),
         col("sig").as("old_sig")), Seq("band_idx", "band_sig"))
       .where(estMatches(col("sig"), col("old_sig")) >= minMatches)
-      .select("id").distinct()
+      .select("id").distinct())
     val a = newIdx.select(col("band_idx"), col("band_sig"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = newIdx.select(col("band_idx"), col("band_sig"),

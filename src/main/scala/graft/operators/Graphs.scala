@@ -141,11 +141,21 @@ object Graphs {
     * then the closing-edge join on the (lo, hi) pair) plus one corner
     * explode + count — all hash exchanges on node/pair keys. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // Both normalization products are CUT to checkpoint leaves because the
+    // downstream plan fans out over them: `und` feeds the degree count
+    // (twice, via the unionAll) and the orientation join, and `ranked`
+    // feeds three consumers (both wedge legs + the closing-edge side).
+    // Uncut, Catalyst inlines the whole upstream subtree — INCLUDING
+    // whatever pipeline produced `edges` — into every branch: the q161
+    // executed plan carried 31 parquet scans and 88 exchanges (13 reused)
+    // of which each re-ran the co-occurrence backbone aggregation. At
+    // 100 TB that is re-deriving the edge list dozens of times per count.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .transform(graft.core.Checkpoints.cut)
     // undirected degree, then the total order (deg, id) that orients edges
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
@@ -160,6 +170,7 @@ object Graphs {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("hi"))
+      .transform(graft.core.Checkpoints.cut)
     // wedges centered at the lowest-ranked corner: lo→b, lo→c (b "<" c in
     // rank order is implied by b, c both out-neighbors; order by id to
     // emit each unordered out-pair once)

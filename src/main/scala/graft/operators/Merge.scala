@@ -104,8 +104,12 @@ object Merge {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(ordCols.map(c => col(c).desc): _*)
-    val latest = log.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    // cut: `latest` feeds both the anti-join (untouched base rows) and
+    // the survivor filter — uncut, the changelog window-compaction runs
+    // twice, once per consumer
+    val latest = graft.core.Checkpoints.cut(
+      log.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn"))
     val untouched = base.join(
       latest.select(keys.map(col): _*), keys, "left_anti")
     val survivors = latest

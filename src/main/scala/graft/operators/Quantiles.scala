@@ -118,6 +118,15 @@ object Quantiles {
     * pass) and nothing else. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame = {
+    // deliberately NOT materialized (the Layout curveQualityMulti
+    // lesson): c2 fans out to three consumers, so the source re-scans
+    // once per consumer — but each scan prunes to two columns and both
+    // alternatives measured WORSE at sf0.1 (lazy 2.45 s, eager
+    // Checkpoints.cut +0.44 s, MEMORY_AND_DISK persist slower still):
+    // caching 2-column rows costs more than re-reading them from
+    // column-pruned parquet. At cluster scale a caller feeding an
+    // expensively-derived frame (not a raw table scan) should persist
+    // it BEFORE calling — the operator can't know which case it's in.
     val c2 = df.select(col(groupCol),
       (round(col(valueCol) * 100).cast("long") * 2).as("c2"))
     val med = exactGroupQuantiles(c2, groupCol, "c2", Seq(0.5), Seq("med2"))
