@@ -892,26 +892,32 @@ object Dedup {
                               idCol: String, textCol: String,
                               n: Int = 3, k: Int = 32, bands: Int = 8,
                               threshold: Double = 0.6): DataFrame =
+    // cut the freshly-built batch index HERE, not inside the drop logic:
+    // it fans out to three consumers there (index probe + both
+    // intra-batch legs), and uncut each one would re-tokenize and
+    // re-minhash the whole delivery; callers that arrive through
+    // dedupBatchAgainstIndex have already persisted their batch index,
+    // and a second materialization inside the shared path would just be
+    // an extra job per delivery
     nearDupDropsFromIndex(
-      minhashIndexPortable(newDocs, idCol, textCol, n, k, bands),
+      graft.core.Checkpoints.cut(
+        minhashIndexPortable(newDocs, idCol, textCol, n, k, bands)),
       index, k, threshold)
 
   /** The drop decision given an ALREADY-BUILT batch index — split out so
     * [[dedupBatchAgainstIndex]] can build each batch's signatures exactly
     * once (they were being recomputed for the survivor append, doubling
     * the dominant tokenize/md5 cost per delivery). */
-  private def nearDupDropsFromIndex(newIdx0: DataFrame, index: DataFrame,
+  private def nearDupDropsFromIndex(newIdx: DataFrame, index: DataFrame,
                                     k: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
     val minMatches = math.ceil(threshold * k).toInt
-    // cut: the batch index fans out to THREE consumers (the index probe
-    // + both intra-batch self-join legs), and uncut each one re-derives
-    // it from scratch — for a caller coming through
-    // incrementalNearDupDrops that is re-tokenizing + re-minhashing the
-    // whole delivery per consumer, the exact cost class the
-    // dedupBatchAgainstIndex split (below) was built to avoid
-    // (measured: 27 same-source scans in q140's executed plan).
-    val newIdx = graft.core.Checkpoints.cut(newIdx0)
+    // `newIdx` is consumed three times below; every public caller hands
+    // it in MATERIALIZED (incrementalNearDupDrops cuts the fresh build,
+    // dedupBatchAgainstIndex persists it) so the fan-out reads blocks,
+    // not recomputed lineage — this private helper must not add its own
+    // materialization job on top (measured: a redundant inner cut cost
+    // the per-delivery curve ~+1 s per delivery).
     def estMatches(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)
