@@ -143,4 +143,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(q118.contains("ObjectHashAggregate"),
       "q118 BoundedMinK fell off the object-hash aggregation path")
   }
+
+  test("multi-consumer frames stay materialized (plan fan-out net)") {
+    // The round-8 scan-audit regression net: a multi-consumer frame
+    // whose upstream subtree Catalyst inlines into every branch re-runs
+    // its derivation once per consumer (ReuseExchange only merges
+    // identical exchanges). Pinned here are the operator fixes:
+    //  - triangleCounts cuts its edge list + oriented ranking (q161's
+    //    plan carried 31 same-source scans pre-fix, re-running the
+    //    co-occurrence backbone per branch);
+    //  - duplicatePassages persists its gram table (tokenize+md5 once);
+    //  - applyChangelog cuts the compacted changelog (the row_number
+    //    window ran twice pre-fix);
+    //  - incrementalNearDupDrops cuts the fresh batch index (the
+    //    delivery was re-tokenized per consumer pre-fix).
+    def maxSamePath(plan: String): Int = {
+      val p = "[\\w./-]+\\.parquet".r.findAllIn(plan).toSeq
+      if (p.isEmpty) 0 else p.groupBy(identity).values.map(_.size).max
+    }
+    val q161 = maxSamePath(plans("q161_triangle_count"))
+    assert(q161 <= 6,
+      s"q161 re-scans one source $q161 times - triangleCounts lost its cuts (31 pre-fix)")
+    assert(plans("q117_dup_passages").contains("InMemoryRelation"),
+      "q117 plan has no cache marker - duplicatePassages lost its gram-table persist")
+    val q143Windows = "row_number".r.findAllIn(plans("q143_cdc_apply")).length
+    assert(q143Windows <= 1,
+      s"q143 runs the changelog compaction window $q143Windows times - applyChangelog lost its cut")
+    val q140 = maxSamePath(plans("q140_incremental_dedup"))
+    assert(q140 <= 8,
+      s"q140 re-scans one source $q140 times - the batch-index cut is gone (27 pre-fix)")
+  }
 }
