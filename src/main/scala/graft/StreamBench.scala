@@ -77,14 +77,38 @@ object StreamBench {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("prepare") => prepare(args(1), args(2), args(3).toInt)
     case Some("run")     => run(args(1), args(2), args(3),
-      args.lift(4).map(_.toInt).getOrElse(1))
+      args.lift(4).map(_.toInt).getOrElse(1), args.lift(5).getOrElse("none"))
     case Some("dedup")   => dedupBench(args(1), args(2), args(3).toInt)
     case _ =>
       System.err.println("usage: StreamBench prepare <srcSfDir> <workDir> <nFiles>" +
-        " | run <workDir> <query|all> <hdfs|rocksdb> [filesPerTrigger]" +
+        " | run <workDir> <query|all> <hdfs|rocksdb> [filesPerTrigger] [tuning]" +
         " | dedup <srcSfDir> <workDir> <nDeliveries>")
       sys.exit(2)
   }
+
+  /** RocksDB tuning presets for the provider-premium sweep (round-9 ask:
+    * the 1.1-2.0x per-batch premium over HDFS-backed state was measured
+    * at DEFAULT RocksDB settings — these are Spark 4's documented levers
+    * for exactly that commit-path cost):
+    *   changelog — changelog checkpointing: commits upload a delta log
+    *     instead of snapshotting SST files every batch (snapshot cost
+    *     moves to a background maintenance thread);
+    *   notrack — trackTotalNumberOfRows=false: drops the per-put/delete
+    *     row-count bookkeeping (numRowsTotal reads -1 in the metrics —
+    *     the price of the lever, which is why it's a preset and not the
+    *     default: the state-size evidence tables need that metric);
+    *   both — the two combined.
+    * Presets compose onto either provider but only move RocksDB paths;
+    * "none" keeps the measured-default baseline. */
+  private val tunings: Map[String, Map[String, String]] = Map(
+    "none" -> Map.empty,
+    "changelog" -> Map(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"),
+    "notrack" -> Map(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false"),
+    "both" -> Map(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false"))
 
   private def prepare(srcDir: String, workDir: String, nFiles: Int): Unit = {
     val spark = session("graft-streambench-prepare")
@@ -110,8 +134,10 @@ object StreamBench {
   }
 
   private def run(workDir: String, query: String, provider: String,
-                  filesPerTrigger: Int): Unit = {
+                  filesPerTrigger: Int, tuning: String): Unit = {
     require(provider == "hdfs" || provider == "rocksdb", s"provider $provider")
+    require(tunings.contains(tuning),
+      s"unknown tuning $tuning (have: ${tunings.keys.toSeq.sorted.mkString(",")})")
     val names =
       if (query == "all") queries.keys.toSeq.sorted
       else { require(queries.contains(query), s"unknown query $query " +
@@ -120,6 +146,7 @@ object StreamBench {
     spark.conf.set("spark.graft.streaming.drain", "false")
     spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", filesPerTrigger.toString)
     if (provider == "rocksdb") spark.conf.set("spark.graft.stateStore", "rocksdb")
+    tunings(tuning).foreach { case (k, v) => spark.conf.set(k, v) }
 
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
     val listener = new StreamingQueryListener {
@@ -168,7 +195,7 @@ object StreamBench {
         if (xs.isEmpty) -1L
         else xs.sorted.apply(math.min(xs.size - 1, (q * xs.size).toInt))
       val line =
-        s"""{"stream_query":"$name","provider":"$provider"""" +
+        s"""{"stream_query":"$name","provider":"$provider","tuning":"$tuning"""" +
         s""","files_per_trigger":$filesPerTrigger,"batches":${all.size}""" +
         s""","fed_batches":${fed.size},"input_rows":${all.map(_.inputRows).sum}""" +
         s""","output_rows":$outRows,"total_sec":${f"$totalSec%.2f"}""" +

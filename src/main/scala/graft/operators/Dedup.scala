@@ -441,6 +441,11 @@ object Dedup {
       .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(md5(col("g")).as("gk"))
       .distinct()
+    def widthFor(entries: Long): Int = {
+      var h = 4 // floor: 2^16 bits, the historical default
+      while (h < 8 && (1L << (4 * h)) < 10L * entries) h += 1
+      h
+    }
     val hexChars =
       if (bloomHexChars > 0) bloomHexChars
       else {
@@ -449,20 +454,37 @@ object Dedup {
         // map-side agg over testDocs with NO explode/distinct shuffle)
         // upper-bounds distinct grams, and OVER-sizing is the safe
         // direction — the law is ">= 10 bits/entry", saturation only
-        // threatens under-sizing — so the bound trades at most one
-        // hexChar step of width (the duplication factor is < 16) for
-        // skipping the testGrams.count() pass that cost q124 +0.24 s at
-        // sf0.1. Eager by design: a plan-time scalar, like the broadcast
-        // threshold.
-        val nGrams = math.max(testDocs
+        // threatens under-sizing. For a NON-repetitive corpus the
+        // duplication factor total/distinct is small and the bound costs
+        // at most a hexChar step or two of width; a repetitive corpus
+        // (one n-gram repeated across a doc) makes the ratio unbounded,
+        // so when the cheap bound lands at a width that CHANGES THE PLAN
+        // (past the literal-probe form, or at the cap) it is refined by
+        // approx_count_distinct over the actual grams — one extra pass
+        // over the (small) test side, still no wide shuffle (the HLL
+        // partials merge into a single row). The 1.1 margin covers the
+        // sketch's ~5% default rsd on the over-sizing side; either way
+        // decisions stay exact (the confirm join). Eager by design: a
+        // plan-time scalar, like the broadcast threshold.
+        val nGramsBound = math.max(testDocs
           .agg(coalesce(sum(greatest(size(tokens(col(textCol))) - (n - 1),
             lit(0)).cast("long")), lit(0L)))
           .head().getLong(0), 1L)
-        var h = 4 // floor: 2^16 bits, the historical default
-        while (h < 8 && (1L << (4 * h)) < 10L * nGrams) h += 1
+        val hBound = widthFor(nGramsBound)
+        val nGrams =
+          if (hBound <= literalMaxHexChars && hBound < 8) nGramsBound
+          else {
+            val est = testDocs
+              .withColumn("__toks", tokens(col(textCol)))
+              .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
+              .agg(approx_count_distinct(col("g")))
+              .head().getLong(0)
+            math.max((est * 1.1).toLong, 1L)
+          }
+        val h = widthFor(nGrams)
         if ((1L << 32) < 10L * nGrams)
-          log.warn(s"contaminatedIdsBloomPrefilter: $nGrams test grams " +
-            s"exceed the 2^32-bit cap's ~4.3e8-entry capacity at 10 " +
+          log.warn(s"contaminatedIdsBloomPrefilter: ~$nGrams distinct test " +
+            s"grams exceed the 2^32-bit cap's ~4.3e8-entry capacity at 10 " +
             "bits/entry — the filter will partially saturate and the " +
             "prefilter degrades toward pure overhead (decisions stay " +
             "exact; consider contaminatedIds direct at this test-set size)")
@@ -471,13 +493,27 @@ object Dedup {
           (if (h > literalMaxHexChars) " — using broadcast-join probe form" else ""))
         h
       }
+    // digest slicing draws 3 non-overlapping hexChars-wide slices from the
+    // 32-hex-char md5 — impossible past hexChars 10. Explicit widths that
+    // wide (the pre-slicing scheme accepted them) fall back to the
+    // md5-redraw position scheme on BOTH sides instead of throwing deep
+    // inside Sketches: same decisions (no false negatives either way),
+    // the probe just pays its per-gram re-hash again.
+    val useDigestSlices = 3 * hexChars <= 32
+    if (!useDigestSlices)
+      log.info(s"contaminatedIdsBloomPrefilter: hexChars=$hexChars exceeds " +
+        "the digest-slice budget (3*hexChars <= 32) — using the md5-redraw " +
+        "position scheme (3 extra md5s per probed gram)")
     // digest-sliced positions: gk IS an md5 hex digest, so filter bits
     // come from substring slices of it instead of 3 fresh md5 draws per
     // gram — on the corpus side (the 10^8-gram leg at scale) that
     // removes ALL per-gram hashing from the probe. Build + probe share
     // the scheme; decisions stay exact either way (the confirm join).
-    val bloom = Sketches.bloomWordsDigest(testGrams, Seq.empty, "gk",
-      hexChars = hexChars)
+    val bloom =
+      if (useDigestSlices)
+        Sketches.bloomWordsDigest(testGrams, Seq.empty, "gk", hexChars = hexChars)
+      else
+        Sketches.bloomWords(testGrams, Seq.empty, "gk", hexChars = hexChars)
     val corpusGrams = corpus
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
@@ -488,13 +524,20 @@ object Dedup {
     // (rare-survivor) exact confirm join. Wider filters switch to the
     // broadcast-word-join probe: same decisions, filter ships as rows.
     val survivors = (
-      if (hexChars <= literalMaxHexChars)
-        Sketches.bloomProbeLiteralDigest(bloom, corpusGrams, "gk",
-          hexChars = hexChars)
-      else
-        Sketches.bloomProbeDigest(bloom, corpusGrams, Seq.empty, "gk",
-          carryCols = Seq(idCol), hexChars = hexChars)
-      ).where(col("bloom_positive"))
+      (useDigestSlices, hexChars <= literalMaxHexChars) match {
+        case (true, true) =>
+          Sketches.bloomProbeLiteralDigest(bloom, corpusGrams, "gk",
+            hexChars = hexChars)
+        case (true, false) =>
+          Sketches.bloomProbeDigest(bloom, corpusGrams, Seq.empty, "gk",
+            carryCols = Seq(idCol), hexChars = hexChars)
+        case (false, true) =>
+          Sketches.bloomProbeLiteral(bloom, corpusGrams, "gk",
+            hexChars = hexChars)
+        case (false, false) =>
+          Sketches.bloomProbe(bloom, corpusGrams, Seq.empty, "gk",
+            carryCols = Seq(idCol), hexChars = hexChars)
+      }).where(col("bloom_positive"))
       .select(col(idCol), col("gk"))
     survivors
       .join(testGrams, Seq("gk"), "left_semi")
@@ -532,29 +575,36 @@ object Dedup {
       .where(size(col("toks")) >= n)
     // position-stamped grams (NOT distinct — positions are the payload);
     // toks is a materialized attribute so the HOF slices don't re-tokenize
-    // persist: `grams` feeds BOTH the df-prune aggregate and the position
-    // join below, and the two consumers exchange on different keys so
-    // ReuseExchange cannot share them — unshared, the whole
-    // scan→tokenize→posexplode→md5 subtree (the corpus-sized leg) runs
-    // once per consumer (measured: 12 parquet scans in q117's executed
-    // plan). A LAZY persist, not an eager Checkpoints.cut: the cut's
-    // extra materialization job cost q120 (a small-subset caller) +1.0 s
-    // of fixed overhead at sf0.1, while persist computes on first use
-    // and the second consumer reads cache — same single tokenization,
-    // no extra job; blocks release via the ContextCleaner when the
-    // returned frame is dropped (the ExcelReader grid-cache pattern).
     val grams = toked
       .select(col("id"), posexplode(
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), md5(col("gram")).as("gkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df prune: only grams in 2..maxGramDf distinct docs can contribute
-    val usable = grams.select("gkey", "id").distinct()
-      .groupBy("gkey").agg(count(lit(1)).as("gdf"))
+    // df prune: only grams in 2..maxGramDf distinct docs can contribute.
+    // Spelled as two SAME-KEY windows (first-occurrence marker via lag,
+    // then a per-gkey sum of the markers = distinct-doc count), NOT a
+    // distinct+groupBy aggregate joined back: the aggregate spelling made
+    // `grams` a two-consumer frame whose branches exchanged on DIFFERENT
+    // keys (so ReuseExchange couldn't share them), and the fix-of-record
+    // for that — a Dataset-level persist — leaks: Dataset persist
+    // registers the plan in the session CacheManager, which holds a
+    // strong reference until unpersist()/clearCache(), so a long-lived
+    // session calling this repeatedly accumulates cached gram tables
+    // (the RDD-level ContextCleaner reclaim only applies to raw RDD
+    // caching, not CacheManager entries). The window spelling gives the
+    // tokenize→posexplode→md5 subtree exactly ONE consumer chain — no
+    // cache, nothing to leak — at the cost of one gkey exchange + sort,
+    // which the a/b self-join below then SHARES via ReuseExchange
+    // (identical subtrees), so the corpus-sized leg still runs once.
+    val wOrd = Window.partitionBy("gkey").orderBy("id", "pos")
+    val wAll = Window.partitionBy("gkey")
+    val pruned = grams
+      .withColumn("__first",
+        coalesce(col("id") =!= lag("id", 1).over(wOrd), lit(true)))
+      .withColumn("gdf",
+        sum(when(col("__first"), 1L).otherwise(0L)).over(wAll))
       .where(col("gdf") >= 2 && col("gdf") <= maxGramDf)
-      .select("gkey")
-    val pruned = grams.join(usable, Seq("gkey"))
+      .select("id", "pos", "gkey")
     val a = pruned.select(col("gkey"), col("id").as("id_a"), col("pos").as("pos_a"))
     val b = pruned.select(col("gkey"), col("id").as("id_b"), col("pos").as("pos_b"))
     val cand = a.join(b, Seq("gkey"))

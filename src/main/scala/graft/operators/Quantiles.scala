@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
   * `percentile_cont`/`quantile_cont`. */
 object Quantiles {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Contract guard for [[madOutliers]]'s deliberate no-materialize
+    * choice: true when the frame's plan BOTH contains expensive
+    * derivation (a join, aggregate, window, or generate upstream) AND is
+    * not already cached/checkpointed — the case where a multi-consumer
+    * operator silently re-runs that derivation once per consumer. A bare
+    * (possibly filtered/projected) scan re-reads cheaply under column
+    * pruning; an InMemoryRelation or LogicalRDD/LocalRelation leaf
+    * (persist / Checkpoints.cut / collected literal) re-reads from
+    * materialized rows — neither is flagged. */
+  private[graft] def expensiveUncachedInput(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
+    // a FRESH QueryExecution, not df.queryExecution: the Dataset memoizes
+    // its QueryExecution at first use, so a persist() issued after that
+    // would not show up as InMemoryRelation in the stale copy — the
+    // guard must see the cache state AS OF THE CALL
+    val plan = df.sparkSession.sessionState.executePlan(df.queryExecution.logical)
+      .optimizedPlan
+    val cached = plan.exists {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _ => false
+    }
+    !cached && plan.exists {
+      case _: Join | _: Aggregate | _: LWindow | _: Generate => true
+      case _ => false
+    }
+  }
+
   /** Exact interpolated quantiles of `valueCol` at fractions `ps`.
     * Three bounded jobs: count, sorted index pick, tiny collect. */
   def exactQuantiles(df: DataFrame, valueCol: String,
@@ -126,7 +155,16 @@ object Quantiles {
     // caching 2-column rows costs more than re-reading them from
     // column-pruned parquet. At cluster scale a caller feeding an
     // expensively-derived frame (not a raw table scan) should persist
-    // it BEFORE calling — the operator can't know which case it's in.
+    // it BEFORE calling — the operator can't tell WHICH re-scan is cheap
+    // from inside, but it CAN tell when the input plan carries an
+    // uncached join/agg/window, so that case warns loudly instead of
+    // silently triple-running the caller's derivation.
+    if (expensiveUncachedInput(df))
+      log.warn("madOutliers: input is an UNCACHED derived frame (join/" +
+        "aggregate/window upstream) and fans out to three internal " +
+        "consumers — each consumer will RE-RUN that derivation. " +
+        "persist() or Checkpoints.cut the input before calling; the " +
+        "lazy-is-cheaper measurement only covers pruned raw-table scans.")
     val c2 = df.select(col(groupCol),
       (round(col(valueCol) * 100).cast("long") * 2).as("c2"))
     val med = exactGroupQuantiles(c2, groupCol, "c2", Seq(0.5), Seq("med2"))

@@ -1394,6 +1394,14 @@ class OperatorsSpec extends SparkSpec {
     // and on a corpus with zero contamination both are empty
     val clean = corpus.where(col("doc_id") < 50)
     assert(Dedup.contaminatedIdsBloomPrefilter(clean, test, "doc_id", "text").count() == 0)
+    // explicit widths past the digest-slice budget (3*hexChars > 32 —
+    // hexChars 11 = 2^44 bits) were accepted by the pre-slicing md5
+    // scheme and must not throw now: the operator falls back to the
+    // md5-redraw positions on both sides, decisions unchanged
+    val wide = Dedup.contaminatedIdsBloomPrefilter(corpus, test, "doc_id",
+      "text", n = 8, bloomHexChars = 11, literalMaxHexChars = 6)
+      .as[Long].collect().sorted.toSeq
+    assert(wide == exact)
   }
 
   // ---- Count-Min sketch
@@ -1905,6 +1913,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r._1 == 100L)
     assert(r._2 >= 100.0 && r._2 <= 111.0, s"median ${r._2} dragged")
     assert(r._4 == 1L && r._3 == 0L) // exactly the injected row, high side
+  }
+
+  test("madOutliers materialization contract: derived-uncached inputs are flagged") {
+    // madOutliers deliberately does NOT materialize its input (a pruned
+    // raw-table re-scan measured cheaper than any cache at sf0.1), which
+    // pushes the persist duty to callers feeding EXPENSIVELY DERIVED
+    // frames — the guard predicate is what turns that doc'd contract
+    // into a loud warning instead of a silent triple-run of the
+    // caller's join. Pin the predicate's decisions on all four shapes.
+    val a = (1 to 50).map(i => (i.toLong, "g", 10.0 + i)).toDF("id", "g", "v")
+    val b = (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("id", "w")
+    // bare scan-ish input (local relation, projection only): not flagged
+    assert(!Quantiles.expensiveUncachedInput(a.select("g", "v")))
+    // derived (join upstream), uncached: flagged
+    val joined = a.join(b, "id").select(col("g"), (col("v") + col("w")).as("v"))
+    assert(Quantiles.expensiveUncachedInput(joined))
+    // same derivation, persisted: cleared (the caller did their duty)
+    val cached = joined.persist()
+    try {
+      cached.count()
+      assert(!Quantiles.expensiveUncachedInput(cached))
+    } finally cached.unpersist()
+    // Checkpoints.cut output is a leaf: cleared
+    assert(!Quantiles.expensiveUncachedInput(graft.core.Checkpoints.cut(joined)))
   }
 
   test("linearFit: exact line recovered; degenerate x → NULLs") {
