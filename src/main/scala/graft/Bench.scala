@@ -55,6 +55,7 @@ object Bench {
     // on whichever queries run AFTER the heavy ones, making their timings
     // unattributable
     def clearCaches(): Unit = {
+      core.InternalCaches.release() // also drains the registry's strong refs
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

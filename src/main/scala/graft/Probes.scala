@@ -424,6 +424,7 @@ object Probes {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_SF_DIR")
     def clear(): Unit = {
+      core.InternalCaches.release() // also drains the registry's strong refs
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -38,7 +38,10 @@ object Dedup {
   private def capBands(banded: DataFrame, bandCol: String, maxRows: Int,
                        who: String): DataFrame = {
     if (maxRows <= 0) return banded
-    val cached = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked persist: lazily-returned, so the operator has no correct
+    // unpersist point — long-lived sessions release via
+    // graft.core.InternalCaches.release() (see its Scaladoc)
+    val cached = graft.core.InternalCaches.persistTracked(banded)
     val hot = cached.groupBy(col(bandCol)).agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxRows).collect()
     if (hot.isEmpty) cached
@@ -158,7 +161,9 @@ object Dedup {
     // The shingle table feeds four consumers (postings, the df count, and
     // both verify sides) — persist it so tokenization/shingling/hashing
     // runs once, not once per consumer. MEMORY_AND_DISK: at corpus scale
-    // the hash arrays spill rather than evict-and-recompute.
+    // the hash arrays spill rather than evict-and-recompute. TRACKED:
+    // the result is lazy so there is no correct in-operator unpersist —
+    // long-lived sessions release via InternalCaches.release().
     // shingleHashes is a one-pass codegen kernel: the HOF spelling
     // (transform over shinglesFromTokens) re-evaluates the lambda-captured
     // token expression once per shingle position after projection collapse
@@ -168,7 +173,7 @@ object Dedup {
       .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .where(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.InternalCaches.persistTracked(_))
     // rarest-first prefix: global df per shingle hash, rank within doc.
     // df=1 postings are pruned BEFORE the rank window — a shingle unique to
     // one document can never form a candidate bucket, and most of a natural
@@ -253,7 +258,7 @@ object Dedup {
       .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .where(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.InternalCaches.persistTracked(_))
     val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)

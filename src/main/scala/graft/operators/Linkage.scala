@@ -78,7 +78,7 @@ object Linkage {
           gramsOf(col(text)).as("sh"))
         .select(col("id"), col("sh"), size(col("sh")).as("sz"))
         .where(col("sz") > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.core.InternalCaches.persistTracked(_))
     val l = side(left, leftId, leftText)
     val r = side(right, rightId, rightText)
     // global df over BOTH sides' postings: the gram order must be one

@@ -1915,6 +1915,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r._4 == 1L && r._3 == 0L) // exactly the injected row, high side
   }
 
+  test("InternalCaches: operator-internal persists are tracked and releasable") {
+    import graft.core.InternalCaches
+    import org.apache.spark.storage.StorageLevel
+    InternalCaches.release() // drain whatever earlier tests registered
+    assert(InternalCaches.trackedCount == 0)
+    // direct: a tracked persist really is cached, and release really drops it
+    val p = InternalCaches.persistTracked((1 to 5).toDF("x"))
+    p.count()
+    assert(p.storageLevel != StorageLevel.NONE)
+    InternalCaches.release()
+    assert(p.storageLevel == StorageLevel.NONE, "release did not unpersist")
+    assert(InternalCaches.trackedCount == 0)
+    InternalCaches.release() // idempotent
+    // via an operator: the similarity join's internal shingle persist —
+    // the class of cache a long-lived session could never reach before
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"alpha beta gamma delta w$i x$i y$i z$i")).toDF("doc_id", "text")
+    Dedup.jaccardPairsPrefixFilter(docs, "doc_id", "text", 3, 0.5).count()
+    assert(InternalCaches.trackedCount > 0,
+      "jaccardPairsPrefixFilter's internal persist was not tracked")
+    InternalCaches.release()
+    assert(InternalCaches.trackedCount == 0)
+  }
+
   test("madOutliers materialization contract: derived-uncached inputs are flagged") {
     // madOutliers deliberately does NOT materialize its input (a pruned
     // raw-table re-scan measured cheaper than any cache at sf0.1), which
