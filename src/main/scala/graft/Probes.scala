@@ -63,6 +63,7 @@ object Probes {
     case Some("q152") => q152Phases(args(1))
     case Some("q76") => q76Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("q94") => q94Phases(args(1), args.lift(2).getOrElse("all"))
+    case Some("q94jvm") => q94JvmRounds(args(1), args.lift(2).map(_.toInt).getOrElse(5))
     case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
     case Some("q66") => q66Phases(args.lift(1).map(_.toInt).getOrElse(64))
     case Some("plan") => planOf(args(1), args(2))
@@ -71,7 +72,7 @@ object Probes {
       System.err.println(
         "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | " +
           "q152 <sfDir> | q76 <sfDir> [all|pairs3|pairs2|full] | " +
-          "q94 <sfDir> [all|pairs|cc|full] | " +
+          "q94 <sfDir> [all|pairs|cc|full] | q94jvm <sfDir> [rounds] | " +
           "refile <sfDir> <table> <n> <outDir> | q66 [nFiles] | " +
           "plan <queryName> <sfDir> | scanaudit <sfDir> [flagScans]")
       sys.exit(2)
@@ -457,6 +458,120 @@ object Probes {
       s""","median":${f(median(secs))}""" +
       s""","warmup":$probeWarmup,"warmup_dir":${warmDir.map("\"" + _ + "\"").getOrElse("null")}""" +
       (if (n >= 0) s""","n_rows":$n}""" else "}"))
+    spark.stop()
+  }
+
+  /** q94 phase rounds timed ADJACENTLY inside ONE JVM, order-rotated —
+    * the round-9 escalation after both fresh-JVM sweeps (blocked AND
+    * interleaved) drowned the rung deltas in between-JVM drift: the
+    * same cc rung read 74.6–351.7 s across fresh JVMs on a quiet box,
+    * a 4.7× spread that no (pairs, cc, full) subtraction survives,
+    * while cold-vs-warm page cache moved medians by ~nothing (the r8
+    * "cache regime" adjudication does not hold). Inside one JVM the
+    * three phases of a round run seconds apart — the tightest temporal
+    * pairing available — and the per-round ORDER rotates so JIT depth,
+    * heap shape, and any monotone drift average out of the deltas
+    * instead of landing on whichever rung runs first. Spark-level
+    * caches + the internal-cache registry are drained between phases,
+    * so each phase recomputes its full pipeline. One JSON line per
+    * round; the statistic is the WITHIN-round deltas (cc−pairs = the
+    * CC loop, full−cc = the keep-min anti-join + agg), medianed across
+    * rounds downstream. */
+  /** Per-phase task-metric accumulator — the discriminator behind the
+    * q94 drift investigation. For every timed phase it sums, across all
+    * tasks the phase fired: executor run time (wall inside tasks), CPU
+    * time (on-CPU nanoseconds the kernel actually granted), JVM GC time
+    * inside tasks, shuffle bytes both ways, and memory+disk spill. The
+    * three drift hypotheses separate cleanly on these: host CPU-steal →
+    * cpu_ms stable while wall swings (the work is the same, the clock
+    * isn't); GC regime → gc_ms swings with wall; a plan flip → task
+    * count / shuffle bytes change between runs of the SAME query. */
+  private final class PhaseMetrics extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val tasks, runMs, cpuMs, gcMs, shRead, shWrite, spill = new AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        tasks.incrementAndGet()
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        gcMs.addAndGet(m.jvmGCTime)
+        shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snap(): Map[String, Long] = Map(
+      "tasks" -> tasks.get, "run_ms" -> runMs.get, "cpu_ms" -> cpuMs.get,
+      "gc_ms" -> gcMs.get, "sh_read_mb" -> shRead.get / (1 << 20),
+      "sh_write_mb" -> shWrite.get / (1 << 20), "spill_mb" -> spill.get / (1 << 20))
+  }
+
+  private def q94JvmRounds(sfDir: String, rounds: Int): Unit = {
+    val spark = session("graft-q94-jvm", Map.empty)
+    import graft.core.Tables
+    import graft.operators.Dedup
+    val metrics = new PhaseMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    def corpus(d: String) = {
+      val base = Tables.documents(spark, d).select("doc_id", "text")
+      val m1 = base.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+      base.unionByName(m1)
+    }
+    def clear(): Unit = {
+      core.InternalCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    def body(rung: String, d: String): Unit = rung match {
+      case "pairs" =>
+        Dedup.jaccardPairsPrefixFilter(corpus(d), "doc_id", "text", 3, 0.5).count()
+      case "cc" =>
+        val pairs = Dedup.jaccardPairsPrefixFilter(corpus(d), "doc_id", "text", 3, 0.5)
+        Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      case "full" =>
+        SparkEntry.queries("q94_neardup_dedup")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+    }
+    // canary: a fixed pure-CPU codegen job (no I/O, no shuffle beyond one
+    // scalar) — its wall time tracks the box's EFFECTIVE speed at this
+    // instant, independent of anything q94 does. Runs before every phase.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000000L, 1, 32)
+        .select(expr("bit_xor(xxhash64(id))")).first() // xor: overflow-free under ANSI
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rungs = Vector("pairs", "cc", "full")
+    if (probeWarmup) { // JIT-warm every phase's code path off the clock
+      val wd = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", sfDir)
+      canary(); rungs.foreach { r => body(r, wd); clear() }
+    }
+    def f(d: Double) = f"$d%.2f"
+    (1 to rounds).foreach { round =>
+      val order = (0 until 3).map(i => rungs((i + round - 1) % 3))
+      val results = order.map { r =>
+        val cw = canary()
+        val before = metrics.snap()
+        val t0 = System.nanoTime(); body(r, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9; clear()
+        val after = metrics.snap()
+        val d = after.map { case (k, v) => k -> (v - before(k)) }
+        r -> ((t, cw, d))
+      }.toMap
+      def m(r: String): String = {
+        val (t, cw, d) = results(r)
+        s""""$r":${f(t)},"${r}_canary":${f(cw)},"${r}_m":{${
+          d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
+      }
+      println(s"""{"probe":"q94_jvm","sf":"$sfDir","round":$round""" +
+        s""","order":${order.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""",${m("pairs")},${m("cc")},${m("full")}""" +
+        s""","d_cc":${f(results("cc")._1 - results("pairs")._1)}""" +
+        s""","d_tail":${f(results("full")._1 - results("cc")._1)}}""")
+    }
     spark.stop()
   }
 
