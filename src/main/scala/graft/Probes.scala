@@ -35,6 +35,14 @@ object Probes {
   private def session(name: String, extra: Map[String, String]): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — controlled-experiment overrides
+    // (e.g. autoBroadcastJoinThreshold=-1 to pin a join-strategy regime
+    // on BOTH sides of a scale decade; the q94 attribution found 20 of
+    // 38 joins flipping broadcast->sort-merge between sf1 and sf10,
+    // which a raw decade ratio mistakes for super-linear operator work)
+    val envExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(name)
@@ -42,7 +50,7 @@ object Probes {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val withExtra = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    val withExtra = (extra ++ envExtra).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
     val s = withExtra.getOrCreate()
     s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     s
@@ -168,18 +176,26 @@ object Probes {
     * to several joins. */
   private def planOf(queryName: String, sfDir: String): Unit = {
     val spark = session("graft-planprobe", Map.empty)
-    @volatile var lastPlan = ""
+    // collect EVERY executed plan, not just the last: checkpointed
+    // operators fire several actions per query, and the plan whose
+    // join strategy flips across scales (the q94 broadcast->shuffle
+    // regime boundary) is rarely the final one
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
-                    ns: Long): Unit = lastPlan = qe.executedPlan.toString
+                    ns: Long): Unit = plans.add(qe.executedPlan.toString)
       def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
                     e: Exception): Unit = ()
     })
     SparkEntry.queries(queryName)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val deadline = System.nanoTime() + 10000000000L
-    while (lastPlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-    println(lastPlan)
+    while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.zipWithIndex.foreach { case (p, i) =>
+      println(s"==== executed plan ${i + 1}/${plans.size} ====")
+      println(p)
+    }
     spark.stop()
   }
 
