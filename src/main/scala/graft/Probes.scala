@@ -72,6 +72,8 @@ object Probes {
     case Some("q76") => q76Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("q94") => q94Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("q94jvm") => q94JvmRounds(args(1), args.lift(2).map(_.toInt).getOrElse(5))
+    case Some("decade") => decadePairs(args(1), args(2), args(3),
+      args.lift(4).map(_.toInt).getOrElse(3))
     case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
     case Some("q66") => q66Phases(args.lift(1).map(_.toInt).getOrElse(64))
     case Some("plan") => planOf(args(1), args(2))
@@ -81,6 +83,7 @@ object Probes {
         "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | " +
           "q152 <sfDir> | q76 <sfDir> [all|pairs3|pairs2|full] | " +
           "q94 <sfDir> [all|pairs|cc|full] | q94jvm <sfDir> [rounds] | " +
+          "decade <dirA> <dirB> <queryName> [rounds] | " +
           "refile <sfDir> <table> <n> <outDir> | q66 [nFiles] | " +
           "plan <queryName> <sfDir> | scanaudit <sfDir> [flagScans]")
       sys.exit(2)
@@ -587,6 +590,76 @@ object Probes {
         s""",${m("pairs")},${m("cc")},${m("full")}""" +
         s""","d_cc":${f(results("cc")._1 - results("pairs")._1)}""" +
         s""","d_tail":${f(results("full")._1 - results("cc")._1)}}""")
+    }
+    spark.stop()
+  }
+
+  /** Paired scale-step measurement — the round-9 third-decade
+    * instrument. Between-JVM wall subtraction proved unusable on this
+    * box (same rung, same data: 74.6–351.7 s across six fresh JVMs,
+    * Q94_JVM investigation), so the dirA→dirB ratio is measured the way
+    * the bench `--compare` gate pairs A/B: BOTH scales run adjacently
+    * inside ONE JVM, order rotated per round, a pure-CPU canary before
+    * each timed run, and per-run summed task metrics. CPU and shuffle
+    * ratios are the drift-immune numerators; the wall ratio is reported
+    * but adjudicated against the canary pair. One JSONL line per round;
+    * medians computed downstream (drop round 1 — GC/JIT regime still
+    * settling, same rule as q94jvm). */
+  private def decadePairs(dirA: String, dirB: String, query: String,
+                          rounds: Int): Unit = {
+    val spark = session("graft-decade", Map.empty)
+    val metrics = new PhaseMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    val q = SparkEntry.queries(query)
+    def clear(): Unit = {
+      core.InternalCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    def body(d: String): Unit =
+      q(spark, d).write.format("noop").mode("overwrite").save()
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000000L, 1, 32)
+        .select(expr("bit_xor(xxhash64(id))")).first()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (probeWarmup) { // JIT-warm the query's code path off the clock
+      val wd = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", dirA)
+      canary(); body(wd); clear()
+    }
+    def f(d: Double) = f"$d%.2f"
+    val dirs = Vector("a" -> dirA, "b" -> dirB)
+    (1 to rounds).foreach { round =>
+      val order = if (round % 2 == 1) dirs else dirs.reverse
+      val results = order.map { case (tag, d) =>
+        val cw = canary()
+        val before = metrics.snap()
+        val t0 = System.nanoTime(); body(d)
+        val t = (System.nanoTime() - t0) / 1e9; clear()
+        val after = metrics.snap()
+        val delta = after.map { case (k, v) => k -> (v - before(k)) }
+        tag -> ((t, cw, delta))
+      }.toMap
+      def m(tag: String): String = {
+        val (t, cw, d) = results(tag)
+        s""""$tag":${f(t)},"${tag}_canary":${f(cw)},"${tag}_m":{${
+          d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
+      }
+      val (ta, _, da) = results("a")
+      val (tb, _, db) = results("b")
+      val cpuR =
+        if (da("cpu_ms") > 0) db("cpu_ms").toDouble / da("cpu_ms") else -1.0
+      val shR = {
+        val aw = da("sh_write_mb")
+        if (aw > 0) db("sh_write_mb").toDouble / aw else -1.0
+      }
+      println(s"""{"probe":"decade","query":"$query","dir_a":"$dirA"""" +
+        s""","dir_b":"$dirB","round":$round""" +
+        s""","order":${order.map(o => "\"" + o._1 + "\"").mkString("[", ",", "]")}""" +
+        s""",${m("a")},${m("b")}""" +
+        s""","wall_ratio":${f(tb / ta)},"cpu_ratio":${f(cpuR)}""" +
+        s""","shuffle_ratio":${f(shR)}}""")
     }
     spark.stop()
   }
