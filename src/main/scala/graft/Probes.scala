@@ -74,6 +74,7 @@ object Probes {
     case Some("q94jvm") => q94JvmRounds(args(1), args.lift(2).map(_.toInt).getOrElse(5))
     case Some("decade") => decadePairs(args(1), args(2), args(3),
       args.lift(4).map(_.toInt).getOrElse(3))
+    case Some("stages") => stagesOf(args(1), args(2))
     case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
     case Some("q66") => q66Phases(args.lift(1).map(_.toInt).getOrElse(64))
     case Some("plan") => planOf(args(1), args(2))
@@ -84,6 +85,7 @@ object Probes {
           "q152 <sfDir> | q76 <sfDir> [all|pairs3|pairs2|full] | " +
           "q94 <sfDir> [all|pairs|cc|full] | q94jvm <sfDir> [rounds] | " +
           "decade <dirA> <dirB> <queryName> [rounds] | " +
+          "stages <queryName> <sfDir> | " +
           "refile <sfDir> <table> <n> <outDir> | q66 [nFiles] | " +
           "plan <queryName> <sfDir> | scanaudit <sfDir> [flagScans]")
       sys.exit(2)
@@ -661,6 +663,50 @@ object Probes {
         s""","wall_ratio":${f(tb / ta)},"cpu_ratio":${f(cpuR)}""" +
         s""","shuffle_ratio":${f(shR)}}""")
     }
+    spark.stop()
+  }
+
+  /** Per-STAGE wall attribution for one query — the instrument that
+    * separates "the work grew" from "the work wouldn't parallelize".
+    * Runs the query once (noop sink) and prints one JSON line per stage:
+    * task count, stage wall (submission→completion), summed task time,
+    * the longest single task, and the implied concurrency
+    * (task-time / wall). A stage whose concurrency reads ~1 on a
+    * local[32] box is a serial bottleneck regardless of how linearly
+    * its work scales — the q124 sf30 campaign found exactly that shape
+    * (wall flat across a 3× data step while CPU and shuffle grew
+    * linearly, i.e. wall was bound by the least-parallel stage, not by
+    * the work). */
+  private def stagesOf(queryName: String, sfDir: String): Unit = {
+    val spark = session("graft-stageprobe", Map.empty)
+    final case class St(name: String, tasks: Int, wallMs: Long,
+                        taskMs: Long, maxTaskMs: Long, inMb: Long, shwMb: Long)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield c - s).getOrElse(0L)
+        val tm = si.taskMetrics
+        stages.add(St(si.name.takeWhile(_ != '\n').take(60), si.numTasks,
+          wall, tm.executorRunTime, 0L,
+          tm.inputMetrics.bytesRead / (1 << 20),
+          tm.shuffleWriteMetrics.bytesWritten / (1 << 20)))
+      }
+    })
+    val t0 = System.nanoTime()
+    SparkEntry.queries(queryName)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // listener bus drain
+    import scala.jdk.CollectionConverters._
+    stages.asScala.toSeq.sortBy(-_.taskMs).foreach { s =>
+      val conc = if (s.wallMs > 0) s.taskMs.toDouble / s.wallMs else 0.0
+      println(f"""{"probe":"stages","query":"$queryName","sf":"$sfDir","stage":"${s.name}","tasks":${s.tasks},"wall_ms":${s.wallMs},"task_ms":${s.taskMs},"concurrency":$conc%.1f,"in_mb":${s.inMb},"shw_mb":${s.shwMb}}""")
+    }
+    println(f"""{"probe":"stages","query":"$queryName","sf":"$sfDir","total_wall_s":$wall%.2f,"n_stages":${stages.size}}""")
     spark.stop()
   }
 

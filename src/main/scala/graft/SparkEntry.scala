@@ -1943,6 +1943,7 @@ object SparkEntry {
     // winsorized mean is engine-independent.
     "q168_winsorize" -> ((s0, d) => {
       val s = prep(s0)
+      import graft.operators.Quantiles
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"),
@@ -1951,9 +1952,14 @@ object SparkEntry {
       // broadcast back); pass 2: clamp + exact-cents sum. The cut points
       // quantize to cents BEFORE the clamp so every comparison and the
       // winsorized sum are pure integer arithmetic on both engines.
-      val cuts = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      // Percentiles ride exactGroupQuantiles (per-group sort window +
+      // boundary-row pick), NOT the `percentile` aggregate: percentile
+      // buffers each group's whole value-count map into one final
+      // reducer — fine at three groups of bounded price cardinality,
+      // but the q91 pathology the moment the value domain is unbounded.
+      // The window's external sort spills; the aggregate's map doesn't.
+      val cuts = Quantiles.exactGroupQuantiles(li, "l_returnflag",
+          "l_extendedprice", Seq(0.01, 0.99), Seq("p01", "p99"))
         .select(col("l_returnflag"),
           col("p01"), col("p99"),
           round(col("p01") * 100).cast("long").as("lo_c"),
