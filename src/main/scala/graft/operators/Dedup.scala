@@ -111,7 +111,8 @@ object Dedup {
     // both sketches come from one-pass kernels over the materialized token
     // array (the HOF spelling re-evaluates inlined inputs per element /
     // per band reference — see jaccardPairsPrefixFilter)
-    val exploded = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val exploded = graft.core.ScanWidth.ensure(df)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= n)
       .withColumn("sh", VectorExpressions.shingleHashes(col("toks"), n))
@@ -168,7 +169,8 @@ object Dedup {
     // (transform over shinglesFromTokens) re-evaluates the lambda-captured
     // token expression once per shingle position after projection collapse
     // — measured 20× slower on the sf0.1 documents table
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val docs = graft.core.ScanWidth.ensure(df)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
@@ -253,7 +255,8 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val docs = graft.core.ScanWidth.ensure(df)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
@@ -397,7 +400,7 @@ object Dedup {
       .withColumn("__toks", tokens(col(textCol)))
       .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .distinct()
-    corpus
+    graft.core.ScanWidth.ensure(corpus)
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .join(broadcast(testGrams), Seq("g"))
@@ -519,7 +522,11 @@ object Dedup {
         Sketches.bloomWordsDigest(testGrams, Seq.empty, "gk", hexChars = hexChars)
       else
         Sketches.bloomWords(testGrams, Seq.empty, "gk", hexChars = hexChars)
-    val corpusGrams = corpus
+    // the probe work (tokenize + explode + md5 + bloom check) is fused
+    // into the corpus scan stage BY DESIGN (zero exchange) — which makes
+    // it the operator most exposed to row-group starvation (measured:
+    // concurrency 1.0 on a single-row-group corpus; see ScanWidth)
+    val corpusGrams = graft.core.ScanWidth.ensure(corpus)
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gk"))
@@ -576,7 +583,8 @@ object Dedup {
                         maxGramDf: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minSpanTokens >= n, s"minSpanTokens $minSpanTokens must be >= n=$n")
-    val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val toked = graft.core.ScanWidth.ensure(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= n)
     // position-stamped grams (NOT distinct — positions are the payload);
     // toks is a materialized attribute so the HOF slices don't re-tokenize
@@ -870,7 +878,7 @@ object Dedup {
                           maxHamming: Int = 3, portable: Boolean = false,
                           maxBandRows: Int = 10000): DataFrame = {
     val fp = if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
-    hammingPairsBanded(df.select(col(idCol).as("id"), fp.as("fp")),
+    hammingPairsBanded(graft.core.ScanWidth.ensure(df).select(col(idCol).as("id"), fp.as("fp")),
       "id", "fp", maxHamming, maxBandRows, "simhashNearDupPairs")
   }
 
