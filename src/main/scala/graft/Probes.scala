@@ -617,6 +617,13 @@ object Probes {
       core.InternalCaches.release()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // force shuffle-file reclamation between runs: the ContextCleaner
+      // only removes a run's shuffle files once its ShuffleDependencies
+      // are GC'd, and a paired (sf10 + sf30) round otherwise holds BOTH
+      // scales' files simultaneously (measured: 18 GB + 56 GB > the
+      // sandbox disk — two ENOSPC-killed JVMs before this line existed)
+      System.gc()
+      Thread.sleep(3000)
     }
     def body(d: String): Unit =
       q(spark, d).write.format("noop").mode("overwrite").save()
