@@ -11,12 +11,18 @@
 # Disk budget: one paired round holds BOTH scales' shuffle files plus
 # any local checkpoints until the probe's between-run GC lets the
 # ContextCleaner reclaim them — at sf10+sf30 that peaks ~75 GB. A JVM
-# that dies mid-query (ENOSPC, OOM) leaves an orphaned /tmp/blockmgr-*
-# holding tens of GB; this harness records the failure as a JSONL error
-# line (stderr kept, not discarded — two campaign JVMs died silently
-# before that lesson) and sweeps orphans between queries.
+# that dies mid-query (ENOSPC, OOM) leaves orphaned blockmgr-*/spark-*
+# dirs holding tens of GB; this harness records the failure as a JSONL
+# error line (stderr kept, not discarded — two campaign JVMs died
+# silently before that lesson) and sweeps orphans between queries.
+# The sweep is SCOPED to this run's own spark.local.dir (a mktemp dir
+# passed to every JVM) — a blanket /tmp/blockmgr-* sweep would delete
+# the live shuffle files of any concurrent Spark JVM on the box
+# (sbt test, a second bench session) and cause fetch failures there.
 set -u
 DIRA=$1; DIRB=$2; WARMDIR=$3; OUT=$4; ROUNDS=${5:-4}
+RUNTMP=$(mktemp -d /tmp/graft_decade_run_XXXX)
+trap 'rm -rf "$RUNTMP"' EXIT
 CP="$(dirname "$0")/../target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 : > "$OUT"
@@ -26,6 +32,7 @@ for q in q124_decontaminate_bloom q76_neardup_components q94_neardup_dedup; do
   env SPARK_GRAFT_WARMUP_SF_DIR="$WARMDIR" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=${SPARK_GRAFT_SHUFFLE_PARTITIONS:-64} \
     java $OPENS -Xmx${SPARK_DRIVER_MEM:-48g} -Dspark.ui.enabled=false \
+    -Dspark.local.dir="$RUNTMP" -Djava.io.tmpdir="$RUNTMP" \
     -Dspark.sql.session.timeZone=UTC -cp "$CP" \
     graft.Probes decade "$DIRA" "$DIRB" "$q" "$ROUNDS" 2>"$ERR" \
     | grep '"probe"' >> "$OUT"
@@ -37,8 +44,9 @@ for q in q124_decontaminate_bloom q76_neardup_components q94_neardup_dedup; do
   else
     rm -f "$ERR"
   fi
-  # sweep shuffle orphans a dead JVM left behind before the next query
-  rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null
+  # sweep shuffle orphans a dead JVM left behind before the next query —
+  # only inside THIS run's local dir, never other JVMs' /tmp entries
+  rm -rf "$RUNTMP"/* 2>/dev/null
 done
 echo DONE >> "$OUT"
 echo "[decade_bench] DONE" >&2

@@ -27,6 +27,46 @@ object Bench {
     }
   }.getOrElse(3)
 
+  /** Drift adjudication for the compare gate — pure so the arithmetic is
+    * unit-testable (the round-9 verdict's blind spot: a median-of-query-
+    * ratios drift estimator ABSORBS a uniform code regression, because a
+    * change that slows the whole suite moves the median exactly like box
+    * weather does). The fix: a fixed pure-CPU canary runs inside every
+    * bench pass; its cur/prev ratio measures the BOX alone (same
+    * bytecode both runs, no I/O, no graft code), so it becomes the drift
+    * estimator when both artifacts carry it, and the median-query ratio
+    * demotes to a cross-check. The two disagreeing by >15% in the slow
+    * direction IS the uniform code regression the old gate couldn't see
+    * — surfaced as a non-empty warning the caller turns into exit 1.
+    *
+    * Returns (drift to adjust priors by, its source, optional warning).
+    * Fallbacks: no prior canary (older artifact) → median-query ratio as
+    * before; too few stable queries (<20) → canary alone, or 1.0. */
+  def driftEstimate(canaryCur: Option[Double], canaryPrev: Option[Double],
+                    queryRatios: Seq[Double]): (Double, String, Option[String]) = {
+    val medianRatio =
+      if (queryRatios.size >= 20) Some(queryRatios.sorted.apply(queryRatios.size / 2))
+      else None
+    val canaryRatio = for {
+      c <- canaryCur if c > 0
+      p <- canaryPrev if p > 0
+    } yield c / p
+    (canaryRatio, medianRatio) match {
+      case (Some(cr), Some(mr)) =>
+        val warn =
+          if (mr > cr * 1.15) Some(
+            f"median query ratio $mr%.3f exceeds box-only canary ratio $cr%.3f " +
+              "by >15%% — the suite slowed more than the box did: uniform " +
+              "CODE regression suspected (the case median-drift absorbs)")
+          else if (mr < cr / 1.15) None // suite uniformly FASTER than box: improvement, fine
+          else None
+        (cr, "canary", warn)
+      case (Some(cr), None) => (cr, "canary", None)
+      case (None, Some(mr)) => (mr, "median_query_ratio", None)
+      case (None, None)     => (1.0, "none", None)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -83,7 +123,23 @@ object Bench {
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // the box-speed canary (same fixed pure-CPU codegen job as Probes):
+    // no I/O, no graft code, one scalar shuffle — its seconds move with
+    // host load/CPU weather and with NOTHING this repo changes, so its
+    // cur/prev ratio across artifacts isolates box drift from code drift
+    // (see driftEstimate). Fixed work (2e9 xxhash64) and fixed 32-way
+    // split; comparable across runs at the same SPARK_GRAFT_CPUS.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1, 32)
+        .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id))"))
+        .first()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // JIT-warm the canary path itself off the record
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passLoads = (1 to Runs).map { _ =>
+      canarySamples += canary()
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -98,6 +154,8 @@ object Bench {
       }
       loadAvg()
     }
+    canarySamples += canary() // bracket the last pass too
+    val canarySec = canarySamples.sorted.apply(canarySamples.size / 2)
     val results = ordered.map { case (name, _) =>
       val ss = samples(name)
       // any failed sample poisons the median to -1: a query that flakes
@@ -113,7 +171,8 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads}"""
+    val canaries = canarySamples.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads,"canary_sec":${f"$canarySec%.3f"},"canary_samples":$canaries,"cpus":"$cpus"}"""
     println(line)
     // the driver captures only a log tail; persist the full line in-repo so
     // round-over-round comparison never depends on tail-capture luck.
@@ -141,15 +200,23 @@ object Bench {
           s"bench compare vs $p SKIPPED: subset run (SPARK_GRAFT_BENCH_ONLY)")
         full
       }
-    val prevQueries = comparePath.map { path =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new java.io.File(path)).get("queries")
+    val prevRoot = comparePath.map { path =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+    }
+    val prevQueries = prevRoot.map { root =>
+      val node = root.get("queries")
       if (node == null) {
-        System.err.println(s"bench compare: $path has no 'queries' key — not a bench artifact")
+        System.err.println(s"bench compare: ${comparePath.get} has no 'queries' key — not a bench artifact")
         sys.exit(2)
       }
       node
     }
+    // prior artifacts from before round 10 carry no canary — the gate
+    // then falls back to the median-query-ratio estimator (documented
+    // blind spot); from this round on, both numbers travel together
+    val prevCanary = prevRoot.flatMap(r => Option(r.get("canary_sec")).map(_.asDouble()))
+      .filter(_ > 0)
 
     if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("bench_full_last.json")
@@ -183,9 +250,15 @@ object Bench {
           if (pv >= 0.1 && cv >= 0) ratios += cv / pv
         }
       }
-      val drift =
-        if (ratios.size >= 20) ratios.sorted.apply(ratios.size / 2) else 1.0
-      println(f"""{"bench_compare_drift":$drift%.4f,"n_ratio_queries":${ratios.size},"vs":"$path"}""")
+      // round-10: the box-only canary ratio is the PRIMARY estimator
+      // when both artifacts carry one; the median-query ratio stays as
+      // the cross-check whose disagreement (>15% slow) exposes exactly
+      // the uniform code regression the old median-only gate absorbed
+      val (drift, driftSource, driftWarn) =
+        driftEstimate(Some(canarySec), prevCanary, ratios.toSeq)
+      val medianRatio =
+        if (ratios.size >= 20) ratios.sorted.apply(ratios.size / 2) else -1.0
+      println(f"""{"bench_compare_drift":$drift%.4f,"drift_source":"$driftSource","median_query_ratio":$medianRatio%.4f,"canary_sec":$canarySec%.3f,"prev_canary_sec":${prevCanary.getOrElse(-1.0)}%.3f,"n_ratio_queries":${ratios.size},"vs":"$path"}""")
       val names = new scala.collection.mutable.ArrayBuffer[String]()
       prev.properties().forEach { e =>
         val (name, pv0) = (e.getKey, e.getValue.asDouble())
@@ -200,13 +273,17 @@ object Bench {
           case _ => ()
         }
       }
+      driftWarn.foreach(w =>
+        System.err.println(s"BENCH UNIFORM-REGRESSION FLAG vs $path: $w"))
       if (names.nonEmpty) {
         System.err.println(
-          s"BENCH REGRESSION vs $path (${names.size}, drift ${f"$drift%.3f"}):")
+          s"BENCH REGRESSION vs $path (${names.size}, drift ${f"$drift%.3f"} from $driftSource):")
         names.foreach(n => System.err.println(s"  $n"))
         sys.exit(1)
+      } else if (driftWarn.nonEmpty) {
+        sys.exit(1) // uniform slowdown with no single query over threshold
       } else println(
-        s"bench compare vs $path: no regressions (drift ${f"$drift%.3f"} normalized out)")
+        s"bench compare vs $path: no regressions (drift ${f"$drift%.3f"} from $driftSource normalized out)")
     }
   }
 }

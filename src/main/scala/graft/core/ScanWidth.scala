@@ -29,11 +29,26 @@ object ScanWidth {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** `df`, repartitioned to the default parallelism iff its file layout
-    * provably caps scan width below half of it. Non-file inputs
-    * (in-memory test frames, cached-only plans) and unreadable/
-    * non-parquet files pass through untouched — when the layout can't
-    * be judged, the engine doesn't shuffle on suspicion. */
+  /** Bytes of fused gram-dense work one scan slot should carry before
+    * widening pays for the exchange it inserts. Calibrated from the
+    * round-9 measurement (q124's fused tokenize/minhash pass: ~1.3 s of
+    * CPU per MB of text), so a 2 MB slot is ~2–3 s of work — below
+    * that, the shuffle of the raw text costs more than the serialized
+    * scan it would parallelize (the round-9 toy-scale price: q34
+    * 0.55→1.05 s on a 0.6 MB corpus repartitioned 32-way for nothing). */
+  private val SlotBytes = 2L << 20
+
+  /** `df`, repartitioned iff its file layout provably caps scan width
+    * below what the input's SIZE warrants. The width is proportional to
+    * input bytes (one slot per [[SlotBytes]], capped at the default
+    * parallelism) rather than a blanket `defaultParallelism`: a 0.6 MB
+    * toy corpus with one row group passes through untouched (its
+    * serialized scan is cheaper than any exchange), a 74 MB
+    * single-row-group corpus still widens to the full 32-way that the
+    * round-9 measurement showed it needs. Non-file inputs (in-memory
+    * test frames, cached-only plans) and unreadable/non-parquet files
+    * pass through untouched — when the layout can't be judged, the
+    * engine doesn't shuffle on suspicion. */
   def ensure(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
@@ -41,22 +56,37 @@ object ScanWidth {
     if (files.isEmpty || files.length >= target) df
     else {
       val conf = spark.sparkContext.hadoopConfiguration
-      val groups = files.iterator.map { f =>
+      var groups = 0L
+      var bytes = 0L
+      files.foreach { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
         scala.util.Try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            .fromPath(path, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRowGroups.size() finally r.close()
+          val g = try r.getRowGroups.size() finally r.close()
+          val len = path.getFileSystem(conf).getFileStatus(path).getLen
+          (g.toLong, len)
         // unreadable or non-parquet (csv/json split by bytes) => treat
-        // as splittable so the sum clears the threshold
-        }.getOrElse(target)
-      }.sum
-      if (groups >= math.max(1, target / 2)) df
+        // as splittable so the sum clears any threshold
+        } match {
+          case scala.util.Success((g, len)) => groups += g; bytes += len
+          case scala.util.Failure(_)        => groups += target
+        }
+      }
+      // slots the work warrants: one per SlotBytes of input, at least
+      // the layout's own width, at most the box width
+      val want = math.min(target.toLong,
+        math.max(1L, (bytes + SlotBytes - 1) / SlotBytes)).toInt
+      // pass when the layout already provides the warranted width (or
+      // half the box, the round-9 "not starved" bar, whichever is less)
+      if (groups >= math.min(want.toLong, math.max(1L, target / 2L))) df
       else {
         log.info(s"ScanWidth: ${files.length} file(s) / $groups row " +
-          s"group(s) cap the scan below $target-way — repartitioning " +
-          "(one exchange of the input, cheaper than a serialized scan stage)")
-        df.repartition(target)
+          s"group(s) cap the scan below the $want-way its ${bytes >> 20}" +
+          " MB warrants — repartitioning (one exchange of the input, " +
+          "cheaper than a serialized scan stage)")
+        df.repartition(want)
       }
     }
   }

@@ -41,7 +41,7 @@ object Dedup {
     // tracked persist: lazily-returned, so the operator has no correct
     // unpersist point — long-lived sessions release via
     // graft.core.InternalCaches.release() (see its Scaladoc)
-    val cached = graft.core.InternalCaches.persistTracked(banded)
+    val cached = graft.core.InternalCaches.persistTracked(banded, scope = "dedup")
     val hot = cached.groupBy(col(bandCol)).agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxRows).collect()
     if (hot.isEmpty) cached
@@ -175,7 +175,7 @@ object Dedup {
       .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .where(col("sz") > 0)
-      .transform(graft.core.InternalCaches.persistTracked(_))
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "dedup"))
     // rarest-first prefix: global df per shingle hash, rank within doc.
     // df=1 postings are pruned BEFORE the rank window — a shingle unique to
     // one document can never form a candidate bucket, and most of a natural
@@ -261,7 +261,7 @@ object Dedup {
       .withColumn("sh", graft.plans.VectorExpressions.shingleHashes(col("toks"), n))
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .where(col("sz") > 0)
-      .transform(graft.core.InternalCaches.persistTracked(_))
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "dedup"))
     val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)

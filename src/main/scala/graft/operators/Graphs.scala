@@ -60,13 +60,13 @@ object Graphs {
                exactFoldMaxInDegree: Long = 100000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of [1,50]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .transform(graft.core.InternalCaches.persistTracked(_))
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "graphs"))
     val useExactFold = exactFold &&
       resolveExactFold(e, exactFoldMaxInDegree)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
-      .transform(graft.core.InternalCaches.persistTracked(_))
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "graphs"))
     val n = nodes.count() // scalar driver value, O(1) memory
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = (1.0 - damping) / n

@@ -78,7 +78,7 @@ object Linkage {
           gramsOf(col(text)).as("sh"))
         .select(col("id"), col("sh"), size(col("sh")).as("sz"))
         .where(col("sz") > 0)
-        .transform(graft.core.InternalCaches.persistTracked(_))
+        .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "linkage"))
     val l = side(left, leftId, leftText)
     val r = side(right, rightId, rightText)
     // global df over BOTH sides' postings: the gram order must be one

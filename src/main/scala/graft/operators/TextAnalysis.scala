@@ -651,7 +651,7 @@ object TextAnalysis {
         posexplode(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")))
       .toDF("doc_id", "pos", "token")
       .where(col("token").isin(allTerms.map(x => x: Any): _*))
-      .transform(graft.core.InternalCaches.persistTracked(_))
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "text"))
     val perPhrase = phrases.map { case (pid, terms) =>
       val first = postings.where(col("token") === terms.head)
         .select(col("doc_id"), col("pos").as("p0"))

@@ -171,7 +171,7 @@ object OcrConnector {
     // real pdf2image/Tesseract that doubles the dominant cost, and a
     // transient per-pass failure could land differently in the two scans
     val passes = spark.createDataFrame(rows, passSchema)
-      .transform(graft.core.InternalCaches.persistTracked(_))
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "ocr"))
     val merged = mergeOcrPasses(
         passes.where(col("reject_reason").isNull),
         "source_file", "page", "pass_idx", "text")

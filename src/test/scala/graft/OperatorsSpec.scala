@@ -1935,7 +1935,31 @@ class OperatorsSpec extends SparkSpec {
     Dedup.jaccardPairsPrefixFilter(docs, "doc_id", "text", 3, 0.5).count()
     assert(InternalCaches.trackedCount > 0,
       "jaccardPairsPrefixFilter's internal persist was not tracked")
+    assert(InternalCaches.trackedCount("dedup") > 0,
+      "the dedup family's persist must register under its own scope")
     InternalCaches.release()
+    assert(InternalCaches.trackedCount == 0)
+  }
+
+  test("InternalCaches: releasing one scope leaves another's cache resident") {
+    import graft.core.InternalCaches
+    import org.apache.spark.storage.StorageLevel
+    InternalCaches.release()
+    // two concurrent "pipelines" in one session, each under its family
+    val a = InternalCaches.persistTracked((1 to 5).toDF("x"), scope = "dedup")
+    val b = InternalCaches.persistTracked((6 to 9).toDF("y"), scope = "graphs")
+    a.count(); b.count()
+    assert(a.storageLevel != StorageLevel.NONE)
+    assert(b.storageLevel != StorageLevel.NONE)
+    InternalCaches.release("dedup")
+    assert(a.storageLevel == StorageLevel.NONE, "own scope not released")
+    assert(b.storageLevel != StorageLevel.NONE,
+      "releasing scope 'dedup' must not evict scope 'graphs' mid-flight")
+    assert(InternalCaches.trackedCount("dedup") == 0)
+    assert(InternalCaches.trackedCount("graphs") == 1)
+    // the global drain still clears everything (Bench/Probes pattern)
+    InternalCaches.release()
+    assert(b.storageLevel == StorageLevel.NONE)
     assert(InternalCaches.trackedCount == 0)
   }
 

@@ -8,7 +8,9 @@ import graft.core.ScanWidth
   * group puts every row into a single byte-range split, serializing any
   * scan-fused stage (measured concurrency 1.0 for q124's probe stage on
   * a single-row-group sf10 corpus). The guard must (a) repartition a
-  * provably-starved layout, (b) leave healthy layouts and non-file
+  * provably-starved layout WHOSE SIZE warrants it, (b) leave healthy
+  * layouts, tiny inputs (the round-10 refinement: an exchange of a
+  * sub-slot table costs more than its serialized scan) and non-file
   * frames untouched, and (c) never change results. */
 class ScanWidthSpec extends SparkSpec {
   import spark.implicits._
@@ -19,16 +21,41 @@ class ScanWidthSpec extends SparkSpec {
     s"$d/t.parquet"
   }
 
-  test("single-row-group parquet is widened to default parallelism") {
-    val p = tmp("narrow")
+  /** A single-row-group parquet file several MB on disk: 60k rows of
+    * incompressible (md5) text, one file, one row group — the starved
+    * layout at a size where widening pays. */
+  private def bigNarrow(name: String): String = {
+    val p = tmp(name)
+    spark.range(60000)
+      .select(col("id"), concat_ws("",
+        md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string")),
+        md5((col("id") + 2).cast("string")),
+        md5((col("id") + 3).cast("string"))).as("txt"))
+      .coalesce(1).write.parquet(p)
+    p
+  }
+
+  test("a large single-row-group parquet is widened proportional to size") {
+    val df = spark.read.parquet(bigNarrow("narrow"))
+    assert(df.inputFiles.length == 1)
+    val fixed = ScanWidth.ensure(df)
+    val n = fixed.rdd.getNumPartitions
+    assert(n > 1, "starved multi-MB layout must widen")
+    assert(n <= spark.sparkContext.defaultParallelism)
+    // content identical, only the layout changed
+    assert(fixed.count() == 60000L)
+    assert(fixed.agg(sum($"id")).head.getLong(0) == 60000L * 59999L / 2)
+  }
+
+  test("a tiny single-row-group input passes through untouched") {
+    // sub-slot bytes: the exchange would cost more than the serialized
+    // scan it parallelizes (the round-9 toy-scale regression, closed)
+    val p = tmp("tiny")
     (1 to 1000).toDF("v").coalesce(1).write.parquet(p)
     val df = spark.read.parquet(p)
     assert(df.inputFiles.length == 1)
-    val fixed = ScanWidth.ensure(df)
-    assert(fixed.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
-    // content identical, only the layout changed
-    assert(fixed.agg(sum($"v")).head.getLong(0) == 500500L)
-    assert(fixed.count() == 1000L)
+    assert(ScanWidth.ensure(df) eq df)
   }
 
   test("a layout with enough files passes through untouched") {
@@ -46,13 +73,11 @@ class ScanWidthSpec extends SparkSpec {
     assert(ScanWidth.ensure(df) eq df)
   }
 
-  test("derived frames over a narrow scan are still widened") {
-    val p = tmp("derived")
-    (1 to 1000).toDF("v").coalesce(1).write.parquet(p)
-    val df = spark.read.parquet(p).where($"v" % 2 === 0)
-      .select(($"v" * 2).as("w"))
+  test("derived frames over a large narrow scan are still widened") {
+    val df = spark.read.parquet(bigNarrow("derived"))
+      .where($"id" % 2 === 0).select(($"id" * 2).as("w"))
     val fixed = ScanWidth.ensure(df)
-    assert(fixed.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
-    assert(fixed.count() == 500L)
+    assert(fixed.rdd.getNumPartitions > 1)
+    assert(fixed.count() == 30000L)
   }
 }
