@@ -74,6 +74,8 @@ object Probes {
     case Some("q94jvm") => q94JvmRounds(args(1), args.lift(2).map(_.toInt).getOrElse(5))
     case Some("decade") => decadePairs(args(1), args(2), args(3),
       args.lift(4).map(_.toInt).getOrElse(3))
+    case Some("width") => widthPairs(args(1), args(2), args(3).toInt,
+      args(4).toInt, args.lift(5).map(_.toInt).getOrElse(3))
     case Some("stages") => stagesOf(args(1), args(2))
     case Some("refile") => refile(args(1), args(2), args(3).toInt, args(4))
     case Some("q66") => q66Phases(args.lift(1).map(_.toInt).getOrElse(64))
@@ -85,6 +87,7 @@ object Probes {
           "q152 <sfDir> | q76 <sfDir> [all|pairs3|pairs2|full] | " +
           "q94 <sfDir> [all|pairs|cc|full] | q94jvm <sfDir> [rounds] | " +
           "decade <dirA> <dirB> <queryName> [rounds] | " +
+          "width <sfDir> <queryName> <w1> <w2> [rounds] | " +
           "stages <queryName> <sfDir> | " +
           "refile <sfDir> <table> <n> <outDir> | q66 [nFiles] | " +
           "plan <queryName> <sfDir> | scanaudit <sfDir> [flagScans]")
@@ -673,6 +676,76 @@ object Probes {
     spark.stop()
   }
 
+  /** Within-JVM shuffle-WIDTH pairing at ONE scale — the round-10
+    * instrument for the last open q94 term. The sf30 campaign's width
+    * hypothesis ("fixed 64 partitions turn a 3× data step into
+    * 3×-deeper per-partition sorts") could not be tested across JVMs
+    * (±50% between-JVM drift) or across paired scales (ENOSPC holding
+    * both scales' shuffle files); but `spark.sql.shuffle.partitions`
+    * is a RUNTIME conf, so one JVM alternates the two widths on the
+    * same data, order rotated per round — the decadePairs protocol
+    * with width, not scale, as the treatment. AQE stays on in both
+    * arms: the wide arm is exactly the DEPLOY prescription ("set the
+    * initial width high, let AQE coalesce to its advisory"), so the
+    * comparison falsifies or confirms the PRESCRIPTION, not a strawman
+    * with AQE off. spill_mb is the mechanism witness: the depth term
+    * predicts spill at the narrow width and its absence at the wide. */
+  private def widthPairs(sfDir: String, query: String, w1: Int, w2: Int,
+                         rounds: Int): Unit = {
+    val spark = session("graft-width", Map.empty)
+    val metrics = new PhaseMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    val q = SparkEntry.queries(query)
+    def clear(): Unit = {
+      core.InternalCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc() // let the ContextCleaner reclaim shuffle files (disk!)
+      Thread.sleep(3000)
+    }
+    def body(w: Int): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+      q(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000000L, 1, 32)
+        .select(expr("bit_xor(xxhash64(id))")).first()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (probeWarmup) {
+      val wd = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", sfDir)
+      canary(); body(w1); clear()
+    }
+    def f(d: Double) = f"$d%.2f"
+    val arms = Vector("narrow" -> w1, "wide" -> w2)
+    (1 to rounds).foreach { round =>
+      val order = if (round % 2 == 1) arms else arms.reverse
+      val results = order.map { case (tag, w) =>
+        val cw = canary()
+        val before = metrics.snap()
+        val t0 = System.nanoTime(); body(w)
+        val t = (System.nanoTime() - t0) / 1e9; clear()
+        val after = metrics.snap()
+        val delta = after.map { case (k, v) => k -> (v - before(k)) }
+        tag -> ((t, cw, delta))
+      }.toMap
+      def m(tag: String): String = {
+        val (t, cw, d) = results(tag)
+        s""""$tag":${f(t)},"${tag}_canary":${f(cw)},"${tag}_m":{${
+          d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
+      }
+      val (tn, _, _) = results("narrow")
+      val (tw, _, _) = results("wide")
+      println(s"""{"probe":"width","query":"$query","sf":"$sfDir"""" +
+        s""","w_narrow":$w1,"w_wide":$w2,"round":$round""" +
+        s""","order":${order.map(o => "\"" + o._1 + "\"").mkString("[", ",", "]")}""" +
+        s""",${m("narrow")},${m("wide")}""" +
+        s""","wide_over_narrow":${f(tw / tn)}}""")
+    }
+    spark.stop()
+  }
+
   /** Per-STAGE wall attribution for one query — the instrument that
     * separates "the work grew" from "the work wouldn't parallelize".
     * Runs the query once (noop sink) and prints one JSON line per stage:
@@ -689,7 +762,16 @@ object Probes {
     final case class St(name: String, tasks: Int, wallMs: Long,
                         taskMs: Long, maxTaskMs: Long, inMb: Long, shwMb: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    // longest single task per stage, fed by onTaskEnd (stage-level
+    // TaskMetrics only carries sums) — the number that says whether a
+    // stage's wall is one straggler or uniform depth
+    val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null)
+          maxTask.merge(te.stageId, te.taskInfo.duration,
+            (a, b) => if (a >= b) a else b)
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -697,8 +779,13 @@ object Probes {
           s <- si.submissionTime; c <- si.completionTime
         } yield c - s).getOrElse(0L)
         val tm = si.taskMetrics
-        stages.add(St(si.name.takeWhile(_ != '\n').take(60), si.numTasks,
-          wall, tm.executorRunTime, 0L,
+        // JSONL-safe stage label: drop anything that could break the
+        // line (quotes, backslashes, control chars)
+        val safeName = si.name.takeWhile(_ != '\n').take(60)
+          .filter(c => c >= ' ' && c != '"' && c != '\\')
+        stages.add(St(safeName, si.numTasks,
+          wall, tm.executorRunTime,
+          Option(maxTask.get(si.stageId)).map(_.longValue).getOrElse(0L),
           tm.inputMetrics.bytesRead / (1 << 20),
           tm.shuffleWriteMetrics.bytesWritten / (1 << 20)))
       }
@@ -711,7 +798,7 @@ object Probes {
     import scala.jdk.CollectionConverters._
     stages.asScala.toSeq.sortBy(-_.taskMs).foreach { s =>
       val conc = if (s.wallMs > 0) s.taskMs.toDouble / s.wallMs else 0.0
-      println(f"""{"probe":"stages","query":"$queryName","sf":"$sfDir","stage":"${s.name}","tasks":${s.tasks},"wall_ms":${s.wallMs},"task_ms":${s.taskMs},"concurrency":$conc%.1f,"in_mb":${s.inMb},"shw_mb":${s.shwMb}}""")
+      println(f"""{"probe":"stages","query":"$queryName","sf":"$sfDir","stage":"${s.name}","tasks":${s.tasks},"wall_ms":${s.wallMs},"task_ms":${s.taskMs},"max_task_ms":${s.maxTaskMs},"concurrency":$conc%.1f,"in_mb":${s.inMb},"shw_mb":${s.shwMb}}""")
     }
     println(f"""{"probe":"stages","query":"$queryName","sf":"$sfDir","total_wall_s":$wall%.2f,"n_stages":${stages.size}}""")
     spark.stop()

@@ -1958,6 +1958,13 @@ object SparkEntry {
       // reducer — fine at three groups of bounded price cardinality,
       // but the q91 pathology the moment the value domain is unbounded.
       // The window's external sort spills; the aggregate's map doesn't.
+      // NULL-group caveat (deliberate divergence from `percentile`): a
+      // group whose values are ALL NULL gets no cut rows here, so the
+      // inner join drops it, where `percentile` would emit it with NULL
+      // cuts. l_extendedprice is non-null (oracle-pinned), so the two
+      // agree on this data; copying this pattern to a nullable column
+      // needs a left join from the distinct group list (see the
+      // Quantiles scaladoc) to keep aggregate parity.
       val cuts = Quantiles.exactGroupQuantiles(li, "l_returnflag",
           "l_extendedprice", Seq(0.01, 0.99), Seq("p01", "p99"))
         .select(col("l_returnflag"),
