@@ -26,11 +26,15 @@ object GraftConf {
     * cores at minimum (so the average post-shuffle partition lands near
     * AQE's 64 MB advisory and AQE coalesces DOWN), and scaled WITH the
     * data — AQE never splits ABOVE this value except for skew, so a
-    * fixed width turns a 3× data step into 3×-deeper per-partition
-    * sorts (the q94 sf30 wall term). `largestShuffleBytes` is the
-    * caller's estimate of the biggest exchange — for the dedup family
-    * that is digests + band keys, never text (~16–24 B/row), a few
-    * percent of corpus bytes. */
+    * fixed width lets per-partition sorts deepen with every data step.
+    * The round-10 measurement (WIDTH_sf30.jsonl) bounds what this buys:
+    * width is SPILL INSURANCE — once partitions outgrow the in-memory
+    * sort budget the cliff is real, but below it extra width measured
+    * as pure overhead (+21% shuffle bytes, ~1.1× wall at sf30), so the
+    * formula aims at the advisory size rather than "as wide as
+    * possible". `largestShuffleBytes` is the caller's estimate of the
+    * biggest exchange — for the dedup family that is digests + band
+    * keys, never text (~16–24 B/row), a few percent of corpus bytes. */
   def shufflePartitions(totalCores: Int, largestShuffleBytes: Long): Int = {
     val floor = 2 * math.max(1, totalCores)
     val advisory = 64L << 20 // AQE advisory partition size
