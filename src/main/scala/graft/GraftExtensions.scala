@@ -40,11 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => StringExpressions.NfcNormalize(e.head)
     }
     register(ext, "graft_text_stats",
-      "graft_text_stats(str) - one-pass token/char/quality counters") {
+      "graft_text_stats(str) - one-pass token/char/quality counters as array<long> " +
+        "[0]=len [1]=punct [2]=cjk [3]=nTokens [4]=en17 [5]=en6 [6]=de6 [7]=fr6 [8]=es6") {
       e => StringExpressions.TextStats(e.head)
     }
     register(ext, "graft_rep_stats",
-      "graft_rep_stats(str) - one-pass repetition counters (Gopher filters)") {
+      "graft_rep_stats(str) - one-pass repetition counters (Gopher filters) as array<long> " +
+        "[0]=nTokens [1]=nDistinct [2]=maxTokenCount [3]=maxBigramCount") {
       e => StringExpressions.RepStats(e.head)
     }
     register(ext, "graft_parse_flex_date",

@@ -19,10 +19,13 @@ import org.apache.spark.sql.DataFrame
   *     DFS write + read per iteration — small next to the join work, and
   *     the price of fault tolerance.
   *
-  * Callers must `SparkContext.setCheckpointDir` before enabling the flag;
-  * this fails loudly (not a silent local fallback) if they didn't, because
-  * a user who asked for fault tolerance and silently didn't get it would
-  * discover that only when the multi-hour job aborts.
+  * Callers must set a checkpoint dir before enabling the flag — either
+  * `SparkContext.setCheckpointDir` in code or (spark-submit-friendly, and
+  * what the round-10 DEPLOY dry run used) `--conf spark.checkpoint.dir=
+  * <DFS path>`, which SparkContext applies at startup. This fails loudly
+  * (not a silent local fallback) if neither was done, because a user who
+  * asked for fault tolerance and silently didn't get it would discover
+  * that only when the multi-hour job aborts.
   *
   * STORAGE LIFECYCLE of the reliable mode: Spark does NOT delete reliable
   * checkpoint files on its own — the dir grows by one labels-table-sized

@@ -84,17 +84,30 @@ object GraftConf {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    if (pos.isEmpty) {
       System.err.println(
-        "usage: GraftConf <totalCores> [largestShuffleGB] [maxStateGB] [executorHeapGB]")
+        "usage: GraftConf <totalCores> [largestShuffleGB] [maxStateGB] [executorHeapGB] [--local]")
       sys.exit(2)
     }
-    val cores = args(0).toInt
+    // --local = single-JVM run (spark-submit --master local[n]): reliable
+    // checkpointing buys nothing there (losing the executor kills the app),
+    // so the flag suppresses it — found by the round-10 DEPLOY dry run,
+    // where the CLI had no way to express the shape it was being run on
+    val local = flags.contains("--local")
+    val cores = pos(0).toInt
     def gb(i: Int): Long =
-      if (args.length > i) (args(i).toDouble * (1L << 30)).toLong else 0L
-    val heap = if (args.length > 3) gb(3) else 8L << 30
+      if (pos.length > i) (pos(i).toDouble * (1L << 30)).toLong else 0L
+    val heap = if (pos.length > 3) gb(3) else 8L << 30
     val conf = recommended(
-      ClusterShape(cores, executorHeapBytes = heap), gb(1), gb(2))
+      ClusterShape(cores, executorHeapBytes = heap, multiExecutor = !local),
+      gb(1), gb(2))
     conf.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"--conf $k=$v") }
+    // stdout stays paste-clean; operator notes go to stderr
+    if (conf.contains("spark.graft.reliableCheckpoint"))
+      System.err.println(
+        "note: spark.graft.reliableCheckpoint=true needs a checkpoint dir - " +
+          "add --conf spark.checkpoint.dir=<DFS path> (or call " +
+          "SparkContext.setCheckpointDir); iterative operators fail loudly without one")
   }
 }

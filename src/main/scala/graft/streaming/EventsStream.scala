@@ -13,6 +13,7 @@ import org.apache.spark.sql.streaming.Trigger
   * (same incremental planner, same state store); on a cluster the same
   * code tails an arriving directory/Kafka topic. */
 object EventsStream {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Tumbling-window counts per event_type, APPEND mode: a window row is
     * emitted exactly once, when the watermark finalizes it — the live
@@ -162,6 +163,23 @@ object EventsStream {
         }
       }
     q.awaitTermination()
+    // Late data drops SILENTLY by the streaming contract — correct on a
+    // live stream, but on a backlog replay it usually means the files
+    // were not event-time-ordered (the round-10 dry run lost half an
+    // unordered backlog to exactly this, with exit 0). Surface the count
+    // loudly; the remedy is in the message. recentProgress retains the
+    // last ~100 batches — ample for AvailableNow runs at any sane
+    // maxFilesPerTrigger, and a truncated count would still be non-zero.
+    val dropped = q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark))
+      .sum
+    if (dropped > 0)
+      log.warn(s"$name: $dropped input rows were LATE (behind the watermark) " +
+        "and dropped. On a live stream this is the contract; replaying a " +
+        "file backlog, it means the files are not event-time-ordered - " +
+        "replay an unordered backlog as one batch (unset " +
+        "spark.graft.streaming.maxFilesPerTrigger) or order file modTimes " +
+        "by event time first")
     spark.table(name)
   }
 
@@ -546,8 +564,23 @@ object EventsStream {
     // time-ordered files) advance the watermark naturally instead; the
     // cost is that trailing windows/sessions stay unemitted at shutdown,
     // exactly as on a live stream.
-    if (spark.conf.getOption("spark.graft.streaming.drain")
-        .exists(_.equalsIgnoreCase("false"))) {
+    // The multi-batch trap, found live by the round-10 DEPLOY dry run: a
+    // user set ONLY maxFilesPerTrigger (DEPLOY's backlog bullet) and lost
+    // exactly the late half of a non-time-ordered backlog — silently, exit
+    // 0. There is NO correct sentinel+multi-batch combination (even over
+    // time-ordered files the batch-1 sentinel marks every later batch
+    // late), so multi-batch mode now IMPLIES steady-state: drain unset →
+    // off; drain=true explicitly → refuse loudly instead of dropping data.
+    val multiBatch =
+      spark.conf.getOption("spark.graft.streaming.maxFilesPerTrigger").isDefined
+    val drainConf = spark.conf.getOption("spark.graft.streaming.drain")
+    require(!(multiBatch && drainConf.exists(_.equalsIgnoreCase("true"))),
+      "spark.graft.streaming.drain=true with " +
+        "spark.graft.streaming.maxFilesPerTrigger set would drop every " +
+        "event behind the batch-1 sentinel watermark as late data; unset " +
+        "one of the two (backlog replay = drain off, trailing windows stay " +
+        "unemitted exactly as on a live stream)")
+    if (multiBatch || drainConf.exists(_.equalsIgnoreCase("false"))) {
       val mem0 = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Long](org.apache.spark.sql.Encoders.scalaLong, spark.sqlContext)
       return mem0.toDF().select( // no addData: a forever-empty source

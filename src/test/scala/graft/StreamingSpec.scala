@@ -341,6 +341,53 @@ class StreamingSpec extends SparkSpec {
       assert(partial.contains(k), s"window $k closed by the watermark but missing"))
   }
 
+  test("maxFilesPerTrigger alone implies drain-off; drain=true with it is refused") {
+    // the round-10 DEPLOY dry run set ONLY maxFilesPerTrigger (the
+    // backlog bullet) and the batch-1 sentinel silently late-dropped
+    // half a non-time-ordered backlog — multi-batch mode must imply
+    // steady-state, and the one lossy combination must fail loudly
+    val base = java.nio.file.Files.createTempDirectory("graft_mbdrain").toString
+    val out = s"$base/events.parquet"
+    Tables.events(spark, sfDir).repartitionByRange(5, col("ts"))
+      .sortWithinPartitions("ts").write.parquet(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+    def run(): Set[(Long, String)] =
+      EventsStream.tumblingCounts(spark, base, 300).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val implied =
+      try {
+        spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+        run()
+      } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+    val explicit =
+      try {
+        spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+        spark.conf.set("spark.graft.streaming.drain", "false")
+        run()
+      } finally {
+        spark.conf.unset("spark.graft.streaming.drain")
+        spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+      }
+    assert(implied.nonEmpty, "implied drain-off run emitted nothing")
+    assert(implied == explicit,
+      "maxFilesPerTrigger without a drain conf must behave as drain=false")
+    val ex = intercept[IllegalArgumentException] {
+      try {
+        spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+        spark.conf.set("spark.graft.streaming.drain", "true")
+        run()
+      } finally {
+        spark.conf.unset("spark.graft.streaming.drain")
+        spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+      }
+    }
+    assert(ex.getMessage.contains("late"),
+      s"refusal must name the late-drop mechanism, got: ${ex.getMessage}")
+  }
+
   test("streaming incremental dedup accumulates the index across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
