@@ -214,9 +214,19 @@ object Bench {
     }
     // prior artifacts from before round 10 carry no canary — the gate
     // then falls back to the median-query-ratio estimator (documented
-    // blind spot); from this round on, both numbers travel together
+    // blind spot); from this round on, both numbers travel together.
+    // The canary is a fixed-work SPARK job, so its seconds are comparable
+    // only at the same SPARK_GRAFT_CPUS — a prior artifact from a
+    // different width would read the parallelism change as box drift and
+    // mis-normalize every query. Mismatch → median estimator, loudly.
+    val prevCpus = prevRoot.flatMap(r => Option(r.get("cpus")).map(_.asText()))
+    val cpusMatch = prevCpus.forall(_ == cpus)
+    if (!cpusMatch) System.err.println(
+      s"bench compare: prior artifact ran at cpus=${prevCpus.get}, this run " +
+        s"at cpus=$cpus — canary seconds are not comparable across widths; " +
+        "using the median-query drift estimator")
     val prevCanary = prevRoot.flatMap(r => Option(r.get("canary_sec")).map(_.asDouble()))
-      .filter(_ > 0)
+      .filter(_ > 0).filter(_ => cpusMatch)
 
     if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("bench_full_last.json")

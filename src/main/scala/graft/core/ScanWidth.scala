@@ -29,14 +29,26 @@ object ScanWidth {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Bytes of fused gram-dense work one scan slot should carry before
-    * widening pays for the exchange it inserts. Calibrated from the
-    * round-9 measurement (q124's fused tokenize/minhash pass: ~1.3 s of
-    * CPU per MB of text), so a 2 MB slot is ~2–3 s of work — below
-    * that, the shuffle of the raw text costs more than the serialized
-    * scan it would parallelize (the round-9 toy-scale price: q34
-    * 0.55→1.05 s on a 0.6 MB corpus repartitioned 32-way for nothing). */
-  private val SlotBytes = 2L << 20
+  /** Bytes of fused work one scan slot should carry before widening pays
+    * for the exchange it inserts — for the FINGERPRINT family (one
+    * kernel pass per doc: minhash/simhash/dHash signatures, prefix
+    * tokens), measured at well under 0.5 s of CPU per MB, so a sub-2 MB
+    * corpus serialized is cheaper than any exchange (the round-9
+    * toy-scale price: q34 0.55→1.05 s on a 0.6 MB corpus repartitioned
+    * 32-way for nothing). */
+  val FingerprintSlotBytes: Long = 2L << 20
+
+  /** Slot size for the GRAM-EXPLODE family (contaminatedIds, the bloom
+    * prefilter, passage dedup): tokenize + explode every n-gram + md5
+    * per gram runs ~1.3 s of CPU per MB of text (the round-9 q124
+    * measurement), so even a 256 KB slot carries ~0.3 s of work — far
+    * above per-slot exchange overhead. The round-10 bench gate caught
+    * exactly this split: one 2 MB threshold for both families recovered
+    * the cheap ops (q34 0.69×) but serialized the heavy ones on the
+    * sub-MB sf0.1 corpus (q124 1.81×, q90 1.80×, q95 1.62×, q117
+    * 1.32×) — density is a property of the OPERATOR, so the call site
+    * declares it. */
+  val GramExplodeSlotBytes: Long = 256L << 10
 
   /** `df`, repartitioned iff its file layout provably caps scan width
     * below what the input's SIZE warrants. The width is proportional to
@@ -49,7 +61,8 @@ object ScanWidth {
     * test frames, cached-only plans) and unreadable/non-parquet files
     * pass through untouched — when the layout can't be judged, the
     * engine doesn't shuffle on suspicion. */
-  def ensure(df: DataFrame): DataFrame = {
+  def ensure(df: DataFrame,
+             slotBytes: Long = FingerprintSlotBytes): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
@@ -74,10 +87,10 @@ object ScanWidth {
           case scala.util.Failure(_)        => groups += target
         }
       }
-      // slots the work warrants: one per SlotBytes of input, at least
+      // slots the work warrants: one per slotBytes of input, at least
       // the layout's own width, at most the box width
       val want = math.min(target.toLong,
-        math.max(1L, (bytes + SlotBytes - 1) / SlotBytes)).toInt
+        math.max(1L, (bytes + slotBytes - 1) / slotBytes)).toInt
       // pass when the layout already provides the warranted width (or
       // half the box, the round-9 "not starved" bar, whichever is less)
       if (groups >= math.min(want.toLong, math.max(1L, target / 2L))) df

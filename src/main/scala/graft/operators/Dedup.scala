@@ -400,7 +400,8 @@ object Dedup {
       .withColumn("__toks", tokens(col(textCol)))
       .select(explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .distinct()
-    graft.core.ScanWidth.ensure(corpus)
+    graft.core.ScanWidth.ensure(corpus,
+        graft.core.ScanWidth.GramExplodeSlotBytes)
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .join(broadcast(testGrams), Seq("g"))
@@ -526,7 +527,8 @@ object Dedup {
     // into the corpus scan stage BY DESIGN (zero exchange) — which makes
     // it the operator most exposed to row-group starvation (measured:
     // concurrency 1.0 on a single-row-group corpus; see ScanWidth)
-    val corpusGrams = graft.core.ScanWidth.ensure(corpus)
+    val corpusGrams = graft.core.ScanWidth.ensure(corpus,
+        graft.core.ScanWidth.GramExplodeSlotBytes)
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gk"))
@@ -583,7 +585,8 @@ object Dedup {
                         maxGramDf: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minSpanTokens >= n, s"minSpanTokens $minSpanTokens must be >= n=$n")
-    val toked = graft.core.ScanWidth.ensure(df)
+    val toked = graft.core.ScanWidth.ensure(df,
+        graft.core.ScanWidth.GramExplodeSlotBytes)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= n)
     // position-stamped grams (NOT distinct — positions are the payload);

@@ -58,6 +58,32 @@ class ScanWidthSpec extends SparkSpec {
     assert(ScanWidth.ensure(df) eq df)
   }
 
+  test("work density is the call site's: a sub-MB starved corpus passes " +
+    "at fingerprint density but widens at gram-explode density") {
+    // the round-10 bench-gate catch: one 2 MB threshold recovered the
+    // cheap fingerprint ops but serialized the gram-explode family on
+    // the sub-MB sf0.1 corpus (q124 1.81x, q90 1.80x) — the same layout
+    // must pass for one family and widen for the other
+    val p = tmp("density")
+    spark.range(8000)
+      .select(col("id"), concat_ws("",
+        md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("txt"))
+      .coalesce(1).write.parquet(p)
+    val df = spark.read.parquet(p)
+    assert(df.inputFiles.length == 1)
+    val bytes = new java.io.File(new java.net.URI(df.inputFiles.head)).length
+    assert(bytes > ScanWidth.GramExplodeSlotBytes &&
+      bytes < ScanWidth.FingerprintSlotBytes,
+      s"fixture must sit between the two slot sizes, got $bytes bytes")
+    assert(ScanWidth.ensure(df) eq df,
+      "sub-slot at fingerprint density must pass through")
+    val widened = ScanWidth.ensure(df, ScanWidth.GramExplodeSlotBytes)
+    assert(widened.rdd.getNumPartitions > 1,
+      "gram-explode density must widen the same layout")
+    assert(widened.count() == 8000L)
+  }
+
   test("a layout with enough files passes through untouched") {
     val p = tmp("wide")
     val par = spark.sparkContext.defaultParallelism
