@@ -1,0 +1,88 @@
+#!/usr/bin/env bash
+# The DEPLOY.md dry run as a repeatable harness (PLANS.md round 10): build
+# the library jar, generate scaled data through it, run a genuinely
+# separate user application (dev/dryrun/userapp) through spark-submit with
+# GraftConf's settings, and assert the outputs a user should see. Four
+# legs: batch corpus pipeline, streaming, dirty-source ingest, nightly
+# delivery loop. Exit non-zero on any leg failing its assertions.
+#
+# usage: dev/dryrun/dryrun.sh [srcSfDir] [scaleFactor]
+#   srcSfDir     source testdata dir   (default /root/testdata/sf0.1)
+#   scaleFactor  MakeScale factor      (default 10 -> ~sf1)
+set -eu
+SRC=${1:-/root/testdata/sf0.1}
+FACTOR=${2:-10}
+REPO=$(cd "$(dirname "$0")/../.." && pwd)
+RUN=$(mktemp -d /tmp/graft_dryrun_XXXX)
+trap 'rm -rf "$RUN"' EXIT
+SUBMIT=${SPARK_SUBMIT:-/opt/spark/bin/spark-submit}
+fail() { echo "[dryrun] FAIL: $*" >&2; exit 1; }
+
+echo "[dryrun] 1/6 sbt package (library jar)" >&2
+(cd "$REPO" && sbt -batch package >/dev/null 2>&1) || fail "sbt package"
+JAR=$(ls "$REPO"/target/scala-2.13/etlscriptspark_*.jar | head -1)
+[ -f "$JAR" ] || fail "library jar missing"
+
+echo "[dryrun] 2/6 MakeScale $SRC -> factor $FACTOR (through the jar)" >&2
+"$SUBMIT" --class graft.MakeScale --master 'local[16]' --driver-memory 16g \
+  --conf spark.ui.enabled=false "$JAR" "$SRC" "$RUN/data" "$FACTOR" \
+  >/dev/null 2>&1 || fail "MakeScale"
+
+echo "[dryrun] 3/6 build the user app (own sbt project, jar in lib/)" >&2
+cp -r "$REPO/dev/dryrun/userapp" "$RUN/userapp"
+mkdir -p "$RUN/userapp/lib" && cp "$JAR" "$RUN/userapp/lib/"
+(cd "$RUN/userapp" && sbt -batch package >/dev/null 2>&1) || fail "user app build"
+APP=$(ls "$RUN/userapp"/target/scala-2.13/*.jar | head -1)
+
+# GraftConf's settings for this shape (32 local cores), plus the
+# checkpoint dir its stderr note prescribes for reliableCheckpoint
+CONFS=(--conf spark.graft.reliableCheckpoint=true
+       --conf spark.checkpoint.dir="$RUN/ckpt"
+       --conf spark.sql.adaptive.enabled=true
+       --conf spark.sql.adaptive.skewJoin.enabled=true
+       --conf spark.sql.shuffle.partitions=64
+       --conf spark.sql.adaptive.coalescePartitions.initialPartitionNum=64
+       --conf spark.sql.extensions=graft.GraftExtensions
+       --conf spark.ui.enabled=false)
+submit() { # submit <class> <args...>
+  local cls=$1; shift
+  "$SUBMIT" --class "$cls" --master 'local[32]' --driver-memory 24g \
+    --jars "$RUN/userapp/lib/$(basename "$JAR")" "${CONFS[@]}" "$APP" "$@" \
+    2>"$RUN/$cls.err"
+}
+
+echo "[dryrun] 4/6 leg 1: corpus pipeline (clean -> dedup -> publish -> index -> delivery)" >&2
+OUT1=$(submit CorpusPipeline "$RUN/data" "$RUN/out" | grep '\[pipeline\]') || fail "CorpusPipeline"
+echo "$OUT1" | grep -q 'nearDupClean=[1-9]' || fail "leg1: no cleaned corpus rows: $OUT1"
+echo "$OUT1" | grep -q 'dropReasons: matches_indexed=[1-9]' || fail "leg1: index never matched: $OUT1"
+ls "$RUN/ckpt" | grep -q . || fail "leg1: reliable checkpoints missing from spark.checkpoint.dir"
+
+echo "[dryrun] 5/6 legs 2-3: streaming (multi-batch, rocksdb) + dirty-source ingest" >&2
+OUT2=$("$SUBMIT" --class StreamingLeg --master 'local[16]' --driver-memory 16g \
+  --jars "$RUN/userapp/lib/$(basename "$JAR")" \
+  --conf spark.graft.stateStore=rocksdb \
+  --conf spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=false \
+  --conf spark.graft.streaming.maxFilesPerTrigger=8 \
+  --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
+  "$APP" "$RUN/data" "$RUN/out_stream" 2>"$RUN/stream.err" | grep '\[stream\]') || fail "StreamingLeg"
+# exactly-once-by-key through real micro-batches: rows == distinct keys
+echo "$OUT2" | grep -Eq 'rows=([0-9]+) distinctKeys=\1' || fail "leg2: upsert not exactly-once: $OUT2"
+FIX="$RUN/fixtures"; mkdir -p "$FIX"
+cp "$REPO"/src/test/resources/fixtures/{po_report.csv,supplier_sheets.xlsx,supplier_sheets.xls,invoice_table.pdf,invoice_records.json} "$FIX/"
+OUT3=$("$SUBMIT" --class IngestLeg --master 'local[8]' --driver-memory 8g \
+  --jars "$RUN/userapp/lib/$(basename "$JAR")" --conf spark.ui.enabled=false \
+  "$APP" "$FIX" 2>"$RUN/ingest.err" | grep '\[ingest\]') || fail "IngestLeg"
+echo "$OUT3" | grep -q 'csv rows=12' || fail "leg3: csv: $OUT3"
+echo "$OUT3" | grep -q 'pdf grid rows=6' || fail "leg3: pdf: $OUT3"
+
+echo "[dryrun] 6/6 leg 4: nightly delivery loop (re-sends must drop against the index)" >&2
+OUT4=$("$SUBMIT" --class DeliveryLoop --master 'local[16]' --driver-memory 16g \
+  --jars "$RUN/userapp/lib/$(basename "$JAR")" \
+  --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
+  "$APP" "$RUN/data" "$RUN/out_loop" 2>"$RUN/loop.err" | grep '\[loop\]') || fail "DeliveryLoop"
+[ "$(echo "$OUT4" | wc -l)" = 3 ] || fail "leg4: expected 3 deliveries: $OUT4"
+# corpus must equal index (every kept doc indexed) on every day
+echo "$OUT4" | grep -Ev 'corpus=([0-9]+) indexDocs=\1' | grep -q . && fail "leg4: corpus != index: $OUT4"
+
+printf '%s\n%s\n%s\n%s\n' "$OUT1" "$OUT2" "$OUT3" "$OUT4"
+echo "[dryrun] PASS (all four legs)" >&2
