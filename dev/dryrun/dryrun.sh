@@ -16,7 +16,11 @@ REPO=$(cd "$(dirname "$0")/../.." && pwd)
 RUN=$(mktemp -d /tmp/graft_dryrun_XXXX)
 trap 'rm -rf "$RUN"' EXIT
 SUBMIT=${SPARK_SUBMIT:-/opt/spark/bin/spark-submit}
-fail() { echo "[dryrun] FAIL: $*" >&2; exit 1; }
+fail() { # keep the run dir (stderr logs) for diagnosis on failure
+  trap - EXIT
+  echo "[dryrun] FAIL: $* (logs kept at $RUN)" >&2
+  exit 1
+}
 
 echo "[dryrun] 1/6 sbt package (library jar)" >&2
 (cd "$REPO" && sbt -batch package >/dev/null 2>&1) || fail "sbt package"
@@ -30,6 +34,7 @@ echo "[dryrun] 2/6 MakeScale $SRC -> factor $FACTOR (through the jar)" >&2
 
 echo "[dryrun] 3/6 build the user app (own sbt project, jar in lib/)" >&2
 cp -r "$REPO/dev/dryrun/userapp" "$RUN/userapp"
+export SPARK_JARS_DIR=${SPARK_JARS_DIR:-$(dirname "$(dirname "$SUBMIT")")/jars}
 mkdir -p "$RUN/userapp/lib" && cp "$JAR" "$RUN/userapp/lib/"
 (cd "$RUN/userapp" && sbt -batch package >/dev/null 2>&1) || fail "user app build"
 APP=$(ls "$RUN/userapp"/target/scala-2.13/*.jar | head -1)
@@ -54,7 +59,7 @@ submit() { # submit <class> <args...>
 echo "[dryrun] 4/6 leg 1: corpus pipeline (clean -> dedup -> publish -> index -> delivery)" >&2
 OUT1=$(submit CorpusPipeline "$RUN/data" "$RUN/out" | grep '\[pipeline\]') || fail "CorpusPipeline"
 echo "$OUT1" | grep -q 'nearDupClean=[1-9]' || fail "leg1: no cleaned corpus rows: $OUT1"
-echo "$OUT1" | grep -q 'dropReasons: matches_indexed=[1-9]' || fail "leg1: index never matched: $OUT1"
+echo "$OUT1" | grep -Eq 'matches_indexed=[1-9]' || fail "leg1: index never matched: $OUT1"
 ls "$RUN/ckpt" | grep -q . || fail "leg1: reliable checkpoints missing from spark.checkpoint.dir"
 
 echo "[dryrun] 5/6 legs 2-3: streaming (multi-batch, rocksdb) + dirty-source ingest" >&2
@@ -66,7 +71,7 @@ OUT2=$("$SUBMIT" --class StreamingLeg --master 'local[16]' --driver-memory 16g \
   --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
   "$APP" "$RUN/data" "$RUN/out_stream" 2>"$RUN/stream.err" | grep '\[stream\]') || fail "StreamingLeg"
 # exactly-once-by-key through real micro-batches: rows == distinct keys
-echo "$OUT2" | grep -Eq 'rows=([0-9]+) distinctKeys=\1' || fail "leg2: upsert not exactly-once: $OUT2"
+echo "$OUT2" | grep -Eq 'rows=([1-9][0-9]*) distinctKeys=\1 ' || fail "leg2: upsert not exactly-once (or empty): $OUT2"
 FIX="$RUN/fixtures"; mkdir -p "$FIX"
 cp "$REPO"/src/test/resources/fixtures/{po_report.csv,supplier_sheets.xlsx,supplier_sheets.xls,invoice_table.pdf,invoice_records.json} "$FIX/"
 OUT3=$("$SUBMIT" --class IngestLeg --master 'local[8]' --driver-memory 8g \
@@ -82,7 +87,7 @@ OUT4=$("$SUBMIT" --class DeliveryLoop --master 'local[16]' --driver-memory 16g \
   "$APP" "$RUN/data" "$RUN/out_loop" 2>"$RUN/loop.err" | grep '\[loop\]') || fail "DeliveryLoop"
 [ "$(echo "$OUT4" | wc -l)" = 3 ] || fail "leg4: expected 3 deliveries: $OUT4"
 # corpus must equal index (every kept doc indexed) on every day
-echo "$OUT4" | grep -Ev 'corpus=([0-9]+) indexDocs=\1' | grep -q . && fail "leg4: corpus != index: $OUT4"
+echo "$OUT4" | grep -Ev 'corpus=([1-9][0-9]*) indexDocs=\1 secs' | grep -q . && fail "leg4: corpus != index (or empty): $OUT4"
 
 printf '%s\n%s\n%s\n%s\n' "$OUT1" "$OUT2" "$OUT3" "$OUT4"
 echo "[dryrun] PASS (all four legs)" >&2

@@ -95,6 +95,12 @@ object GraftConf {
     // so the flag suppresses it — found by the round-10 DEPLOY dry run,
     // where the CLI had no way to express the shape it was being run on
     val local = flags.contains("--local")
+    // an unrecognized flag (a typo of --local) must not silently yield
+    // the multi-executor conf — the wrong-shape output the flag prevents
+    flags.filterNot(_ == "--local").foreach { f =>
+      System.err.println(s"GraftConf: unknown flag '$f' (did you mean --local?)")
+      sys.exit(2)
+    }
     val cores = pos(0).toInt
     def gb(i: Int): Long =
       if (pos.length > i) (pos(i).toDouble * (1L << 30)).toLong else 0L

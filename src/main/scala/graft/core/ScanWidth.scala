@@ -52,7 +52,9 @@ object ScanWidth {
 
   /** `df`, repartitioned iff its file layout provably caps scan width
     * below what the input's SIZE warrants. The width is proportional to
-    * input bytes (one slot per [[SlotBytes]], capped at the default
+    * input bytes (one slot per `slotBytes` — the caller's work-density
+    * constant, [[FingerprintSlotBytes]] or [[GramExplodeSlotBytes]] —
+    * capped at the default
     * parallelism) rather than a blanket `defaultParallelism`: a 0.6 MB
     * toy corpus with one row group passes through untouched (its
     * serialized scan is cheaper than any exchange), a 74 MB
