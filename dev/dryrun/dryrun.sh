@@ -4,7 +4,8 @@
 # separate user application (dev/dryrun/userapp) through spark-submit with
 # GraftConf's settings, and assert the outputs a user should see. Four
 # legs: batch corpus pipeline, streaming, dirty-source ingest, nightly
-# delivery loop. Exit non-zero on any leg failing its assertions.
+# delivery loop, and a SQL-only adopter composing the graft_* functions.
+# Exit non-zero on any leg failing its assertions.
 #
 # usage: dev/dryrun/dryrun.sh [srcSfDir] [scaleFactor]
 #   srcSfDir     source testdata dir   (default /root/testdata/sf0.1)
@@ -56,13 +57,13 @@ submit() { # submit <class> <args...>
     2>"$RUN/$cls.err"
 }
 
-echo "[dryrun] 4/6 leg 1: corpus pipeline (clean -> dedup -> publish -> index -> delivery)" >&2
+echo "[dryrun] 4/7 leg 1: corpus pipeline (clean -> dedup -> publish -> index -> delivery)" >&2
 OUT1=$(submit CorpusPipeline "$RUN/data" "$RUN/out" | grep '\[pipeline\]') || fail "CorpusPipeline"
 echo "$OUT1" | grep -q 'nearDupClean=[1-9]' || fail "leg1: no cleaned corpus rows: $OUT1"
 echo "$OUT1" | grep -Eq 'matches_indexed=[1-9]' || fail "leg1: index never matched: $OUT1"
 ls "$RUN/ckpt" | grep -q . || fail "leg1: reliable checkpoints missing from spark.checkpoint.dir"
 
-echo "[dryrun] 5/6 legs 2-3: streaming (multi-batch, rocksdb) + dirty-source ingest" >&2
+echo "[dryrun] 5/7 legs 2-3: streaming (multi-batch, rocksdb) + dirty-source ingest" >&2
 OUT2=$("$SUBMIT" --class StreamingLeg --master 'local[16]' --driver-memory 16g \
   --jars "$RUN/userapp/lib/$(basename "$JAR")" \
   --conf spark.graft.stateStore=rocksdb \
@@ -80,7 +81,7 @@ OUT3=$("$SUBMIT" --class IngestLeg --master 'local[8]' --driver-memory 8g \
 echo "$OUT3" | grep -q 'csv rows=12' || fail "leg3: csv: $OUT3"
 echo "$OUT3" | grep -q 'pdf grid rows=6' || fail "leg3: pdf: $OUT3"
 
-echo "[dryrun] 6/6 leg 4: nightly delivery loop (re-sends must drop against the index)" >&2
+echo "[dryrun] 6/7 leg 4: nightly delivery loop (re-sends must drop against the index)" >&2
 OUT4=$("$SUBMIT" --class DeliveryLoop --master 'local[16]' --driver-memory 16g \
   --jars "$RUN/userapp/lib/$(basename "$JAR")" \
   --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
@@ -89,5 +90,13 @@ OUT4=$("$SUBMIT" --class DeliveryLoop --master 'local[16]' --driver-memory 16g \
 # corpus must equal index (every kept doc indexed) on every day
 echo "$OUT4" | grep -Ev 'corpus=([1-9][0-9]*) indexDocs=\1 secs' | grep -q . && fail "leg4: corpus != index (or empty): $OUT4"
 
-printf '%s\n%s\n%s\n%s\n' "$OUT1" "$OUT2" "$OUT3" "$OUT4"
-echo "[dryrun] PASS (all four legs)" >&2
+echo "[dryrun] 7/7 leg 5: SQL-only adopter (graft_* composition in pure spark.sql)" >&2
+OUT5=$("$SUBMIT" --class SqlLeg --master 'local[16]' --driver-memory 16g \
+  --jars "$RUN/userapp/lib/$(basename "$JAR")" \
+  --conf spark.sql.extensions=graft.GraftExtensions \
+  --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
+  "$APP" "$RUN/data" 2>"$RUN/sql.err" | grep '\[sql\]') || fail "SqlLeg"
+echo "$OUT5" | grep -Eq 'kept=[1-9][0-9]* candPairs=[0-9]+ dups=[0-9]+' || fail "leg5: $OUT5"
+
+printf '%s\n%s\n%s\n%s\n%s\n' "$OUT1" "$OUT2" "$OUT3" "$OUT4" "$OUT5"
+echo "[dryrun] PASS (all five legs)" >&2
