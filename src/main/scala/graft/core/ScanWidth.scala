@@ -50,6 +50,7 @@ object ScanWidth {
     * declares it. */
   val GramExplodeSlotBytes: Long = 256L << 10
 
+
   /** `df`, repartitioned iff its file layout provably caps scan width
     * below what the input's SIZE warrants. The width is proportional to
     * input bytes (one slot per `slotBytes` — the caller's work-density
@@ -97,11 +98,24 @@ object ScanWidth {
       // half the box, the round-9 "not starved" bar, whichever is less)
       if (groups >= math.min(want.toLong, math.max(1L, target / 2L))) df
       else {
+        // WIDTH ≠ decision threshold: `want` (one slot per slotBytes)
+        // only decides WHETHER the exchange pays; once it is being
+        // inserted its cost is ~width-independent, so repartition to the
+        // FULL box width and let every core amortize the fused per-row
+        // work. Using `want` as the width was the round-10 regression: a
+        // 0.57 MB gram corpus computed want=3 and went THREE-way where
+        // round-9 code went 32-way — ~0.25 s of fused gram work per slot
+        // landed on the critical path that 32 slots amortize (q124/q90/
+        // q95 read 1.1–1.2x vs round-9 code, 6/6 alternating-JVM samples
+        // in the same direction). The pass-through above (no exchange at
+        // all — what q34/q29 need at toy scale) is untouched, and at
+        // scale `want` hits the cap so the firing plan (e.g. q124's
+        // sf10) is `target`-wide either way.
         log.info(s"ScanWidth: ${files.length} file(s) / $groups row " +
           s"group(s) cap the scan below the $want-way its ${bytes >> 20}" +
-          " MB warrants — repartitioning (one exchange of the input, " +
-          "cheaper than a serialized scan stage)")
-        df.repartition(want)
+          s" MB warrants — repartitioning $target-way (one exchange of " +
+          "the input, cheaper than a serialized scan stage)")
+        df.repartition(target)
       }
     }
   }

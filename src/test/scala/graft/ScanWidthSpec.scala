@@ -84,6 +84,36 @@ class ScanWidthSpec extends SparkSpec {
     assert(widened.count() == 8000L)
   }
 
+  test("once the exchange is paid, the repartition goes FULL-width, " +
+    "not decision-slot-width") {
+    // the round-11 fix for the round-10 regression: a 0.57 MB gram corpus
+    // computed want=3 from the 256 KB DECISION slot and repartitioned
+    // 3-way where round-9 code went 32-way — ~0.25 s of fused gram work
+    // per slot on the critical path (q124/q90/q95 1.1–1.2x vs r9 code,
+    // 6/6 alternating-JVM samples). The exchange's cost is
+    // ~width-independent, so once it fires the width must be the box
+    // width — `want` only answers WHETHER, never HOW WIDE.
+    val p = tmp("widen")
+    spark.range(8000)
+      .select(col("id"), concat_ws("",
+        md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("txt"))
+      .coalesce(1).write.parquet(p)
+    val df = spark.read.parquet(p)
+    val bytes = new java.io.File(new java.net.URI(df.inputFiles.head)).length
+    val target = spark.sparkContext.defaultParallelism
+    val want = math.min(target.toLong, math.max(1L,
+      (bytes + ScanWidth.GramExplodeSlotBytes - 1) / ScanWidth.GramExplodeSlotBytes))
+    assert(want < target,
+      s"fixture must make the decision width ($want) smaller than the box ($target)")
+    val widened = ScanWidth.ensure(df, ScanWidth.GramExplodeSlotBytes)
+    assert(widened.rdd.getNumPartitions == target,
+      s"width must be the box width ($target), " +
+        s"got ${widened.rdd.getNumPartitions} (decision want was $want)")
+    // results unchanged, only the layout
+    assert(widened.agg(sum($"id")).head.getLong(0) == 8000L * 7999L / 2)
+  }
+
   test("a layout with enough files passes through untouched") {
     val p = tmp("wide")
     val par = spark.sparkContext.defaultParallelism
