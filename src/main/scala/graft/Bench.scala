@@ -16,7 +16,15 @@ import org.apache.spark.sql.SparkSession
   * query's samples ~minutes apart, so one interference window can
   * contaminate at most one sample per query and the median discards it.
   * The 1-minute load average is stamped at start and after every pass so
-  * any remaining interference is visible in the artifact itself. */
+  * any remaining interference is visible in the artifact itself.
+  *
+  * Round-11 addendum: the artifact also records the per-query MIN
+  * (`queries_min`). The median defends against one bad sample, not a
+  * contended JVM — the driver's round-10 run inflated the heavy tail
+  * 2–4x across ALL THREE samples of each query, so its medians were
+  * useless for round-over-round deltas while the min (the least-contended
+  * sample) is the contention-robust statistic. The compare gate prefers
+  * min when both artifacts carry it. */
 object Bench {
   // SPARK_GRAFT_BENCH_RUNS overrides for long scale runs (sf1+), where
   // per-query seconds are large enough that the median-of-3 noise armor
@@ -40,8 +48,9 @@ object Bench {
     * — surfaced as a non-empty warning the caller turns into exit 1.
     *
     * Returns (drift to adjust priors by, its source, optional warning).
-    * Fallbacks: no prior canary (older artifact) → median-query ratio as
-    * before; too few stable queries (<20) → canary alone, or 1.0. */
+    * Fallbacks: no prior canary (older artifact / different canary
+    * generation) → median-query ratio as before; too few stable queries
+    * (<20) → canary alone, or 1.0. */
   def driftEstimate(canaryCur: Option[Double], canaryPrev: Option[Double],
                     queryRatios: Seq[Double]): (Double, String, Option[String]) = {
     val medianRatio =
@@ -65,6 +74,93 @@ object Bench {
       case (None, Some(mr)) => (mr, "median_query_ratio", None)
       case (None, None)     => (1.0, "none", None)
     }
+  }
+
+  /** Per-query regression findings vs a drift-adjusted prior — the
+    * round-over-round gate body, pure for BenchGateSpec. Flags a query
+    * when it regresses past BOTH bars (ratio AND absolute: sub-second
+    * queries jitter well past 1.5x on a shared host, so a flag also
+    * requires +0.5 s growth over the drift-adjusted prior), newly
+    * errors, or goes missing. Negative prior = the query was broken in
+    * the prior run: nothing sane to compare against, skip. */
+  def gateFindings(prev: Map[String, Double], cur: Map[String, Double],
+                   drift: Double, ratioBar: Double = 1.5,
+                   absBarSec: Double = 0.5): Seq[String] =
+    prev.toSeq.sortBy(_._1).flatMap { case (name, pv0) =>
+      if (pv0 < 0) None
+      else {
+        val pv = pv0 * drift
+        cur.get(name) match {
+          case None => Some(f"$name: MISSING (prev $pv0%.2f s)")
+          case Some(cv) if cv < 0 =>
+            Some(f"$name: ERROR (prev $pv0%.2f s, now failing)")
+          case Some(cv) if cv > pv * ratioBar && cv - pv > absBarSec =>
+            Some(f"$name: $pv0%.2f s -> $cv%.2f s (${cv / pv0}%.2fx raw, " +
+              f"${cv / pv}%.2fx drift-adjusted)")
+          case _ => None
+        }
+      }
+    }
+
+  /** Anchor leg: cumulative drift-adjusted suite total vs a PINNED
+    * artifact (the best committed run), catching slow creep the per-pair
+    * gate structurally cannot. Witness (round 10): raw totals crept
+    * 144.5 → 160.3 → 166.1 s across one night with every adjacent pair
+    * "clean" — each step sat under the per-pair bars, and the pairwise
+    * gate re-bases every round, so sub-bar creep compounds UNBOUNDED.
+    * This leg never re-bases: the sum over queries present and clean in
+    * both artifacts must stay within `bar` (wider than the per-pair bar
+    * — legitimate round-over-round wobble accumulates too) of the
+    * anchor's drift-adjusted total, with an absolute floor so a tiny
+    * common subset can't flag on noise. Pure for BenchGateSpec. */
+  def anchorFinding(anchor: Map[String, Double], cur: Map[String, Double],
+                    drift: Double, bar: Double = 1.25,
+                    absFloorSec: Double = 5.0, minQueries: Int = 20): Option[String] = {
+    val common = anchor.toSeq.collect {
+      case (n, av) if av >= 0 && cur.get(n).exists(_ >= 0) => (av, cur(n))
+    }
+    if (common.size < minQueries) None
+    else {
+      val at = common.map(_._1).sum
+      val ct = common.map(_._2).sum
+      val adj = at * drift
+      if (ct > adj * bar && ct - adj > absFloorSec)
+        Some(f"cumulative creep: suite total $ct%.1f s vs anchor $at%.1f s " +
+          f"over ${common.size} queries (${ct / at}%.2fx raw, " +
+          f"${ct / adj}%.2fx drift-adjusted > $bar%.2fx anchor bar)")
+      else None
+    }
+  }
+
+  /** A prior bench artifact, as much of it as the gate can use. Old
+    * artifacts lack the newer fields; every consumer falls back
+    * explicitly (and loudly where it weakens the comparison). */
+  private case class Artifact(med: Map[String, Double],
+                              min: Option[Map[String, Double]],
+                              canary: Option[Double],
+                              canaryKind: Option[String],
+                              cpus: Option[String],
+                              shuffle: Option[String])
+
+  private def readArtifact(path: String): Artifact = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(path))
+    def qmap(key: String): Option[Map[String, Double]] =
+      Option(root.get(key)).map { n =>
+        val b = Map.newBuilder[String, Double]
+        n.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+        b.result()
+      }
+    val med = qmap("queries").getOrElse {
+      System.err.println(
+        s"bench compare: $path has no 'queries' key — not a bench artifact")
+      sys.exit(2)
+    }
+    Artifact(med, qmap("queries_min"),
+      Option(root.get("canary_sec")).map(_.asDouble()).filter(_ > 0),
+      Option(root.get("canary_kind")).map(_.asText()),
+      Option(root.get("cpus")).map(_.asText()),
+      Option(root.get("shuffle_partitions")).map(_.asText()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -123,23 +219,26 @@ object Bench {
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    // the box-speed canary (same fixed pure-CPU codegen job as Probes):
-    // no I/O, no graft code, one scalar shuffle — its seconds move with
-    // host load/CPU weather and with NOTHING this repo changes, so its
-    // cur/prev ratio across artifacts isolates box drift from code drift
-    // (see driftEstimate). Fixed work (2e9 xxhash64) and fixed 32-way
-    // split; comparable across runs at the same SPARK_GRAFT_CPUS.
-    def canary(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 2000000000L, 1, 32)
-        .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id))"))
-        .first()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // the box-speed canary (core.Canary): fixed pure-CPU codegen work, no
+    // I/O, no graft code, and — since round 11 — NO EXCHANGE, so its plan
+    // cannot move with spark.sql.shuffle.partitions (the round-10 width
+    // harness caught the old agg-based canary reading 3.3–5.8 s in the
+    // wide-512 arms vs 1.3–1.7 s narrow: the instrument followed the conf
+    // under test). Its cur/prev ratio across artifacts isolates box drift
+    // from code drift (see driftEstimate); comparable across runs at the
+    // same SPARK_GRAFT_CPUS and the same canary generation (canary_kind).
+    // SPARK_GRAFT_BENCH_CANARY=0 disables the canary entirely (canary_sec
+    // records -1, the gate falls back to the median estimator). For
+    // A/B-vs-OLD-code protocols: a side whose harness runs canaries pays
+    // their GC/alloc debris inside the same JVM as the timed queries,
+    // and the other side (pre-canary code) doesn't — turning it off makes
+    // the two harnesses shape-identical so the ratio measures the QUERIES.
+    val canaryOn = sys.env.get("SPARK_GRAFT_BENCH_CANARY").forall(_ != "0")
+    def canary(): Double = if (canaryOn) core.Canary.seconds(spark) else -1.0
     canary() // JIT-warm the canary path itself off the record
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passLoads = (1 to Runs).map { _ =>
-      canarySamples += canary()
+      if (canaryOn) canarySamples += canary()
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -154,17 +253,21 @@ object Bench {
       }
       loadAvg()
     }
-    canarySamples += canary() // bracket the last pass too
-    val canarySec = canarySamples.sorted.apply(canarySamples.size / 2)
-    val results = ordered.map { case (name, _) =>
-      val ss = samples(name)
-      // any failed sample poisons the median to -1: a query that flakes
-      // mid-bench is not "measured", it is broken
-      name -> (if (ss.exists(_ < 0) || errors.contains(name)) -1.0
-               else ss.sorted.apply(Runs / 2))
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    if (canaryOn) canarySamples += canary() // bracket the last pass too
+    val canarySec =
+      if (canarySamples.nonEmpty) canarySamples.sorted.apply(canarySamples.size / 2)
+      else -1.0
+    // any failed sample poisons BOTH stats to -1: a query that flakes
+    // mid-bench is not "measured", it is broken
+    def stat(pick: List[Double] => Double): Seq[(String, Double)] =
+      ordered.map { case (name, _) =>
+        val ss = samples(name)
+        name -> (if (ss.exists(_ < 0) || errors.contains(name)) -1.0 else pick(ss))
+      }
+    val results = stat(ss => ss.sorted.apply(Runs / 2))   // median: one-bad-sample armor
+    val resultsMin = stat(_.min)                          // min: contended-JVM armor
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val good = results.filter(_._2 >= 0)
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
     val loads = passLoads.mkString("[", ",", "]")
@@ -172,128 +275,136 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val canaries = canarySamples.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads,"canary_sec":${f"$canarySec%.3f"},"canary_samples":$canaries,"cpus":"$cpus"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"queries_min":${qjson(resultsMin)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads,"canary_sec":${f"$canarySec%.3f"},"canary_samples":$canaries,"canary_kind":"${core.Canary.Kind}","cpus":"$cpus","shuffle_partitions":"$shuffle"}"""
     println(line)
     // the driver captures only a log tail; persist the full line in-repo so
     // round-over-round comparison never depends on tail-capture luck.
     // Subset runs (BENCH_ONLY) skip the write — a 4-query debug run must
     // not overwrite the full-suite artifact.
-    // Regression gate: `--compare prev.json` (or SPARK_GRAFT_BENCH_COMPARE)
-    // exits non-zero with a NAMED list when any query present in the prior
-    // artifact regresses >1.5x, newly errors, or goes missing — the round-4
-    // garbage-lines incident was caught by a judge, not the harness; this
-    // makes round-over-round drift a hard failure in the workflow itself.
-    // Sub-second queries jitter well past 1.5x on a shared host, so a flag
-    // additionally requires +0.5s absolute growth (documented noise floor).
-    // The prior artifact LOADS BEFORE the new one is written, so comparing
-    // against bench_full_last.json itself (the natural workflow) works.
-    // The gate only makes sense against a FULL run: a BENCH_ONLY subset
-    // would read every unrun query as MISSING (and with the compare path
-    // set via env — the natural CI setup — every debug subset run would
-    // exit 1). Subset runs skip the gate with a note.
-    val comparePath = args.sliding(2).collectFirst {
-      case Array("--compare", p) => p
-    }.orElse(sys.env.get("SPARK_GRAFT_BENCH_COMPARE"))
-      .filter { p =>
-        val full = only.isEmpty
-        if (!full) System.err.println(
-          s"bench compare vs $p SKIPPED: subset run (SPARK_GRAFT_BENCH_ONLY)")
-        full
-      }
-    val prevRoot = comparePath.map { path =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new java.io.File(path))
+    // Regression gates, two legs (both skipped on subset runs — every
+    // unrun query would read as MISSING):
+    //   --compare prev.json (or SPARK_GRAFT_BENCH_COMPARE): per-query vs
+    //     the PREVIOUS run — >1.5x drift-adjusted AND +0.5s, new errors,
+    //     missing queries, and the uniform-regression cross-check.
+    //   --anchor anchor.json (or SPARK_GRAFT_BENCH_ANCHOR; defaults to
+    //     dev/bench_anchor.json when that file exists): cumulative
+    //     drift-adjusted total vs a PINNED best run — the per-pair leg
+    //     re-bases every round, so sub-bar creep compounds unbounded
+    //     (round 10: 144.5→160.3→166.1 s, every pair clean); the anchor
+    //     leg never re-bases.
+    def pathArg(flag: String, env: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`flag`, p) => p }
+        .orElse(sys.env.get(env))
+    val fullRun = only.isEmpty
+    def skipNote(p: String): Boolean = {
+      if (!fullRun) System.err.println(
+        s"bench compare vs $p SKIPPED: subset run (SPARK_GRAFT_BENCH_ONLY)")
+      fullRun
     }
-    val prevQueries = prevRoot.map { root =>
-      val node = root.get("queries")
-      if (node == null) {
-        System.err.println(s"bench compare: ${comparePath.get} has no 'queries' key — not a bench artifact")
-        sys.exit(2)
-      }
-      node
-    }
-    // prior artifacts from before round 10 carry no canary — the gate
-    // then falls back to the median-query-ratio estimator (documented
-    // blind spot); from this round on, both numbers travel together.
-    // The canary is a fixed-work SPARK job, so its seconds are comparable
-    // only at the same SPARK_GRAFT_CPUS — a prior artifact from a
-    // different width would read the parallelism change as box drift and
-    // mis-normalize every query. Mismatch → median estimator, loudly.
-    val prevCpus = prevRoot.flatMap(r => Option(r.get("cpus")).map(_.asText()))
-    val cpusMatch = prevCpus.forall(_ == cpus)
-    if (!cpusMatch) System.err.println(
-      s"bench compare: prior artifact ran at cpus=${prevCpus.get}, this run " +
-        s"at cpus=$cpus — canary seconds are not comparable across widths; " +
-        "using the median-query drift estimator")
-    val prevCanary = prevRoot.flatMap(r => Option(r.get("canary_sec")).map(_.asDouble()))
-      .filter(_ > 0).filter(_ => cpusMatch)
+    val comparePath = pathArg("--compare", "SPARK_GRAFT_BENCH_COMPARE")
+      .filter(skipNote)
+    val anchorPath = pathArg("--anchor", "SPARK_GRAFT_BENCH_ANCHOR")
+      .orElse(Some("dev/bench_anchor.json").filter(p => new java.io.File(p).isFile))
+      .filter(skipNote)
+    // prior artifacts load BEFORE the new one is written, so comparing
+    // against bench_full_last.json itself (the natural workflow) works
+    val prevArt = comparePath.map(readArtifact)
+    val anchorArt = anchorPath.map(readArtifact)
 
-    if (only.isEmpty) try {
+    if (fullRun) try {
       val out = java.nio.file.Paths.get("bench_full_last.json")
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
 
-    prevQueries.foreach { prev =>
-      val path = comparePath.get
-      val cur = results.toMap
-      // DRIFT NORMALIZATION (the round-8 lesson): same-code full-suite
-      // totals spanned 132.7-144.8 s (+-9%) across nights on this box, so
-      // raw cross-run medians flag weather, not code — round 8 needed
-      // hand-adjudication for q135/q72/q95, all of which cross-checked as
-      // drift. The suite is its own canary: the MEDIAN per-query ratio
-      // cur/prev over all stably-measurable queries (prev >= 0.1 s, both
-      // runs clean) estimates the box-speed factor between the two runs —
-      // a real code regression in a handful of queries cannot move a
-      // median over ~200 queries, while uniform drift moves it exactly.
-      // The gate then compares against drift-ADJUSTED priors: flag when
-      // cur > prev*drift*1.5 AND cur - prev*drift > 0.5 s (same 1.5x /
-      // 0.5 s thresholds as before, now measuring code instead of
-      // weather). The one-invocation A/B/A/B pairing the round-8 verdict
-      // sketched is impossible here — the baseline BINARY isn't runnable
-      // in this JVM (the code changed); the canary normalization is the
-      // same statistical pairing done through the artifact.
-      val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
-      prev.properties().forEach { e =>
-        val (name, pv) = (e.getKey, e.getValue.asDouble())
-        cur.get(name).foreach { cv =>
-          if (pv >= 0.1 && cv >= 0) ratios += cv / pv
-        }
-      }
-      // round-10: the box-only canary ratio is the PRIMARY estimator
-      // when both artifacts carry one; the median-query ratio stays as
-      // the cross-check whose disagreement (>15% slow) exposes exactly
-      // the uniform code regression the old median-only gate absorbed
-      val (drift, driftSource, driftWarn) =
-        driftEstimate(Some(canarySec), prevCanary, ratios.toSeq)
-      val medianRatio =
-        if (ratios.size >= 20) ratios.sorted.apply(ratios.size / 2) else -1.0
-      println(f"""{"bench_compare_drift":$drift%.4f,"drift_source":"$driftSource","median_query_ratio":$medianRatio%.4f,"canary_sec":$canarySec%.3f,"prev_canary_sec":${prevCanary.getOrElse(-1.0)}%.3f,"n_ratio_queries":${ratios.size},"vs":"$path"}""")
-      val names = new scala.collection.mutable.ArrayBuffer[String]()
-      prev.properties().forEach { e =>
-        val (name, pv0) = (e.getKey, e.getValue.asDouble())
-        val pv = pv0 * drift
-        if (pv0 >= 0) cur.get(name) match {
-          case None => names += s"$name: MISSING (prev ${f"$pv0%.2f"}s)"
-          case Some(cv) if cv < 0 =>
-            names += s"$name: ERROR (prev ${f"$pv0%.2f"}s, now failing)"
-          case Some(cv) if cv > pv * 1.5 && cv - pv > 0.5 =>
-            names += s"$name: ${f"$pv0%.2f"}s -> ${f"$cv%.2f"}s " +
-              s"(${f"${cv / pv0}%.2f"}x raw, ${f"${cv / pv}%.2f"}x drift-adjusted)"
-          case _ => ()
-        }
-      }
-      driftWarn.foreach(w =>
-        System.err.println(s"BENCH UNIFORM-REGRESSION FLAG vs $path: $w"))
-      if (names.nonEmpty) {
+    val curMed = results.toMap
+    val curMin = resultsMin.toMap
+
+    /** One compare leg: conf guards, stat selection, drift, findings.
+      * Returns (findings, uniform-regression warning). */
+    def leg(path: String, prior: Artifact,
+            findings: (Map[String, Double], Map[String, Double], Double) => Seq[String])
+        : (Seq[String], Option[String]) = {
+      // Seconds are comparable only at the same parallelism AND the same
+      // shuffle width: per-query walls embed both, so on a mismatch the
+      // canary ratio AND the median-query estimator are contaminated by
+      // the same delta — no normalization can rescue the comparison
+      // (ADVICE round 10). Skip the leg entirely, loudly: a gate that
+      // flags conf changes as regressions trains people to ignore it.
+      // (Artifacts before round 11 carry no shuffle_partitions; the
+      // workflow always ran width = cpus, so that is the assumed prior.)
+      val priorShuffle = prior.shuffle.orElse(prior.cpus)
+      val confMismatch =
+        prior.cpus.exists(_ != cpus) || priorShuffle.exists(_ != shuffle)
+      if (confMismatch) {
         System.err.println(
-          s"BENCH REGRESSION vs $path (${names.size}, drift ${f"$drift%.3f"} from $driftSource):")
-        names.foreach(n => System.err.println(s"  $n"))
-        sys.exit(1)
-      } else if (driftWarn.nonEmpty) {
-        sys.exit(1) // uniform slowdown with no single query over threshold
-      } else println(
-        s"bench compare vs $path: no regressions (drift ${f"$drift%.3f"} from $driftSource normalized out)")
+          s"bench compare vs $path SKIPPED: prior ran at cpus=" +
+            s"${prior.cpus.getOrElse("?")}/shuffle=${priorShuffle.getOrElse("?")}, " +
+            s"this run at cpus=$cpus/shuffle=$shuffle — per-query seconds " +
+            "embed the parallelism/width delta, so canary AND median-query " +
+            "drift estimates are equally contaminated; comparison would be " +
+            "advisory at best. Re-run at the prior conf to gate.")
+        (Nil, None)
+      } else {
+        // prefer the contention-robust MIN when both artifacts carry it
+        // (round-11 artifacts do; the driver's r10 run inflated q76/q137/
+        // q141 2-4x across all three samples — a contended JVM defeats
+        // the median, not the min)
+        val (prevQ, curQ, gateStat) = prior.min match {
+          case Some(pm) => (pm, curMin, "min")
+          case None     => (prior.med, curMed, "median")
+        }
+        // the canary ratio is meaningful only within one canary
+        // generation: an old agg-based canary_sec against the round-11
+        // exchange-free one would read the implementation change as box
+        // drift. Kind mismatch → median estimator, loudly.
+        val kindMatch = prior.canaryKind.contains(core.Canary.Kind)
+        if (prior.canary.nonEmpty && !kindMatch) System.err.println(
+          s"bench compare: prior artifact's canary is generation " +
+            s"${prior.canaryKind.getOrElse("(pre-round-10 none / round-10 agg)")}, " +
+            s"this run is ${core.Canary.Kind} — canary seconds are not " +
+            "comparable across generations; using the median-query drift estimator")
+        val prevCanary = prior.canary.filter(_ => kindMatch)
+        val ratios = prevQ.toSeq.flatMap { case (name, pv) =>
+          curQ.get(name).collect { case cv if pv >= 0.1 && cv >= 0 => cv / pv }
+        }
+        val (drift, driftSource, driftWarn) =
+          driftEstimate(Some(canarySec), prevCanary, ratios)
+        val medianRatio =
+          if (ratios.size >= 20) ratios.sorted.apply(ratios.size / 2) else -1.0
+        println(f"""{"bench_compare_drift":$drift%.4f,"drift_source":"$driftSource","median_query_ratio":$medianRatio%.4f,"canary_sec":$canarySec%.3f,"prev_canary_sec":${prevCanary.getOrElse(-1.0)}%.3f,"n_ratio_queries":${ratios.size},"gate_stat":"$gateStat","vs":"$path"}""")
+        driftWarn.foreach(w =>
+          System.err.println(s"BENCH UNIFORM-REGRESSION FLAG vs $path: $w"))
+        (findings(prevQ, curQ, drift), driftWarn)
+      }
     }
+
+    var exitBad = false
+    prevArt.foreach { prior =>
+      val path = comparePath.get
+      val (names, warn) = leg(path, prior, gateFindings(_, _, _))
+      if (names.nonEmpty) {
+        System.err.println(s"BENCH REGRESSION vs $path (${names.size}):")
+        names.foreach(n => System.err.println(s"  $n"))
+        exitBad = true
+      } else if (warn.nonEmpty) exitBad = true // uniform slowdown, no single query over bar
+      else println(s"bench compare vs $path: no regressions")
+    }
+    anchorArt.foreach { prior =>
+      val path = anchorPath.get
+      // the anchor leg's verdict is the 1.25x cumulative bar alone: the
+      // 15% uniform-regression cross-check (still PRINTED above for
+      // context) deliberately does not exit here — legitimate wobble
+      // accumulates against a pinned anchor, and exiting on it would
+      // silently tighten the documented ~25% bar to 15%
+      val (names, _) = leg(path, prior,
+        (p, c, d) => anchorFinding(p, c, d).toSeq)
+      if (names.nonEmpty) {
+        System.err.println(s"BENCH ANCHOR REGRESSION vs $path:")
+        names.foreach(n => System.err.println(s"  $n"))
+        exitBad = true
+      } else println(s"bench anchor vs $path: within the cumulative bar")
+    }
+    if (exitBad) sys.exit(1)
   }
 }

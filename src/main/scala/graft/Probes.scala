@@ -559,15 +559,14 @@ object Probes {
         SparkEntry.queries("q94_neardup_dedup")(spark, d)
           .write.format("noop").mode("overwrite").save()
     }
-    // canary: a fixed pure-CPU codegen job (no I/O, no shuffle beyond one
-    // scalar) — its wall time tracks the box's EFFECTIVE speed at this
-    // instant, independent of anything q94 does. Runs before every phase.
-    def canary(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 8000000000L, 1, 32)
-        .select(expr("bit_xor(xxhash64(id))")).first() // xor: overflow-free under ANSI
-      (System.nanoTime() - t0) / 1e9
-    }
+    // canary: a fixed pure-CPU codegen job (no I/O, no graft code, and —
+    // round 11 — no exchange, so a width conf change between phases
+    // cannot move it; see core.Canary) — its wall time tracks the box's
+    // EFFECTIVE speed at this instant, independent of anything q94 does.
+    // Runs before every phase. Canary values are compared only WITHIN
+    // one probe run's JSONL, so the round-11 work change (8e9 agg → 2e9
+    // noop projection) does not break any cross-artifact arithmetic.
+    def canary(): Double = core.Canary.seconds(spark)
     val rungs = Vector("pairs", "cc", "full")
     if (probeWarmup) { // JIT-warm every phase's code path off the clock
       val wd = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", sfDir)
@@ -630,12 +629,7 @@ object Probes {
     }
     def body(d: String): Unit =
       q(spark, d).write.format("noop").mode("overwrite").save()
-    def canary(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 8000000000L, 1, 32)
-        .select(expr("bit_xor(xxhash64(id))")).first()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canary(): Double = core.Canary.seconds(spark) // exchange-free; see core.Canary
     if (probeWarmup) { // JIT-warm the query's code path off the clock
       val wd = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", dirA)
       canary(); body(wd); clear()
@@ -707,12 +701,7 @@ object Probes {
       spark.conf.set("spark.sql.shuffle.partitions", w.toString)
       q(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    def canary(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 8000000000L, 1, 32)
-        .select(expr("bit_xor(xxhash64(id))")).first()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canary(): Double = core.Canary.seconds(spark) // exchange-free; see core.Canary
     if (probeWarmup) {
       val wd = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", sfDir)
       canary(); body(w1); clear()

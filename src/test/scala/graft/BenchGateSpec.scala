@@ -83,4 +83,80 @@ class BenchGateSpec extends AnyFunSuite {
     assert(math.abs(d - 1.0) < 1e-9)
     assert(warn.isEmpty, "a single slow query is the per-query gate's job, not the drift flag's")
   }
+
+  // ---- gateFindings: the per-query leg, extracted pure in round 11 ----
+
+  private def suite(n: Int, sec: Double): Map[String, Double] =
+    (1 to n).map(i => f"q$i%03d" -> sec).toMap
+
+  test("gateFindings: a real >1.5x +0.5s regression is flagged by name") {
+    val prev = suite(30, 2.0)
+    val cur = prev.updated("q007", 4.0)
+    val names = Bench.gateFindings(prev, cur, drift = 1.0)
+    assert(names.size == 1 && names.head.startsWith("q007:"))
+  }
+
+  test("gateFindings: drift-adjusted priors — box slowdown is not a regression") {
+    val prev = suite(30, 2.0)
+    val cur = suite(30, 2.8) // everything 1.4x, but the box is 1.4x slower
+    assert(Bench.gateFindings(prev, cur, drift = 1.4).isEmpty)
+  }
+
+  test("gateFindings: sub-second jitter under the absolute bar passes; " +
+    "errors and missing queries always flag") {
+    val prev = suite(30, 0.2)
+    val jitter = prev.map { case (k, _) => k -> 0.4 } // 2x but +0.2s only
+    assert(Bench.gateFindings(prev, jitter, 1.0).isEmpty)
+    val broken = prev.updated("q003", -1.0) - "q005"
+    val names = Bench.gateFindings(prev, broken, 1.0)
+    assert(names.exists(_.startsWith("q003: ERROR")))
+    assert(names.exists(_.startsWith("q005: MISSING")))
+  }
+
+  test("gateFindings: a query broken in the PRIOR run is skipped, not compared") {
+    val prev = suite(30, 2.0).updated("q001", -1.0)
+    val cur = suite(30, 2.0).updated("q001", 9.0) // was broken, now slow-but-working
+    assert(Bench.gateFindings(prev, cur, 1.0).isEmpty)
+  }
+
+  // ---- anchorFinding: the cumulative leg (round-10 witness: 144.5 ->
+  // 160.3 -> 166.1 s in one night, every adjacent pair clean) ----
+
+  test("anchor leg: 10%/round creep passes every pairwise gate but is " +
+    "caught cumulatively at the anchor") {
+    val anchor = suite(30, 2.0)
+    val r1 = suite(30, 2.0 * 1.10)
+    val r2 = suite(30, 2.0 * 1.21)
+    val r3 = suite(30, 2.0 * 1.331)
+    // each adjacent pair: 1.1x uniform — under the 1.5x per-query bar
+    // AND under the 1.15 uniform-regression cross-check
+    assert(Bench.gateFindings(anchor, r1, 1.0).isEmpty)
+    assert(Bench.gateFindings(r1, r2, 1.0).isEmpty)
+    assert(Bench.gateFindings(r2, r3, 1.0).isEmpty)
+    assert(Bench.driftEstimate(Some(3.0), Some(3.0), ratios(1.10))._3.isEmpty)
+    // the anchor never re-bases: round 3 sits 1.33x over it — flagged
+    assert(Bench.anchorFinding(anchor, r2, 1.0).isEmpty, "1.21x is inside the 1.25 bar")
+    assert(Bench.anchorFinding(anchor, r3, 1.0).nonEmpty, "1.33x must flag")
+  }
+
+  test("anchor leg: box drift is normalized out before the cumulative bar") {
+    val anchor = suite(30, 2.0)
+    val cur = suite(30, 2.0 * 1.3) // 1.3x raw, but the box is 1.3x slower
+    assert(Bench.anchorFinding(anchor, cur, drift = 1.3).isEmpty)
+    assert(Bench.anchorFinding(anchor, cur, drift = 1.0).nonEmpty)
+  }
+
+  test("anchor leg: absolute floor and minimum-subset guards") {
+    // a tiny common subset cannot flag on noise
+    assert(Bench.anchorFinding(suite(5, 2.0), suite(5, 9.0), 1.0).isEmpty)
+    // a 1.3x total that grows less than the absolute floor stays quiet
+    assert(Bench.anchorFinding(suite(30, 0.05), suite(30, 0.07), 1.0).isEmpty)
+  }
+
+  test("anchor leg: broken queries on either side drop out of the total") {
+    val anchor = suite(30, 2.0).updated("q001", -1.0)
+    val cur = suite(30, 2.0).updated("q001", 500.0) // broken at anchor: excluded
+      .updated("q002", -1.0) // broken now: excluded (the per-query leg flags it)
+    assert(Bench.anchorFinding(anchor, cur, 1.0).isEmpty)
+  }
 }
