@@ -108,6 +108,99 @@ object EventsStream {
       else rs2.option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
+  /** Put a parquet backlog's modification times into EVENT-time order,
+    * so a multi-batch replay (`maxFilesPerTrigger`) consumes files in
+    * the order the watermark assumes — the REMEDY for the round-10 dry
+    * run's silent loss, shipped as code instead of a log warning:
+    * `FileStreamSource` consumes oldest-modTime-first, and a backlog
+    * whose modTimes don't track event time (rsync'd, re-copied,
+    * re-compacted — any of which rewrite mtimes) advances the watermark
+    * past whole files, whose rows then drop as "late" with exit 0.
+    *
+    * Ordering keys come from the parquet FOOTERS (min/max statistics of
+    * `tsColumn` per row group — metadata-only, no data read); a file
+    * without usable stats falls back to a one-column Spark scan, applied
+    * to every file so all keys share one unit. ModTimes are rewritten
+    * ascending from the backlog's current max (2 s apart — distinct
+    * values, because equal mtimes fall back to path order, which is the
+    * same accident this exists to fix).
+    *
+    * Returns the per-file report (file, min_ts, max_ts, old/new mtime,
+    * rank) and logs the residual risk the ordering CANNOT remove: when
+    * files overlap in event time, the watermark delay must still exceed
+    * the largest overlap (max over later files of an earlier file's
+    * max_ts minus the later file's min_ts) or the overlapped rows drop
+    * anyway. The report is driver-sized by construction: one row per
+    * backlog FILE, and a backlog directory has at most thousands of
+    * those (a 100 TB corpus replays as date-partitioned directories, not
+    * one flat dir). */
+  def orderBacklogByEventTime(spark: SparkSession, dir: String,
+                              tsColumn: String = "ts"): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(hconf)
+    val files = fs.listStatus(base).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(files.nonEmpty, s"orderBacklogByEventTime: no parquet files under $dir")
+    // footer stats first: Long min/max per file (INT64 micros/nanos both
+    // order correctly as raw longs — no unit conversion needed to SORT)
+    def footerMinMax(p: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
+      scala.util.Try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val perBlock = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == tsColumn)
+              .map(_.getStatistics).collect {
+                case s: org.apache.parquet.column.statistics.LongStatistics
+                  if !s.isEmpty => (s.genericGetMin.longValue, s.genericGetMax.longValue)
+              }
+          }
+          if (perBlock.isEmpty) None
+          else Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
+        } finally r.close()
+      }.toOption.flatten
+    val fromFooters = files.map(s => s -> footerMinMax(s.getPath))
+    val keyed: Seq[(org.apache.hadoop.fs.FileStatus, Long, Long)] =
+      if (fromFooters.forall(_._2.isDefined))
+        fromFooters.map { case (s, mm) => (s, mm.get._1, mm.get._2) }
+      else {
+        // one file without stats poisons unit consistency — scan them ALL
+        // through one Spark plan (second-precision keys; overlaps at
+        // sub-second scale are inside any sane watermark delay anyway)
+        log.info(s"orderBacklogByEventTime: footer stats unusable for " +
+          s"${fromFooters.count(_._2.isEmpty)} of ${files.size} files — " +
+          "falling back to a one-column scan for the ordering keys")
+        files.map { s =>
+          val mm = spark.read.parquet(s.getPath.toString)
+            .agg(min(col(tsColumn).cast("timestamp").cast("long")),
+              max(col(tsColumn).cast("timestamp").cast("long"))).head()
+          (s, mm.getLong(0), mm.getLong(1))
+        }
+      }
+    val ordered = keyed.sortBy { case (s, mn, _) => (mn, s.getPath.getName) }
+    val t0 = files.map(_.getModificationTime).max
+    val report = ordered.zipWithIndex.map { case ((s, mn, mx), i) =>
+      val newM = t0 + (i + 1) * 2000L
+      fs.setTimes(s.getPath, newM, -1)
+      (s.getPath.toString, mn, mx, s.getModificationTime, newM, i)
+    }
+    // the residual the ordering can't fix: event-time overlap ACROSS files
+    val maxTsSoFar = ordered.map(_._3).scanLeft(Long.MinValue)(math.max).init
+    val worstOverlap = ordered.zip(maxTsSoFar).map { case ((_, mn, _), prior) =>
+      prior - mn
+    }.max
+    if (worstOverlap > 0)
+      log.warn(s"orderBacklogByEventTime: files OVERLAP in event time by up " +
+        s"to $worstOverlap (raw $tsColumn units). ModTime order is now " +
+        "correct, but the replay's watermark delay must exceed that " +
+        "overlap or the overlapped rows will still drop as late.")
+    report.toDF("file", "min_ts", "max_ts", "old_mtime", "new_mtime", "rank")
+  }
+
   /** Start-run-drain a streaming query into a memory table.
     *
     * `statePartitions` sizes the state-store width: streaming state
@@ -178,8 +271,9 @@ object EventsStream {
         "and dropped. On a live stream this is the contract; replaying a " +
         "file backlog, it means the files are not event-time-ordered - " +
         "replay an unordered backlog as one batch (unset " +
-        "spark.graft.streaming.maxFilesPerTrigger) or order file modTimes " +
-        "by event time first")
+        "spark.graft.streaming.maxFilesPerTrigger) or run " +
+        "EventsStream.orderBacklogByEventTime(spark, dir) first (sets " +
+        "file modTimes into event-time order from the parquet footers)")
     spark.table(name)
   }
 

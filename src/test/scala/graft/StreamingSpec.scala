@@ -341,6 +341,55 @@ class StreamingSpec extends SparkSpec {
       assert(partial.contains(k), s"window $k closed by the watermark but missing"))
   }
 
+  test("orderBacklogByEventTime repairs an adversarially-shuffled backlog: " +
+    "multi-batch replay loses rows before, zero after") {
+    // the round-11 ask: ship the backlog-ordering remedy as code. Build a
+    // time-range-partitioned backlog, then set modTimes in REVERSE event
+    // order — the rsync'd/re-copied accident. A maxFilesPerTrigger replay
+    // then advances the watermark off the newest file first and drops
+    // earlier files' rows as late, silently. The helper must restore
+    // event-time order from the parquet footers alone and make the same
+    // replay equal the ordered-backlog reference run.
+    val base = java.nio.file.Files.createTempDirectory("graft_backlog").toString
+    val out = s"$base/events.parquet"
+    Tables.events(spark, sfDir).repartitionByRange(5, col("ts"))
+      .sortWithinPartitions("ts").write.parquet(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def shuffleMtimes(): Unit = { // newest event range gets the OLDEST mtime
+      val t0 = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + (parts.length - 1 - i) * 2000L)
+      }
+    }
+    def run(): Map[(Long, String), org.apache.spark.sql.Row] =
+      try {
+        spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+        EventsStream.tumblingCounts(spark, base, 300).collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+      } finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+    // reference: the same multi-batch replay over a correctly-ordered
+    // backlog (the drain-off prefix semantics, pinned by the spec above)
+    val t0 = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+    val reference = run()
+    shuffleMtimes()
+    val lossy = run()
+    assert(lossy.size < reference.size,
+      "reverse-mtime backlog must lose windows (else the fixture proves nothing)")
+    shuffleMtimes() // re-break, then let the HELPER repair it
+    val report = EventsStream.orderBacklogByEventTime(spark, out).collect()
+    assert(report.length == parts.length)
+    // footer keys must have produced ascending min_ts in rank order
+    val byRank = report.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("min_ts"))
+    assert(byRank.sameElements(byRank.sorted), "ranks must ascend in event time")
+    val repaired = run()
+    assert(repaired.keySet == reference.keySet,
+      s"repaired replay must emit every reference window " +
+        s"(missing: ${(reference.keySet -- repaired.keySet).take(5)})")
+    repaired.foreach { case (k, row) => assert(reference(k) == row, s"row differs at $k") }
+  }
+
   test("maxFilesPerTrigger alone implies drain-off; drain=true with it is refused") {
     // the round-10 DEPLOY dry run set ONLY maxFilesPerTrigger (the
     // backlog bullet) and the batch-1 sentinel silently late-dropped
