@@ -87,9 +87,11 @@ object Money {
     * (BolApiController.php:471-480). */
   def rangeSplit(c: Column): Column = {
     val parts = split(trim(c.cast("string")), "\\s*-\\s*", 2)
+    // try_element_at: a dash-less input has one part, and the missing end
+    // must be null under ANSI mode too (adopter default), not an error
     struct(
-      element_at(parts, 1).cast("double").as("start"),
-      element_at(parts, 2).cast("double").as("end"))
+      try_element_at(parts, lit(1)).cast("double").as("start"),
+      try_element_at(parts, lit(2)).cast("double").as("end"))
   }
 
   /** C18 derived amount: excl = incl - vat when excl is 0

@@ -79,7 +79,9 @@ object OcrRepair {
     val idx = sequence(lit(1), greatest(n, lit(1)))
     val mismatches = filter(idx, i => a.substr(i, lit(1)) =!= b.substr(i, lit(1)))
     when(n <= 0, lit(0))
-      .otherwise(coalesce(element_at(mismatches, 1) - 1, n))
+      // try_element_at: equal-up-to-n strings leave `mismatches` EMPTY and
+      // the null must reach the coalesce under ANSI mode too
+      .otherwise(coalesce(try_element_at(mismatches, lit(1)) - 1, n))
   }
 
   /** C28 ref repair via common prefix (pdf_ocr_rm_to_json.py:219-229):

@@ -281,7 +281,9 @@ object Multimodal {
       val r = b / 8
       val c = b % 8
       val i = r * 9 + c // row-major 9-wide; compare col c+1 vs c
-      when(element_at(pixels, i + 2) > element_at(pixels, i + 1),
+      // try_element_at: the 9x9 grid is the documented contract, but a
+      // short array must degrade to 0-bits under ANSI mode too
+      when(try_element_at(pixels, lit(i + 2)) > try_element_at(pixels, lit(i + 1)),
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 }

@@ -219,9 +219,13 @@ object Pipelines {
       .select(col("source_file"), col("line_no").as("row_idx"), col("cells"))
 
     val meta = grid.groupBy("source_file").agg(
-        max(when(col("row_idx") === 1, element_at(col("cells"), 2))).as("buyer_cell"),
-        max(when(col("row_idx") === 3, element_at(col("cells"), 4))).as("from_raw"),
-        max(when(col("row_idx") === 3, element_at(col("cells"), 6))).as("to_raw"),
+        // try_element_at, not element_at: positional cells on RAGGED rows
+        // must read null past the row end under ANSI mode too — adopters
+        // run Spark 4's default ansi=true, where plain element_at throws
+        // (caught by dev/migration_smoke.sh's first run)
+        max(when(col("row_idx") === 1, try_element_at(col("cells"), lit(2)))).as("buyer_cell"),
+        max(when(col("row_idx") === 3, try_element_at(col("cells"), lit(4)))).as("from_raw"),
+        max(when(col("row_idx") === 3, try_element_at(col("cells"), lit(6)))).as("to_raw"),
         max(when(col("row_idx") === 4, col("cells"))).as("hdr"))
       .select(col("source_file"),
         nullif(regexp_extract(col("buyer_cell"), "\\((\\d{10,20})\\)", 1), lit(""))
@@ -240,8 +244,8 @@ object Pipelines {
       val positions = filter(
         transform(col("hdr"), (c, i) => when(c === name, i + 1).otherwise(lit(0))),
         p => p > 0)
-      val pos = element_at(positions, n)
-      when(pos.isNotNull, element_at(col("cells"), pos.cast("int")))
+      val pos = try_element_at(positions, lit(n)) // ANSI-total: null when absent
+      when(pos.isNotNull, try_element_at(col("cells"), pos.cast("int")))
     }
 
     val headerEcho =
