@@ -84,6 +84,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(warn.isEmpty, "a single slow query is the per-query gate's job, not the drift flag's")
   }
 
+  test("canaryStat is the MIN of positive samples (contention inflates, " +
+    "never deflates a one-wave canary)") {
+    // the gate's first live same-code pair: medians 3.74 vs 3.03 s made
+    // false flags; mins 2.03 vs 2.17 agreed with the median-query ratio
+    assert(Bench.canaryStat(Seq(4.011, 2.031, 3.736, 3.553)).contains(2.031))
+    assert(Bench.canaryStat(Seq(3.175, 2.512, 3.034, 2.169)).contains(2.169))
+    assert(Bench.canaryStat(Seq(-1.0, 0.0)).isEmpty, "disabled runs yield no stat")
+    assert(Bench.canaryStat(Nil).isEmpty)
+    assert(Bench.canaryStat(Seq(-1.0, 1.5)).contains(1.5), "negatives excluded, not min'd")
+  }
+
   // ---- gateFindings: the per-query leg, extracted pure in round 11 ----
 
   private def suite(n: Int, sec: Double): Map[String, Double] =
