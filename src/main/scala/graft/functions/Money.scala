@@ -12,8 +12,10 @@ object Money {
     * null on empty/`-`/`.`/`-.`. */
   def parseAmount(c: Column): Column = {
     val cleaned = regexp_replace(c.cast("string"), "[^0-9.\\-]", "")
+    // try_cast, not cast: regex survivors like "1.2.3" or ".." pass the
+    // isin guard but are malformed — the contract is null, under ANSI too
     when(cleaned.isin("", "-", ".", "-.", "--"), lit(null).cast("double"))
-      .otherwise(cleaned.cast("double"))
+      .otherwise(cleaned.try_cast("double"))
   }
 
   /** C12 robust parse (pdf_ocr_rm_to_json.py:31-64,
@@ -27,7 +29,7 @@ object Money {
     val body = regexp_replace(regexp_replace(s1, "^\\((.*)\\)$", "$1"), ",", "")
     val num = regexp_replace(body, "[^0-9.\\-]", "")
     val v = when(num.isin("", "-", ".", "-."), lit(null).cast("double"))
-      .otherwise(num.cast("double"))
+      .otherwise(num.try_cast("double")) // ANSI-total: "--"/"1.2.3" -> null
     when(isParen, -abs(v)).otherwise(v)
   }
 
@@ -58,7 +60,7 @@ object Money {
         .when(nComm === 1, regexp_replace(s, ",", "."))  // 12,5 → 12.5
         .otherwise(s)
     when(parsed.isin("", "-", ".", "-."), lit(null).cast("double"))
-      .otherwise(parsed.cast("double"))
+      .otherwise(parsed.try_cast("double")) // ANSI-total
   }
 
   /** C14 dash/zero coercion — income/ratios policy (unparseable → null):
@@ -81,7 +83,8 @@ object Money {
 
   /** C16 to_numeric coerce with 0-fill (services/bs_processor.py:99-110). */
   def coerceNumericZeroFill(c: Column): Column =
-    coalesce(c.cast("double"), parseAmountRobust(c), lit(0.0))
+    // try_cast: under ANSI a plain cast throws BEFORE coalesce can step in
+    coalesce(c.try_cast("double"), parseAmountRobust(c), lit(0.0))
 
   /** C17 range split `"a - b"` → struct(start, end)
     * (BolApiController.php:471-480). */
@@ -90,8 +93,8 @@ object Money {
     // try_element_at: a dash-less input has one part, and the missing end
     // must be null under ANSI mode too (adopter default), not an error
     struct(
-      try_element_at(parts, lit(1)).cast("double").as("start"),
-      try_element_at(parts, lit(2)).cast("double").as("end"))
+      try_element_at(parts, lit(1)).try_cast("double").as("start"),
+      try_element_at(parts, lit(2)).try_cast("double").as("end"))
   }
 
   /** C18 derived amount: excl = incl - vat when excl is 0

@@ -70,12 +70,16 @@ object SaleReports {
     val s  = trim(c.cast("string"))
     val re = "^(\\d+)\\s*\\.\\s*(\\d+)\\s*\\.\\s*(\\d+)$"
     val d  = regexp_extract(s, re, 1)
-    val y0 = regexp_extract(s, re, 3).cast("int")
+    // try_cast: the regex pins digits but not INT RANGE - a
+    // "9999999999.12.2567" overflows the int under ANSI; contract is null
+    val y0 = regexp_extract(s, re, 3).try_cast("int")
     val y  = when(y0 > 2400, y0 - 543).otherwise(y0)
     when(s.isNull || s === "" || lower(s) === "nan", lit(""))
       .when(d === "", s)
+      .when(y.isNull || d.try_cast("int").isNull ||
+          regexp_extract(s, re, 2).try_cast("int").isNull, s)
       .otherwise(format_string("%04d-%02d-%02d", y,
-        regexp_extract(s, re, 2).cast("int"), d.cast("int")))
+        regexp_extract(s, re, 2).try_cast("int"), d.try_cast("int")))
   }
 
   /** The full C33 header record, J4-style stampable onto every item row of

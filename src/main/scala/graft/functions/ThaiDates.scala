@@ -60,7 +60,9 @@ object ThaiDates {
     val c = regexp_replace(trim(raw), "\\s+", " ")
     val datePart = regexp_extract(c, "^(\\S+)", 1)
     val timePart = regexp_extract(c, "^\\S+ (.*)$", 1)
-    val hour  = regexp_extract(timePart, "^(\\d{1,2}):", 1).cast("int")
+    // try_cast: a date-only input leaves timePart empty, the extract
+    // yields "" and the contract is null under ANSI mode too
+    val hour  = regexp_extract(timePart, "^(\\d{1,2}):", 1).try_cast("int")
     val fixedTime = when(hour >= 13, regexp_replace(timePart, "\\s*(AM|PM|am|pm)$", ""))
       .otherwise(timePart)
     val t24 = coalesce(
@@ -101,7 +103,7 @@ object ThaiDates {
   /** US-order datetime with the C3 12/24h repair (`14:44:07 PM` → 24h). */
   def parseUsTimestamp(raw: Column): Column = {
     val c = regexp_replace(trim(raw), "\\s+", " ")
-    val hour = regexp_extract(c, " (\\d{1,2}):", 1).cast("int")
+    val hour = regexp_extract(c, " (\\d{1,2}):", 1).try_cast("int") // ANSI-total
     val fixed = when(hour >= 13, regexp_replace(c, "\\s*(AM|PM|am|pm)$", "")).otherwise(c)
     coalesce(
       try_to_timestamp(fixed, lit("M/d/yyyy H:mm:ss")),
@@ -114,7 +116,9 @@ object ThaiDates {
     * ships a buggy variant that subtracts 543 from the *result* year
     * (supplier_processor.py:91-97) — not reproduced; flagged per SURVEY §7.4. */
   def excelSerialToDate(serial: Column): Column =
-    date_add(lit(java.sql.Date.valueOf("1899-12-30")), serial.cast("int"))
+    // try_cast: a non-serial cell ("abc44927", "") must read null under
+    // ANSI mode too, matching the non-ANSI cast the function was born with
+    date_add(lit(java.sql.Date.valueOf("1899-12-30")), serial.try_cast("int"))
 
   /** Thai month names (full + common OCR abbreviations) → month number.
     * pdf_ocr_sale_invoice_to_json.py:74-78, dbd_web_scraping.py:244-263. */
