@@ -197,8 +197,17 @@ object Probes {
     })
     SparkEntry.queries(queryName)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    val deadline = System.nanoTime() + 10000000000L
-    while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    // listener bus is async AND a query fires several plans: wait for the
+    // COUNT to go stable, not merely non-empty — waiting for the first
+    // plan alone dropped the main probe plan of a 3-job query (round-11:
+    // q124's width witness had to fall back to the ScanWidth log line)
+    var stable = 0; var last = -1; var waited = 0
+    while (stable < 2 && waited < 10000) {
+      Thread.sleep(100); waited += 100
+      val sz = plans.size()
+      if (sz == last && sz > 0) stable += 1 else stable = 0
+      last = sz
+    }
     import scala.jdk.CollectionConverters._
     plans.asScala.zipWithIndex.foreach { case (p, i) =>
       println(s"==== executed plan ${i + 1}/${plans.size} ====")
