@@ -119,23 +119,14 @@ echo "[dryrun] 8/9 leg 6: multi-executor (local-cluster[2,16]) + executor SIGKIL
 # boundaries must not change results), and driver-log proof the kill
 # landed during the job.
 MXC="$RUN/ckpt_mx"
-(
-  # watcher: first rdd-* checkpoint dir => CC iteration 1 just cut; kill
-  # the newest executor JVM and record what was killed
-  for _ in $(seq 1 1200); do
-    # checkpoint layout: $MXC/<uuid>/rdd-<id>/part-NNNNN
-    if [ -d "$MXC" ] && find "$MXC" -mindepth 2 -maxdepth 2 -name 'rdd-*' 2>/dev/null | grep -q .; then
-      sleep 0.5
-      EPID=$(pgrep -n -f CoarseGrainedExecutorBackend || true)
-      if [ -n "$EPID" ]; then
-        kill -9 "$EPID" && echo "$EPID" > "$RUN/killed_executor"
-      fi
-      break
-    fi
-    sleep 0.25
-  done
-) & WATCHER=$!
-OUT6=$("$SUBMIT" --class CorpusPipeline --master 'local-cluster[2,16,12288]' \
+# the submit runs in the background so the watcher can SCOPE its kill to
+# this run's process tree: spark-submit/spark-class `exec` into the
+# driver JVM (so $SUBMIT_PID IS the driver), and under local-cluster the
+# in-process Worker forks executor JVMs as that driver's direct children.
+# A bare `pgrep -f CoarseGrainedExecutorBackend` matches ANY executor on
+# the box — on a shared dev host it could SIGKILL an unrelated job's
+# executor and let this leg pass on false evidence (round-12 ADVICE).
+"$SUBMIT" --class CorpusPipeline --master 'local-cluster[2,16,12288]' \
   --driver-memory 8g \
   --jars "$RUN/userapp/lib/$(basename "$JAR")" \
   --conf spark.graft.reliableCheckpoint=true \
@@ -146,9 +137,31 @@ OUT6=$("$SUBMIT" --class CorpusPipeline --master 'local-cluster[2,16,12288]' \
   --conf spark.sql.adaptive.coalescePartitions.initialPartitionNum=64 \
   --conf spark.sql.extensions=graft.GraftExtensions \
   --conf spark.ui.enabled=false \
-  "$APP" "$RUN/data" "$RUN/out_mx" 2>"$RUN/mx.err" | grep '\[pipeline\]') \
+  "$APP" "$RUN/data" "$RUN/out_mx" \
+  >"$RUN/mx.out" 2>"$RUN/mx.err" & SUBMIT_PID=$!
+(
+  # watcher: first rdd-* checkpoint dir => CC iteration 1 just cut; kill
+  # the newest executor JVM OF THIS RUN and record what was killed. If no
+  # executor is a child of our driver yet, loop — killing nothing (and
+  # failing the leg's killed_executor assert) beats killing a stranger.
+  for _ in $(seq 1 1200); do
+    # checkpoint layout: $MXC/<uuid>/rdd-<id>/part-NNNNN
+    if [ -d "$MXC" ] && find "$MXC" -mindepth 2 -maxdepth 2 -name 'rdd-*' 2>/dev/null | grep -q .; then
+      sleep 0.5
+      EPID=$(pgrep -n -P "$SUBMIT_PID" -f CoarseGrainedExecutorBackend || true)
+      if [ -n "$EPID" ]; then
+        kill -9 "$EPID" && echo "$EPID" > "$RUN/killed_executor"
+      fi
+      break
+    fi
+    sleep 0.25
+  done
+) & WATCHER=$!
+wait "$SUBMIT_PID" \
   || { kill "$WATCHER" 2>/dev/null || true; fail "leg6: CorpusPipeline under local-cluster (see mx.err)"; }
 kill "$WATCHER" 2>/dev/null || true
+OUT6=$(grep '\[pipeline\]' "$RUN/mx.out") \
+  || fail "leg6: no [pipeline] line in mx.out"
 [ -s "$RUN/killed_executor" ] || fail "leg6: watcher never killed an executor (fixture proved nothing)"
 grep -Eq "Lost executor|ExecutorLostFailure|RPC client disassociated|worker lost" "$RUN/mx.err" \
   || fail "leg6: no executor-loss evidence in driver log — kill landed outside the job"

@@ -189,16 +189,29 @@ object EventsStream {
       (s.getPath.toString, mn, mx, s.getModificationTime, newM, i)
     }
     // the residual the ordering can't fix: event-time overlap ACROSS files
-    val maxTsSoFar = ordered.map(_._3).scanLeft(Long.MinValue)(math.max).init
-    val worstOverlap = ordered.zip(maxTsSoFar).map { case ((_, mn, _), prior) =>
-      prior - mn
-    }.max
-    if (worstOverlap > 0)
+    val overlap = worstOverlap(ordered.map { case (_, mn, mx) => (mn, mx) })
+    if (overlap > 0)
       log.warn(s"orderBacklogByEventTime: files OVERLAP in event time by up " +
-        s"to $worstOverlap (raw $tsColumn units). ModTime order is now " +
+        s"to $overlap (raw $tsColumn units). ModTime order is now " +
         "correct, but the replay's watermark delay must exceed that " +
         "overlap or the overlapped rows will still drop as late.")
     report.toDF("file", "min_ts", "max_ts", "old_mtime", "new_mtime", "rank")
+  }
+
+  /** Worst event-time overlap across a backlog already ordered by min ts:
+    * the max over files 2..n of (largest max_ts of any EARLIER file minus
+    * this file's min_ts), clamped at 0 — 0 means no file starts before a
+    * predecessor ends (and a 0/1-file backlog trivially has none). Pure
+    * for StreamingSpec. The first release let the scanLeft SEED pair into
+    * the max, so the first file's `Long.MinValue - min_ts` underflowed to
+    * ~9.2e18 and the overlap warning fired on EVERY backlog with a
+    * nonsense magnitude (round-12 ADVICE) — the seed pair carries no
+    * prior file and must be excluded, not compared. */
+  def worstOverlap(orderedMinMax: Seq[(Long, Long)]): Long = {
+    val priorMax = orderedMinMax.map(_._2).scanLeft(Long.MinValue)(math.max).init
+    orderedMinMax.zip(priorMax).collect {
+      case ((mn, _), prior) if prior != Long.MinValue => prior - mn
+    }.foldLeft(0L)(math.max)
   }
 
   /** Start-run-drain a streaming query into a memory table.

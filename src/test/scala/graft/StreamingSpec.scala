@@ -390,6 +390,29 @@ class StreamingSpec extends SparkSpec {
     repaired.foreach { case (k, row) => assert(reference(k) == row, s"row differs at $k") }
   }
 
+  test("worstOverlap: seed pair excluded — a non-overlapping backlog reads 0, " +
+    "not a Long.MinValue underflow") {
+    // round-12 ADVICE: the scanLeft seed (Long.MinValue) was zipped into
+    // the max, so the first file contributed `Long.MinValue - min_ts`
+    // (wraps to ~9.2e18) and the overlap warning fired on EVERY backlog.
+    // The advisor's own simulation: ordered, non-overlapping 2-file
+    // backlog with positive epoch keys.
+    val nonOverlapping = Seq((1700000000L, 1700000999L), (1700001000L, 1700001999L))
+    assert(EventsStream.worstOverlap(nonOverlapping) == 0L,
+      "adjacent-but-disjoint files must report zero overlap")
+    // a real overlap reports its exact magnitude (file 2 starts 250 units
+    // before file 1 ends)
+    assert(EventsStream.worstOverlap(
+      Seq((1000L, 2000L), (1750L, 3000L))) == 250L)
+    // multi-file: the worst pair wins (file 1's tail reaches 3000 past
+    // file 2's start; the file-2/file-3 pair overlaps only 100)
+    assert(EventsStream.worstOverlap(
+      Seq((1000L, 5000L), (2000L, 2100L), (4900L, 6000L))) == 3000L)
+    // degenerate backlogs: nothing to overlap with
+    assert(EventsStream.worstOverlap(Seq((1000L, 2000L))) == 0L)
+    assert(EventsStream.worstOverlap(Nil) == 0L)
+  }
+
   test("maxFilesPerTrigger alone implies drain-off; drain=true with it is refused") {
     // the round-10 DEPLOY dry run set ONLY maxFilesPerTrigger (the
     // backlog bullet) and the batch-1 sentinel silently late-dropped
