@@ -142,15 +142,62 @@ object Bench {
     if (good.isEmpty) None else Some(good.min)
   }
 
+  /** Weather check on the canary's OWN samples: when they spread more
+    * than `spreadBar` (max/min), severe host contention hit DURING the
+    * run, and canary normalization becomes asymmetric — contention
+    * inflates the per-query stats while the canary MIN finds the one
+    * quiet instant, so a weather-contaminated run reads as a CODE
+    * regression. Witness (driver round-11 run): canary samples
+    * [158.699, 2.716, 2.304, 1.933] — a 158.7 s sample is proof of a
+    * steal storm — yet min=1.933 vs anchor 2.381 declared the box 19%
+    * FASTER and converted a 1.04x raw suite total into a 1.28x
+    * "drift-adjusted" anchor failure. Returns the advisory note when the
+    * run is too stormy to normalize; None on a quiet run (or when fewer
+    * than 2 usable samples exist — nothing to spread). Pure for
+    * BenchGateSpec. */
+  def weatherAdvisory(samples: Seq[Double], spreadBar: Double = 3.0): Option[String] = {
+    val good = samples.filter(_ > 0)
+    if (good.size < 2) None
+    else {
+      val mn = good.min; val mx = good.max
+      if (mx > mn * spreadBar) Some(
+        f"canary samples spread ${mx / mn}%.1fx (min $mn%.3f s, max $mx%.3f s, " +
+          f"bar $spreadBar%.1fx) — severe host contention DURING this run. " +
+          "Contention inflates the per-query stats while the canary min finds " +
+          "the one quiet instant, so drift adjustment would misread weather as " +
+          "code: using RAW ratios, findings are ADVISORY (exit 0). Re-run on a " +
+          "quiet box to gate.")
+      else None
+    }
+  }
+
+  /** The full drift decision for one compare leg: weather guard first,
+    * then the canary/median estimate. Returns (drift, source, warning,
+    * advisory) — `advisory=true` means this run's canary brackets caught
+    * a storm, so findings computed from it must not fail the gate (the
+    * per-query numbers are as contaminated as the canary was). Pure for
+    * BenchGateSpec. */
+  def driftPolicy(curSamples: Seq[Double], canaryCur: Option[Double],
+                  canaryPrev: Option[Double], queryRatios: Seq[Double])
+      : (Double, String, Option[String], Boolean) =
+    weatherAdvisory(curSamples) match {
+      case Some(note) => (1.0, "raw_weather_advisory", Some(note), true)
+      case None =>
+        val (d, s, w) = driftEstimate(canaryCur, canaryPrev, queryRatios)
+        (d, s, w, false)
+    }
+
   /** A prior bench artifact, as much of it as the gate can use. Old
     * artifacts lack the newer fields; every consumer falls back
     * explicitly (and loudly where it weakens the comparison). */
   private case class Artifact(med: Map[String, Double],
                               min: Option[Map[String, Double]],
                               canary: Option[Double],
+                              canarySamples: Seq[Double],
                               canaryKind: Option[String],
                               cpus: Option[String],
-                              shuffle: Option[String])
+                              shuffle: Option[String],
+                              master: Option[String])
 
   private def readArtifact(path: String): Artifact = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -176,9 +223,11 @@ object Bench {
     Artifact(med, qmap("queries_min"),
       canaryStat(samples)
         .orElse(Option(root.get("canary_sec")).map(_.asDouble()).filter(_ > 0)),
+      samples,
       Option(root.get("canary_kind")).map(_.asText()),
       Option(root.get("cpus")).map(_.asText()),
-      Option(root.get("shuffle_partitions")).map(_.asText()))
+      Option(root.get("shuffle_partitions")).map(_.asText()),
+      Option(root.get("master")).map(_.asText()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -190,11 +239,24 @@ object Bench {
     // goes super-linear at 32 partitions from per-partition spill, and
     // returns to linear when the width scales)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the round-12
+    // local-cluster leg runs the heavies across REAL executor JVMs
+    // (serialization + locality costs are invisible in local[N]); without
+    // the override the builder's master would silently defeat
+    // spark-submit's --master. SPARK_GRAFT_EXTRA_CONF mirrors Probes'
+    // (k=v;k=v) — local-cluster executors need
+    // spark.executor.extraClassPath to see the graft classes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+    val spark = extraConf.foldLeft(
+        SparkSession.builder()
+          .master(master)
+          .config("spark.sql.shuffle.partitions", shuffle)
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false")
+      ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional isolation: SPARK_GRAFT_BENCH_ONLY=q29,q53 times just those
@@ -298,7 +360,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val canaries = canarySamples.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"queries_min":${qjson(resultsMin)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads,"canary_sec":${f"$canarySec%.3f"},"canary_samples":$canaries,"canary_kind":"${core.Canary.Kind}","cpus":"$cpus","shuffle_partitions":"$shuffle"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"queries_min":${qjson(resultsMin)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir","runs_per_query":$Runs,"stat":"median","interleaved":true,"loadavg_start":$load0,"loadavg_pass_end":$loads,"canary_sec":${f"$canarySec%.3f"},"canary_samples":$canaries,"canary_kind":"${core.Canary.Kind}","cpus":"$cpus","shuffle_partitions":"$shuffle","master":"$master"}"""
     println(line)
     // the driver captures only a log tail; persist the full line in-repo so
     // round-over-round comparison never depends on tail-capture luck.
@@ -343,11 +405,13 @@ object Bench {
     val curMed = results.toMap
     val curMin = resultsMin.toMap
 
-    /** One compare leg: conf guards, stat selection, drift, findings.
-      * Returns (findings, uniform-regression warning). */
+    /** One compare leg: conf guards, weather guard, stat selection,
+      * drift, findings. Returns (findings, uniform-regression warning,
+      * advisory) — advisory=true when this run's own canary brackets
+      * caught a storm, so findings must print but not exit. */
     def leg(path: String, prior: Artifact,
             findings: (Map[String, Double], Map[String, Double], Double) => Seq[String])
-        : (Seq[String], Option[String]) = {
+        : (Seq[String], Option[String], Boolean) = {
       // Seconds are comparable only at the same parallelism AND the same
       // shuffle width: per-query walls embed both, so on a mismatch the
       // canary ratio AND the median-query estimator are contaminated by
@@ -357,17 +421,22 @@ object Bench {
       // (Artifacts before round 11 carry no shuffle_partitions; the
       // workflow always ran width = cpus, so that is the assumed prior.)
       val priorShuffle = prior.shuffle.orElse(prior.cpus)
+      // artifacts before round 12 carry no master; the workflow always
+      // ran local[cpus], so that is the assumed prior
+      val priorMaster = prior.master.getOrElse(s"local[${prior.cpus.getOrElse(cpus)}]")
       val confMismatch =
-        prior.cpus.exists(_ != cpus) || priorShuffle.exists(_ != shuffle)
+        prior.cpus.exists(_ != cpus) || priorShuffle.exists(_ != shuffle) ||
+          priorMaster != master
       if (confMismatch) {
         System.err.println(
           s"bench compare vs $path SKIPPED: prior ran at cpus=" +
-            s"${prior.cpus.getOrElse("?")}/shuffle=${priorShuffle.getOrElse("?")}, " +
-            s"this run at cpus=$cpus/shuffle=$shuffle — per-query seconds " +
+            s"${prior.cpus.getOrElse("?")}/shuffle=${priorShuffle.getOrElse("?")}" +
+            s"/master=$priorMaster, this run at cpus=$cpus/shuffle=$shuffle" +
+            s"/master=$master — per-query seconds " +
             "embed the parallelism/width delta, so canary AND median-query " +
             "drift estimates are equally contaminated; comparison would be " +
             "advisory at best. Re-run at the prior conf to gate.")
-        (Nil, None)
+        (Nil, None, false)
       } else {
         // prefer the contention-robust MIN when both artifacts carry it
         // (round-11 artifacts do; the driver's r10 run inflated q76/q137/
@@ -391,27 +460,45 @@ object Bench {
         val ratios = prevQ.toSeq.flatMap { case (name, pv) =>
           curQ.get(name).collect { case cv if pv >= 0.1 && cv >= 0 => cv / pv }
         }
-        val (drift, driftSource, driftWarn) =
-          driftEstimate(Some(canarySec), prevCanary, ratios)
+        // weather guard FIRST (round-12): a storm during THIS run makes
+        // canary normalization read weather as code (driver r11: samples
+        // [158.7, 2.7, 2.3, 1.9] -> min 1.933 declared the box faster and
+        // a 1.04x raw total failed the anchor at 1.28x "adjusted")
+        val (drift, driftSource, driftWarn, advisory) =
+          driftPolicy(canarySamples.toSeq, Some(canarySec), prevCanary, ratios)
+        if (advisory) driftWarn.foreach(w =>
+          System.err.println(s"BENCH WEATHER ADVISORY vs $path: $w"))
+        // the PRIOR run's brackets can carry a storm too — its stats are
+        // then inflated and a regression could hide behind them. The
+        // anchor-pin policy (best committed quiet run) makes this
+        // unexpected, so note it loudly but keep gating: a miss here
+        // errs toward false-pass, not false-fail.
+        if (!advisory) weatherAdvisory(prior.canarySamples).foreach(n =>
+          System.err.println(s"bench compare: PRIOR artifact $path was " +
+            s"itself weather-contaminated ($n) — its stats are inflated, " +
+            "so this comparison may UNDERSTATE regressions; re-pin from a " +
+            "quiet run."))
         val medianRatio =
           if (ratios.size >= 20) ratios.sorted.apply(ratios.size / 2) else -1.0
-        println(f"""{"bench_compare_drift":$drift%.4f,"drift_source":"$driftSource","median_query_ratio":$medianRatio%.4f,"canary_sec":$canarySec%.3f,"prev_canary_sec":${prevCanary.getOrElse(-1.0)}%.3f,"n_ratio_queries":${ratios.size},"gate_stat":"$gateStat","vs":"$path"}""")
-        driftWarn.foreach(w =>
+        println(f"""{"bench_compare_drift":$drift%.4f,"drift_source":"$driftSource","median_query_ratio":$medianRatio%.4f,"canary_sec":$canarySec%.3f,"prev_canary_sec":${prevCanary.getOrElse(-1.0)}%.3f,"n_ratio_queries":${ratios.size},"gate_stat":"$gateStat","advisory":$advisory,"vs":"$path"}""")
+        if (!advisory) driftWarn.foreach(w =>
           System.err.println(s"BENCH UNIFORM-REGRESSION FLAG vs $path: $w"))
-        (findings(prevQ, curQ, drift), driftWarn)
+        (findings(prevQ, curQ, drift), if (advisory) None else driftWarn, advisory)
       }
     }
 
     var exitBad = false
     prevArt.foreach { prior =>
       val path = comparePath.get
-      val (names, warn) = leg(path, prior, gateFindings(_, _, _))
+      val (names, warn, advisory) = leg(path, prior, gateFindings(_, _, _))
       if (names.nonEmpty) {
-        System.err.println(s"BENCH REGRESSION vs $path (${names.size}):")
+        val tag = if (advisory) " — ADVISORY (weather), not gating" else ""
+        System.err.println(s"BENCH REGRESSION vs $path (${names.size})$tag:")
         names.foreach(n => System.err.println(s"  $n"))
-        exitBad = true
+        if (!advisory) exitBad = true
       } else if (warn.nonEmpty) exitBad = true // uniform slowdown, no single query over bar
-      else println(s"bench compare vs $path: no regressions")
+      else println(s"bench compare vs $path: no regressions" +
+        (if (advisory) " (raw ratios; weather advisory above)" else ""))
     }
     anchorArt.foreach { prior =>
       val path = anchorPath.get
@@ -420,13 +507,15 @@ object Bench {
       // context) deliberately does not exit here — legitimate wobble
       // accumulates against a pinned anchor, and exiting on it would
       // silently tighten the documented ~25% bar to 15%
-      val (names, _) = leg(path, prior,
+      val (names, _, advisory) = leg(path, prior,
         (p, c, d) => anchorFinding(p, c, d).toSeq)
       if (names.nonEmpty) {
-        System.err.println(s"BENCH ANCHOR REGRESSION vs $path:")
+        val tag = if (advisory) " — ADVISORY (weather), not gating" else ""
+        System.err.println(s"BENCH ANCHOR REGRESSION vs $path$tag:")
         names.foreach(n => System.err.println(s"  $n"))
-        exitBad = true
-      } else println(s"bench anchor vs $path: within the cumulative bar")
+        if (!advisory) exitBad = true
+      } else println(s"bench anchor vs $path: within the cumulative bar" +
+        (if (advisory) " (raw ratios; weather advisory above)" else ""))
     }
     if (exitBad) sys.exit(1)
   }

@@ -170,4 +170,61 @@ class BenchGateSpec extends AnyFunSuite {
       .updated("q002", -1.0) // broken now: excluded (the per-query leg flags it)
     assert(Bench.anchorFinding(anchor, cur, 1.0).isEmpty)
   }
+
+  // ---- weather guard (round 12): canary normalization is asymmetric
+  // under a storm — contention inflates the query stats while the canary
+  // MIN finds the one quiet instant, so a contaminated run reads as a
+  // code regression ----
+
+  // the driver's round-11 artifact, literally: one 158.7 s sample in a
+  // 4-sample bracket is proof of severe host steal DURING the run
+  private val r11DriverSamples = Seq(158.699, 2.716, 2.304, 1.933)
+
+  test("weatherAdvisory: the r11 driver storm is detected; a quiet bracket is not") {
+    assert(Bench.weatherAdvisory(r11DriverSamples).nonEmpty)
+    assert(Bench.weatherAdvisory(Seq(2.031, 2.3, 2.17, 2.5)).isEmpty)
+    // boundary: spread must EXCEED the bar
+    assert(Bench.weatherAdvisory(Seq(1.0, 3.0)).isEmpty, "exactly 3.0x is not over the bar")
+    assert(Bench.weatherAdvisory(Seq(1.0, 3.01)).nonEmpty)
+    // degenerate brackets: nothing to spread; disabled-canary -1s excluded
+    assert(Bench.weatherAdvisory(Seq(2.0)).isEmpty)
+    assert(Bench.weatherAdvisory(Nil).isEmpty)
+    assert(Bench.weatherAdvisory(Seq(-1.0, -1.0, 2.0)).isEmpty)
+  }
+
+  test("driftPolicy replays the r11 driver run: raw 1.04x advisory-pass, " +
+    "not the 1.28x drift-adjusted anchor fail") {
+    // the run that exited 1: canary min 1.933 vs anchor 2.381 declared
+    // the box 19% faster (drift 0.812) and adjudicated a 1.04x raw suite
+    // total as 1.28x > the 1.25x anchor bar
+    val anchorTotal = 145.3; val curTotal = 150.9; val n = 20
+    val anchor = suite(n, anchorTotal / n)
+    val cur = suite(n, curTotal / n)
+    val qratios = ratios(curTotal / anchorTotal)
+    // counterfactual (the round-11 behavior): canary-normalized drift
+    // converts the raw 1.04x into an anchor FAIL
+    val (oldDrift, _, _) = Bench.driftEstimate(Some(1.933), Some(2.381), qratios)
+    assert(math.abs(oldDrift - 1.933 / 2.381) < 1e-9)
+    assert(Bench.anchorFinding(anchor, cur, oldDrift).nonEmpty,
+      "without the weather guard this run fails the anchor leg")
+    // with the guard: the storm in the run's OWN brackets refuses the
+    // normalization — drift 1.0, advisory, and the raw 1.04x passes
+    val (d, src, note, advisory) =
+      Bench.driftPolicy(r11DriverSamples, Some(1.933), Some(2.381), qratios)
+    assert(d == 1.0 && src == "raw_weather_advisory" && advisory)
+    assert(note.exists(_.contains("ADVISORY")))
+    assert(Bench.anchorFinding(anchor, cur, d).isEmpty,
+      "raw 1.04x is comfortably inside the 1.25x anchor bar")
+  }
+
+  test("driftPolicy on a quiet run defers to driftEstimate unchanged") {
+    val quiet = Seq(2.1, 2.3, 2.2, 2.4)
+    val (d, src, warn, advisory) =
+      Bench.driftPolicy(quiet, Some(4.2), Some(3.0), ratios(1.4))
+    assert(!advisory && src == "canary" && math.abs(d - 1.4) < 1e-9 && warn.isEmpty)
+    // and the uniform-regression cross-check still fires on a quiet box
+    val (_, _, warn2, adv2) =
+      Bench.driftPolicy(quiet, Some(3.0), Some(3.0), ratios(1.4))
+    assert(!adv2 && warn2.nonEmpty)
+  }
 }
