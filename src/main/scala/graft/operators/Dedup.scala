@@ -334,16 +334,23 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .transform(graft.core.Checkpoints.cut)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .transform(graft.core.Checkpoints.cut)
     // Convergence via the label-sum fixpoint: min-propagation only ever
-    // LOWERS labels, so an unchanged sum means an unchanged labeling —
-    // one cheap aggregation per round instead of a self-join diff.
+    // LOWERS labels, so an unchanged sum means an unchanged labeling.
+    // The sum rides the CHECKPOINT'S OWN action as an observed metric
+    // (CollectMetrics sees every row the materialization writes), so a
+    // round costs ONE job, not two — the separate labelSum aggregation
+    // was a full second scan of the just-checkpointed labels per round
+    // (round-12 verdict item; q76/q94/q149 all ride this loop).
     // decimal(38,0) so huge id sums can't overflow a long.
-    def labelSum(df: DataFrame): Any =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).first().get(0)
-    var prevSum = labelSum(labels)
+    def cutWithSum(df: DataFrame): (DataFrame, Any) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = graft.core.Checkpoints.cut(
+        df.observe(obs, sum(col("component").cast("decimal(38,0)")).as("s")))
+      (out, obs.get("s"))
+    }
+    var (labels, prevSum) = cutWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -357,14 +364,18 @@ object Dedup {
       // pointer jumping: component := label(component). Labels only ever
       // point DOWN (label(x) <= x) and every label is itself a node id, so
       // chasing one level halves remaining chain depth each round —
-      // O(log diameter) rounds total instead of O(diameter).
-      val parents = stepped.select(col("id").as("component"), col("component").as("cc2"))
-      val next = stepped
-        .join(parents, Seq("component"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("cc2"), col("component"))).as("component"))
-        .transform(graft.core.Checkpoints.cut)
-      val curSum = labelSum(next)
+      // O(log diameter) rounds total instead of O(diameter). Jumping
+      // TWICE per round quarters chain depth for one more labels-sized
+      // join inside the same job — joins are cheap next to a round's
+      // fixed cost (checkpoint + scheduling), and a saved round saves
+      // both (round-12 measurement in PLANS).
+      def jump(df: DataFrame, tag: String): DataFrame = {
+        val parents = df.select(col("id").as("component"), col("component").as(tag))
+        df.join(parents, Seq("component"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col(tag), col("component"))).as("component"))
+      }
+      val (next, curSum) = cutWithSum(jump(jump(stepped, "cc2"), "cc3"))
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
