@@ -160,9 +160,12 @@ object Sketches {
     * sketch holds fewer than k hashes (nothing was discarded), else the
     * classic unbiased (k-1) * |H| / h_(k) with |H| = 2^60. */
   def kmvEstimate(sketch: Column, k: Int): Column =
-    when(size(sketch) < k, size(sketch).cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
-        / element_at(sketch, k).cast("double"))
+    // null sketch -> null estimate under BOTH ANSI modes (size of a null
+    // array is -1 with legacy sizeOfNull but null under ANSI)
+    when(sketch.isNotNull,
+      when(size(sketch) < k, size(sketch).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
+          / element_at(sketch, k).cast("double")))
 
   /** Pairwise overlap between every two groups, from their sketches
     * alone (Beyer et al., SIGMOD '07): merge the two sketches, keep the

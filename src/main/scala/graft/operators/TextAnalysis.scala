@@ -28,7 +28,10 @@ object TextAnalysis {
   /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
     * punctuation singles) — a cheap proxy for tokenizer cost accounting. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z\\u0E00-\\u0E7F]+|[0-9]+|[^\\sA-Za-z0-9\\u0E00-\\u0E7F]"), lit(0)))
+    // null text -> null count under BOTH ANSI modes (size of a null array
+    // is -1 with legacy sizeOfNull but null under ANSI; guard instead)
+    when(text.isNotNull,
+      size(regexp_extract_all(text, lit("[A-Za-z\\u0E00-\\u0E7F]+|[0-9]+|[^\\sA-Za-z0-9\\u0E00-\\u0E7F]"), lit(0))))
 
   /** Punctuation character ratio (0..1). */
   def punctRatio(text: Column): Column = {
@@ -172,9 +175,10 @@ object TextAnalysis {
   def piiCounts(text: Column): (Column, Column, Column) = {
     val noEmail = regexp_replace(text, emailPattern, "[EMAIL]")
     val noIp = regexp_replace(noEmail, ipv4Pattern, "[IP]")
-    (size(regexp_extract_all(text, lit(emailPattern), lit(0))),
-      size(regexp_extract_all(noEmail, lit(ipv4Pattern), lit(0))),
-      size(regexp_extract_all(noIp, lit(phonePattern), lit(0))))
+    // null text -> null counts under BOTH ANSI modes (see subwordCount)
+    (when(text.isNotNull, size(regexp_extract_all(text, lit(emailPattern), lit(0)))),
+      when(text.isNotNull, size(regexp_extract_all(noEmail, lit(ipv4Pattern), lit(0)))),
+      when(text.isNotNull, size(regexp_extract_all(noIp, lit(phonePattern), lit(0)))))
   }
 
   /** Redact emails → [EMAIL], IPv4s → [IP], phone-number runs → [PHONE].
@@ -686,9 +690,12 @@ object TextAnalysis {
     val counts = array_sort(transform(array_distinct(chars),
       c => size(filter(chars, x => x === c))))
     val n = size(chars).cast("double")
-    when(size(chars) <= 0, lit(0.0)).otherwise(round(
-      (n * log(n) - aggregate(counts, lit(0.0),
-        (acc, k) => acc + k.cast("double") * log(k.cast("double")))) / n, 6))
+    // null text -> null entropy under BOTH ANSI modes (size of the null
+    // char array reads -1 off-ANSI / null on-ANSI; decide on the input)
+    when(text.isNull, lit(null).cast("double"))
+      .when(size(chars) <= 0, lit(0.0)).otherwise(round(
+        (n * log(n) - aggregate(counts, lit(0.0),
+          (acc, k) => acc + k.cast("double") * log(k.cast("double")))) / n, 6))
   }
 
   /** Byte-pair-encoding merge training (Sennrich et al., ACL 2016) —
