@@ -365,22 +365,24 @@ object Dedup {
       // point DOWN (label(x) <= x) and every label is itself a node id, so
       // chasing one level halves remaining chain depth each round —
       // O(log diameter) rounds total instead of O(diameter). Jumping
-      // TWICE per round quarters chain depth for one more labels-sized
-      // join inside the same job — joins are cheap next to a round's
-      // fixed cost (checkpoint + scheduling), and a saved round saves
-      // both (round-12 measurement in PLANS).
+      // twice per round was tried and REVERTED (round 12): near-dup
+      // graphs have tiny cluster diameter, so q76's loop converges in 2
+      // rounds with either variant — the second jump saved zero rounds
+      // while adding a labels-sized exchange per round, a pure cost at
+      // scale where the labels table is corpus-sized.
       def jump(df: DataFrame, tag: String): DataFrame = {
         val parents = df.select(col("id").as("component"), col("component").as(tag))
         df.join(parents, Seq("component"), "left")
           .select(col("id"),
             least(col("component"), coalesce(col(tag), col("component"))).as("component"))
       }
-      val (next, curSum) = cutWithSum(jump(jump(stepped, "cc2"), "cc3"))
+      val (next, curSum) = cutWithSum(jump(stepped, "cc2"))
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
       iter += 1
     }
+    if (converged) log.info(s"connectedComponents: converged after $iter rounds")
     if (!converged) {
       val msg = s"connectedComponents: label fixpoint NOT reached after " +
         s"$maxIter rounds — the labeling is partial and any dedup decision " +
