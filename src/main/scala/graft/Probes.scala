@@ -72,6 +72,9 @@ object Probes {
     case Some("q76") => q76Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("q94") => q94Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("q94jvm") => q94JvmRounds(args(1), args.lift(2).map(_.toInt).getOrElse(5))
+    case Some("q181") => q181Phases(args(1), args.lift(2).getOrElse("all"))
+    case Some("streamfloor") => streamFloor(args(1),
+      args.lift(2).getOrElse("q186_stream_histogram_quantiles"))
     case Some("decade") => decadePairs(args(1), args(2), args(3),
       args.lift(4).map(_.toInt).getOrElse(3))
     case Some("width") => widthPairs(args(1), args(2), args(3).toInt,
@@ -86,6 +89,8 @@ object Probes {
         "usage: Probes skew <sfDir> <plain|aqe|salted> [saltFactor] | " +
           "q152 <sfDir> | q76 <sfDir> [all|pairs3|pairs2|full] | " +
           "q94 <sfDir> [all|pairs|cc|full] | q94jvm <sfDir> [rounds] | " +
+          "q181 <sfDir> [all|memb|pairs|full] | " +
+          "streamfloor <sfDir> [queryName] | " +
           "decade <dirA> <dirB> <queryName> [rounds] | " +
           "width <sfDir> <queryName> <w1> <w2> [rounds] | " +
           "stages <queryName> <sfDir> | " +
@@ -491,6 +496,128 @@ object Probes {
       s""","median":${f(median(secs))}""" +
       s""","warmup":$probeWarmup,"warmup_dir":${warmDir.map("\"" + _ + "\"").getOrElse("null")}""" +
       (if (n >= 0) s""","n_rows":$n}""" else "}"))
+    spark.stop()
+  }
+
+  /** q181 phase attribution (round-12 verdict #4): where the
+    * co-occurrence query's ~3 s goes. Rungs, each meant for its own
+    * fresh JVM (the q76 lesson):
+    *   memb  = membership dedupe + basket sizing + the eager
+    *           localCheckpoint — the input build;
+    *   pairs = memb + the basket self-join + (ia,ib) aggregation with
+    *           the support filter — the quadratic middle (delta vs memb);
+    *   full  = the whole q181 query (delta vs pairs = the lift stat
+    *           joins + final sort). Same parameters as the bench query
+    *           (lineitem, minSupport=2, maxBasket default). */
+  private def q181Phases(sfDir: String, rung: String): Unit = {
+    require(Set("all", "memb", "pairs", "full")(rung), s"rung $rung")
+    val spark = session("graft-q181-phases", Map.empty)
+    import graft.core.Tables
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    def clear(): Unit = {
+      core.InternalCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    def samples(body: String => Unit): Seq[Double] = {
+      if (probeWarmup) { body(sfDir); clear() }
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); body(sfDir)
+        val t = (System.nanoTime() - t0) / 1e9; clear(); t
+      }
+    }
+    def sized(d: String) = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .groupBy("b").agg(collect_set(col("i")).as("__items"))
+      .where(size(col("__items")) <= 10000)
+      .localCheckpoint(true)
+    var n = -1L
+    val secs = rung match {
+      case "memb" => samples { d => n = sized(d).count() }
+      case "pairs" => samples { d =>
+        val s = sized(d)
+        n = s.select(explode(col("__items")).as("ia"), col("__items"))
+          .select(col("ia"), explode(col("__items")).as("ib"))
+          .where(col("ia") < col("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("support"))
+          .where(col("support") >= 2)
+          .count()
+      }
+      case "full" | "all" => samples { d =>
+        SparkEntry.queries("q181_item_cooccurrence")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    def f(d: Double) = f"$d%.2f"
+    println(s"""{"probe":"q181_phases","sf":"$sfDir","rung":"$rung"""" +
+      s""","runs":${secs.map(f).mkString("[", ",", "]")}""" +
+      s""","median":${f(median(secs))},"warmup":$probeWarmup""" +
+      (if (n >= 0) s""","n_rows":$n}""" else "}"))
+    spark.stop()
+  }
+
+  /** Streaming fixed-overhead attribution (round-12 verdict #5): six of
+    * the bench's top-15 queries are micro-batch drains, and the open
+    * question is how much of their per-query seconds is the FLOOR
+    * (query start, file-source listing, stop/drain latency — costs that
+    * do not grow with data or state) versus inside-batch work. The
+    * engine's own progress stream answers it: per batch, `durationMs`
+    * splits triggerExecution into addBatch (state + sink work),
+    * getBatch/latestOffset (source), queryPlanning, walCommit/
+    * commitOffsets (checkpoint bookkeeping). This rig drains the named
+    * SparkEntry streaming query while summing those keys across batches;
+    * overhead_sec = wall − Σ triggerExecution is the floor the progress
+    * stream cannot see (start/stop + inter-batch gaps). */
+  private def streamFloor(sfDir: String, queryName: String): Unit = {
+    val spark = session("graft-stream-floor", Map.empty)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    def clear(): Unit = {
+      core.InternalCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        buf.add(e.progress)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def drain(): Unit = SparkEntry.queries(queryName)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    if (probeWarmup) { drain(); clear() }
+    val keys = Seq("triggerExecution", "addBatch", "getBatch", "latestOffset",
+      "queryPlanning", "walCommit", "commitOffsets")
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to runs).map { _ =>
+      buf.clear()
+      val t0 = System.nanoTime()
+      drain()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus is async; let the tail progress land
+      val ps = buf.asScala.toSeq
+      val sums = keys.map(k => k ->
+        ps.flatMap(p => Option(p.durationMs.get(k)).map(_.longValue)).sum).toMap
+      clear()
+      (wall, ps.size, ps.map(_.numInputRows).sum, sums)
+    }
+    spark.streams.removeListener(listener)
+    def f(d: Double) = f"$d%.3f"
+    val runJson = rows.map { case (wall, nb, inRows, sums) =>
+      s"""{"wall":${f(wall)},"batches":$nb,"input_rows":$inRows,""" +
+        keys.map(k => s""""${k}_ms":${sums(k)}""").mkString(",") +
+        s""","overhead_sec":${f(wall - sums("triggerExecution") / 1000.0)}}"""
+    }.mkString("[", ",", "]")
+    val medWall = median(rows.map(_._1))
+    val medTrig = rows.map(_._4("triggerExecution").toDouble).sorted.apply(rows.size / 2)
+    println(s"""{"probe":"stream_floor","query":"$queryName","sf":"$sfDir"""" +
+      s""","runs_per_point":$runs,"median_wall":${f(medWall)}""" +
+      s""","median_trigger_ms":${medTrig.toLong}""" +
+      s""","median_overhead_sec":${f(medWall - medTrig / 1000.0)}""" +
+      s""","runs":$runJson}""")
     spark.stop()
   }
 

@@ -30,24 +30,38 @@ object Association {
   def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
                         minSupport: Long, maxBasket: Int = 10000): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
-    val memb0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .dropDuplicates("b", "i")
-    // capped baskets leave EVERY statistic, not just pair generation:
-    // support, item counts and the basket total must describe one
-    // universe or lift = n·support/(cnt_a·cnt_b) holds on none of them
-    // (a dropped mega-basket would inflate denominators it contributed
-    // no pairs to, understating lift for every item it touched)
-    val sized = memb0.join(
-      memb0.groupBy("b").agg(count(lit(1)).as("__bsz")), Seq("b"))
-      .where(col("__bsz") <= maxBasket)
-      .localCheckpoint(true) // 3 consumers: pairs (twice), counts, total
-    val pairs = sized.select(col("b"), col("i").as("ia"))
-      .join(sized.select(col("b"), col("i").as("ib")), Seq("b"))
+    // ONE exchange builds the whole universe: raw memberships group by
+    // basket into a distinct-item array (collect_set dedups (b,i) for
+    // free), and the size cap filters the arrays. The round-12 phase
+    // attribution (Probes q181) found the INPUT BUILD, not the pair
+    // aggregation, was half the query: the old spelling paid a
+    // (b,i)-dedup exchange + a groupBy(b) exchange + a join back on b,
+    // where this pays a single membership exchange on b. The per-group
+    // aggregation buffer is one basket's distinct items — bounded by the
+    // data's own basket size (a 10^5-item feed artifact buffers ~1 MB
+    // here where the old self-join would emit 10^10 pairs before its cap
+    // could act). Capped baskets leave EVERY statistic, not just pair
+    // generation: support, item counts and the basket total must
+    // describe one universe or lift = n·support/(cnt_a·cnt_b) holds on
+    // none of them. Contract note: collect_set drops NULL items, so a
+    // (basket, null) membership no longer counts toward basket size or
+    // the item table — null memberships are feed noise, not items.
+    val sized = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy("b").agg(collect_set(col("i")).as("__items"))
+      .where(size(col("__items")) <= maxBasket)
+      .localCheckpoint(true) // 3 consumers: pairs, counts, total
+    // pairs explode from each basket's own array — no self-join, no
+    // second exchange of memberships; the only pair-shaped shuffle is
+    // the (ia, ib) aggregation itself (map-side partials apply)
+    val pairs = sized
+      .select(explode(col("__items")).as("ia"), col("__items"))
+      .select(col("ia"), explode(col("__items")).as("ib"))
       .where(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
-    val itemCnt = sized.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-    val nBaskets = sized.agg(countDistinct(col("b")).as("__nb"))
+    val itemCnt = sized.select(explode(col("__items")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = sized.agg(count(lit(1)).as("__nb"))
     pairs
       .join(broadcast(itemCnt.select(col("i").as("ia"), col("cnt").as("cnt_a"))),
         Seq("ia"))
