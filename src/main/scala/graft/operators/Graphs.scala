@@ -70,18 +70,31 @@ object Graphs {
     val n = nodes.count() // scalar driver value, O(1) memory
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = (1.0 - damping) / n
-    var pr = nodes.select(col("id"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to iters) {
-      val withDeg = pr.join(deg, pr("id") === deg("src"), "left")
+    // Each round checkpoints (id, pr, deg) — lineage cut per round, the
+    // connectedComponents lesson: without it the plan doubles per
+    // iteration. Two round-12 folds ride that one materialization:
+    //  - the dangling rank mass (nodes with no out-edges) is an observed
+    //    metric on the checkpoint's own action — one SCALAR per
+    //    iteration, map-side partials, never a separate job and never a
+    //    collect_list of the dangling set (node-cardinality-sized on
+    //    web graphs);
+    //  - deg travels WITH pr, so the contribution join no longer
+    //    re-joins deg onto the edge list every round.
+    // The dangling sum's addends are identical to the old standalone
+    // aggregation (sum ignores the non-dangling rows' nulls); only the
+    // scalar's float fold ORDER may differ — the documented ≤1-ulp
+    // caveat that already applied to it.
+    def cutWithDangling(prDf: DataFrame): (DataFrame, Double) = {
+      val obs = org.apache.spark.sql.Observation()
+      val withDeg = prDf.join(deg, prDf("id") === deg("src"), "left")
         .select(col("id"), col("pr"), col("deg"))
-      // dangling rank mass: nodes with no out-edges — one SCALAR per
-      // iteration, so a plain distributed sum (map-side partials, one
-      // double per partition to the driver); never a collect_list of
-      // the dangling set, which is node-cardinality-sized on web graphs
-      val dangling = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      val out = graft.core.Checkpoints.cut(withDeg.observe(obs,
+        coalesce(sum(when(col("deg").isNull, col("pr"))), lit(0.0)).as("dangling")))
+      (out, obs.get("dangling").asInstanceOf[Double])
+    }
+    var (pr, dangling) = cutWithDangling(nodes.select(col("id"), lit(1.0 / n).as("pr")))
+    for (_ <- 1 to iters) {
       val contribs = e.join(pr, e("src") === pr("id"))
-        .join(deg, "src")
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
       val summed =
         if (useExactFold)
@@ -90,15 +103,15 @@ object Graphs {
             .select(col("dst"), aggregate(col("cs"), lit(0.0),
               (a, x) => a + x.getField("c")).as("s"))
         else contribs.groupBy("dst").agg(sum("c").as("s"))
-      pr = nodes.join(summed, nodes("id") === summed("dst"), "left")
-        .select(col("id"),
-          (lit(base) + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + lit(dangling / n))).as("pr"))
-        // cut lineage per round (the connectedComponents lesson): without
-        // this the plan doubles per iteration
-        .transform(graft.core.Checkpoints.cut)
+      val (next, nextDangling) = cutWithDangling(
+        nodes.join(summed, nodes("id") === summed("dst"), "left")
+          .select(col("id"),
+            (lit(base) + lit(damping) *
+              (coalesce(col("s"), lit(0.0)) + lit(dangling / n))).as("pr")))
+      pr = next
+      dangling = nextDangling
     }
-    pr
+    pr.select(col("id"), col("pr"))
   }
 
   /** The exact-fold safety decision, factored out so the demotion branch
@@ -195,7 +208,10 @@ object Graphs {
     * row for row — the BPE-style unrolled-oracle property) and a
     * scheduling one (each round is one degree aggregation + one
     * semi-join; at cluster scale you budget rounds, and peeling
-    * converges in O(log n) rounds on real degree distributions).
+    * converges in O(log n) rounds on real degree distributions). The
+    * loop does exit early once a round removes no edge — every
+    * remaining peel is then the identity, so the output equals the
+    * full `rounds` replay row for row and both contracts hold.
     * Convergence is CHECKABLE from the output: if no vertex sits below
     * k, the peel reached the true k-core (a fixpoint round removes
     * nothing); callers wanting certainty assert min(degree) >= k.
@@ -209,22 +225,42 @@ object Graphs {
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
                 k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1: $k/$rounds")
-    var e = edges
+    // Edge count rides each checkpoint's own action as an observed
+    // metric (the round-12 connectedComponents fold): edges are only
+    // ever REMOVED, so an unchanged count means an unchanged edge set,
+    // and every remaining round is the identity — the loop exits early
+    // with output IDENTICAL to running all `rounds` peels (the
+    // determinism contract above survives verbatim: a fixpoint round
+    // removes nothing). q192's 12-round budget spent 12 full
+    // aggregate+semi-join+checkpoint passes even when the peel
+    // stabilized in a third of them.
+    def cutWithCount(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = graft.core.Checkpoints.cut(
+        df.observe(obs, count(lit(1)).as("n")))
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, prevN) = cutWithCount(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .transform(graft.core.Checkpoints.cut)
-    for (_ <- 1 to rounds) {
+      .distinct())
+    var round = 0
+    var fixed = false
+    while (round < rounds && !fixed) {
       val deg = e.select(col("u").as("id"))
         .unionAll(e.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select("id")
-      e = e
+      val (next, n) = cutWithCount(e
         .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-        .transform(graft.core.Checkpoints.cut)
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi"))
+      e = next
+      fixed = n == prevN
+      prevN = n
+      round += 1
     }
+    if (fixed) log.info(s"kCorePeel: fixpoint after $round of $rounds rounds")
     e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
