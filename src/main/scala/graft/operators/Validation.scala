@@ -190,8 +190,16 @@ object Validation {
     val base = rebased(baseCols :+ binCol, Seq(col(cntCol).as("__cnt0")))
       .groupBy((baseCols :+ binCol).map(col): _*)
       .agg(sum(col("__cnt0")).as("__bc"))
+    // three consumers read this frame (the group totals, the base
+    // totals, and the final term join) — cut it to a leaf or each one
+    // re-executes the whole grid build + both joins (and re-scans
+    // `counts` three times apiece). Size is groups × bins rows: bounded
+    // by group cardinality, fine to materialize at any scale. Found via
+    // the round-12 stream-floor attribution: q196's "overhead" was this
+    // subtree running three times per drain.
     val withBase = cur.join(base, baseCols :+ binCol, "left")
       .withColumn("__bc", coalesce(col("__bc"), lit(0L)))
+      .transform(graft.core.Checkpoints.cut)
     val tGrp = withBase.groupBy(grpCols.map(col): _*)
       .agg(sum("__c").as("__tg"))
     val tBase = withBase
