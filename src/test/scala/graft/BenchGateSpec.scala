@@ -217,6 +217,120 @@ class BenchGateSpec extends AnyFunSuite {
       "raw 1.04x is comfortably inside the 1.25x anchor bar")
   }
 
+  // ---- round 13: the SUB-storm false-fail (PLANS §14) — the round-12
+  // final run was the best committed run ever (141.7 s min-total, raw
+  // 0.975x vs the 145.3 s anchor) yet exited 1: bracket spread 1.81x sat
+  // under the 3x storm bar, so canary min 1.814 vs anchor 2.381 declared
+  // the box 24% slower and set a 110.7 s cumulative bar no real run can
+  // meet. Fix: applied drift is capped in the FAST direction (the canary
+  // min finds the quietest instant of a mixed hour while query stats
+  // absorb the whole hour — the asymmetry only ever overstates box
+  // speed), plus a raw-improvement override as the second line. ----
+
+  private val r12Anchor = 145.3
+  private val r12Cur = 141.7
+  private val r12Drift = 1.814 / 2.381 // 0.762: the false 24%-slower-box claim
+  // the run's bracket: spread 1.81x — max = min * 1.81, under the 3x bar
+  private val r12Samples = Seq(3.283, 1.814, 2.5, 2.9)
+
+  test("appliedDrift: fast-direction cap at 0.9, slow direction uncapped") {
+    assert(Bench.appliedDrift(r12Drift) == 0.9, "a 24% faster-box claim caps at 10%")
+    assert(Bench.appliedDrift(0.95) == 0.95, "inside the cap: applied as measured")
+    assert(Bench.appliedDrift(1.4) == 1.4,
+      "slow-direction weather (round 10's 1.4x) must keep normalizing fully")
+    assert(Bench.appliedDrift(1.0) == 1.0)
+  }
+
+  test("anchorVerdict replays the r12 final run (PLANS §14): raw 0.975x " +
+    "best-ever run passes instead of exiting 1") {
+    val n = 20
+    val anchor = suite(n, r12Anchor / n)
+    val cur = suite(n, r12Cur / n)
+    // the bracket is NOT a storm: the weather guard correctly stays quiet
+    // and the canary estimate flows through as measured
+    val (d, src, _, advisory) =
+      Bench.driftPolicy(r12Samples, Some(1.814), Some(2.381), ratios(0.975))
+    assert(!advisory && src == "canary" && math.abs(d - r12Drift) < 1e-9)
+    // counterfactual (the round-12 behavior): uncapped drift converts the
+    // raw 0.975x improvement into a cumulative "regression"
+    assert(Bench.anchorFinding(anchor, cur, d).nonEmpty,
+      "without the cap this run fails the anchor leg — the §14 false fail")
+    // with the cap: adjusted total 130.8 s, bar 163.5 s — clean pass
+    val (finding, note) = Bench.anchorVerdict(anchor, cur, d)
+    assert(finding.isEmpty, "the best committed run on record must not gate-fail")
+    assert(note.isEmpty, "the cap alone resolves it; the override never engages")
+  }
+
+  test("anchorVerdict: a TRUE regression (raw 1.3x) still fails, quiet or fast canary") {
+    val n = 20
+    val anchor = suite(n, r12Anchor / n)
+    val cur = suite(n, r12Anchor * 1.3 / n)
+    val (f1, n1) = Bench.anchorVerdict(anchor, cur, 1.0)
+    assert(f1.nonEmpty && n1.isEmpty, "quiet box: 1.3x > 1.25x bar")
+    val (f2, n2) = Bench.anchorVerdict(anchor, cur, r12Drift)
+    assert(f2.nonEmpty && n2.isEmpty,
+      "fast canary: applied 0.9 makes it 1.44x adjusted — still a fail, " +
+        "and the raw-improvement override must not rescue a raw 1.3x")
+  }
+
+  test("rawImprovementNote: fires only when BOTH raw statistics read improvement") {
+    val n = 20
+    val anchor = suite(n, r12Anchor / n)
+    assert(Bench.rawImprovementNote(anchor, suite(n, r12Cur / n)).nonEmpty,
+      "§14: total 0.975x, every query 0.975x — improvement by every raw stat")
+    assert(Bench.rawImprovementNote(anchor, suite(n, r12Anchor * 1.02 / n)).isEmpty,
+      "raw total above the anchor: no override")
+    // total <= anchor but the MEDIAN query regressed: one huge win hiding
+    // 19 small losses is not an improvement verdict
+    val skewed = suite(n, r12Anchor / n * 1.05).updated("q001", 0.01)
+    assert(Bench.rawImprovementNote(anchor, skewed).isEmpty)
+    // tiny common subset: no verdict either way
+    assert(Bench.rawImprovementNote(suite(5, 2.0), suite(5, 1.0)).isEmpty)
+  }
+
+  test("anchorVerdict: the override is the second line when the cap is retuned away") {
+    // with the cap disabled (floor 0.0) the §14 finding fires internally;
+    // the raw-improvement override converts it to a non-gating note
+    val n = 20
+    val anchor = suite(n, r12Anchor / n)
+    val cur = suite(n, r12Cur / n)
+    val (finding, note) = Bench.anchorVerdict(anchor, cur, r12Drift, fastCapFloor = 0.0)
+    assert(finding.isEmpty)
+    assert(note.exists(_.contains("OVERRIDDEN")))
+    assert(note.exists(_.contains("self-contradictory")))
+  }
+
+  // ---- round 13: the gate verdict is persisted INTO the artifact (the
+  // driver's BENCH_r*.json tail-capture has truncated six rounds running,
+  // so stdout lines were the only gate record) ----
+
+  test("legRecordJson/gateJson: machine-readable, parseable, fields present") {
+    val rec = Bench.legRecordJson("anchor", "dev/bench_anchor.json",
+      drift = r12Drift, applied = 0.9, source = "canary", stat = "min",
+      medianRatio = 0.975, advisory = false,
+      findings = Seq("""cumulative creep: suite total 148.7 s vs anchor"""),
+      warn = None, overrideNote = Some("raw \"improvement\" note"), passed = true)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.gateJson(Seq(rec), exitBad = false))
+    assert(root.get("exit").asInt() == 0)
+    val leg = root.get("legs").get(0)
+    assert(leg.get("kind").asText() == "anchor")
+    assert(leg.get("vs").asText() == "dev/bench_anchor.json")
+    assert(math.abs(leg.get("drift").asDouble() - r12Drift) < 1e-3)
+    assert(leg.get("applied_drift").asDouble() == 0.9)
+    assert(leg.get("gate_stat").asText() == "min")
+    assert(!leg.get("advisory").asBoolean())
+    assert(leg.get("findings").size() == 1)
+    assert(leg.get("warn").isNull)
+    assert(leg.get("override_note").asText().contains("improvement"),
+      "embedded quotes must be escaped, not corrupt the JSON")
+    assert(leg.get("passed").asBoolean())
+    // and a failing gate stamps exit 1
+    val bad = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.gateJson(Nil, exitBad = true))
+    assert(bad.get("exit").asInt() == 1)
+  }
+
   test("driftPolicy on a quiet run defers to driftEstimate unchanged") {
     val quiet = Seq(2.1, 2.3, 2.2, 2.4)
     val (d, src, warn, advisory) =
