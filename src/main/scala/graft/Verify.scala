@@ -7,12 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_EXTRA_CONF (k=v;k=v), mirroring Bench/Probes — the
+    // round-13 standing ANSI leg runs the WHOLE suite end to end under
+    // spark.sql.ansi.enabled=true (dev/ansi_verify.sh): the Spark-4
+    // adopter default that unit-level totality specs can't fully cover,
+    // because composed query bodies may hit throwing casts/element_at
+    // paths no isolated Column function does.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+    val spark = extraConf.foldLeft(
+        SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+      ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
