@@ -526,22 +526,19 @@ object Probes {
         val t = (System.nanoTime() - t0) / 1e9; clear(); t
       }
     }
-    def sized(d: String) = Tables.lineitem(spark, d)
-      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-      .groupBy("b").agg(collect_set(col("i")).as("__items"))
-      .where(size(col("__items")) <= 10000)
-      .localCheckpoint(true)
+    // the stages come from Association itself (round-13 ADVICE: an
+    // inline copy here would silently desynchronize on any operator
+    // change, and the phase attribution would then measure a pipeline
+    // the bench no longer runs); parameters match the bench query
+    def sized(d: String) = operators.Association.basketItems(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
+      "b", "i", maxBasket = 10000)
     var n = -1L
     val secs = rung match {
       case "memb" => samples { d => n = sized(d).count() }
       case "pairs" => samples { d =>
-        val s = sized(d)
-        n = s.select(explode(col("__items")).as("ia"), col("__items"))
-          .select(col("ia"), explode(col("__items")).as("ib"))
-          .where(col("ia") < col("ib"))
-          .groupBy("ia", "ib").agg(count(lit(1)).as("support"))
-          .where(col("support") >= 2)
-          .count()
+        n = operators.Association.pairSupports(sized(d), minSupport = 2).count()
       }
       case "full" | "all" => samples { d =>
         SparkEntry.queries("q181_item_cooccurrence")(spark, d)

@@ -23,42 +23,73 @@ import org.apache.spark.sql.functions._
   */
 object Association {
 
-  /** Pairwise co-occurrence with support and lift. Input rows are
-    * (basket, item) memberships (duplicates collapsed); returns item
-    * pairs (a < b) seen in ≥ `minSupport` baskets with
-    * lift = n_baskets·pairs/(cnt_a·cnt_b) — >1 = attraction. */
-  def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
-                        minSupport: Long, maxBasket: Int = 10000): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
-    // ONE exchange builds the whole universe: raw memberships group by
-    // basket into a distinct-item array (collect_set dedups (b,i) for
-    // free), and the size cap filters the arrays. The round-12 phase
-    // attribution (Probes q181) found the INPUT BUILD, not the pair
-    // aggregation, was half the query: the old spelling paid a
-    // (b,i)-dedup exchange + a groupBy(b) exchange + a join back on b,
-    // where this pays a single membership exchange on b. The per-group
-    // aggregation buffer is one basket's distinct items — bounded by the
-    // data's own basket size (a 10^5-item feed artifact buffers ~1 MB
-    // here where the old self-join would emit 10^10 pairs before its cap
-    // could act). Capped baskets leave EVERY statistic, not just pair
-    // generation: support, item counts and the basket total must
-    // describe one universe or lift = n·support/(cnt_a·cnt_b) holds on
-    // none of them. Contract note: collect_set drops NULL items, so a
-    // (basket, null) membership no longer counts toward basket size or
-    // the item table — null memberships are feed noise, not items.
-    val sized = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .groupBy("b").agg(collect_set(col("i")).as("__items"))
-      .where(size(col("__items")) <= maxBasket)
+  /** The membership-build stage: (basket, item) rows → one row per
+    * under-cap basket carrying its distinct-item array, checkpointed
+    * for its multiple consumers. Package-private and shared with the
+    * Probes q181 phase rig, so the probe always measures the exact
+    * pipeline the operator runs (round-13 ADVICE: the rig's inline copy
+    * of this stage would silently desynchronize on any operator change).
+    *
+    * ONE exchange builds the whole universe: raw memberships group by
+    * basket into a distinct-item array, and over-cap baskets drop. The
+    * aggregate is [[graft.plans.CappedCollectSet]], not collect_set +
+    * size filter: the plain spelling must fully materialize an over-cap
+    * basket in one non-spillable aggregation buffer before the filter
+    * can act — the exact input the cap guards against (a 10^7-item feed
+    * artifact) is the one that can OOM an executor. The capped aggregate
+    * holds at most `maxBasket` elements per group on every path and
+    * evaluates over-cap groups to NULL (1 byte across the exchange
+    * instead of the basket).
+    *
+    * Contract note: like collect_set, the aggregate drops NULL items, so
+    * a (basket, null) membership counts toward nothing — not basket
+    * size, not the item table, not n_baskets (a basket of ONLY null
+    * memberships still yields an empty-array row and counts toward
+    * n_baskets: it exists, it just holds no items). Null memberships
+    * are feed noise, not items; pinned by OperatorsSpec. */
+  private[graft] def basketItems(df: DataFrame, basketCol: String,
+                                 itemCol: String, maxBasket: Int): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy("b")
+      .agg(ColumnGlue.column(graft.plans.CappedCollectSet(
+        ColumnGlue.expression(col("i")), maxBasket).toAggregateExpression())
+        .as("__items"))
+      .where(col("__items").isNotNull)
       .localCheckpoint(true) // 3 consumers: pairs, counts, total
-    // pairs explode from each basket's own array — no self-join, no
-    // second exchange of memberships; the only pair-shaped shuffle is
-    // the (ia, ib) aggregation itself (map-side partials apply)
-    val pairs = sized
+  }
+
+  /** The pair-generation stage over [[basketItems]] output: pairs
+    * explode from each basket's own array — no self-join, no second
+    * exchange of memberships; the only pair-shaped shuffle is the
+    * (ia, ib) aggregation itself (map-side partials apply). Shared with
+    * the Probes rig for the same reason as [[basketItems]]. */
+  private[graft] def pairSupports(sized: DataFrame, minSupport: Long): DataFrame =
+    sized
       .select(explode(col("__items")).as("ia"), col("__items"))
       .select(col("ia"), explode(col("__items")).as("ib"))
       .where(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
+
+  /** Pairwise co-occurrence with support and lift. Input rows are
+    * (basket, item) memberships (duplicates collapsed); returns item
+    * pairs (a < b) seen in ≥ `minSupport` baskets with
+    * lift = n_baskets·pairs/(cnt_a·cnt_b) — >1 = attraction.
+    *
+    * The round-12 phase attribution (Probes q181) found the INPUT
+    * BUILD, not the pair aggregation, was half the query: the old
+    * spelling paid a (b,i)-dedup exchange + a groupBy(b) exchange + a
+    * join back on b, where [[basketItems]] pays a single membership
+    * exchange on b. Capped baskets leave EVERY statistic, not just pair
+    * generation: support, item counts and the basket total must
+    * describe one universe or lift = n·support/(cnt_a·cnt_b) holds on
+    * none of them. */
+  def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+                        minSupport: Long, maxBasket: Int = 10000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val sized = basketItems(df, basketCol, itemCol, maxBasket)
+    val pairs = pairSupports(sized, minSupport)
     val itemCnt = sized.select(explode(col("__items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("cnt"))
     val nBaskets = sized.agg(count(lit(1)).as("__nb"))

@@ -2029,6 +2029,65 @@ class OperatorsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("cooccurrencePairs: null memberships count toward nothing (the " +
+    "round-12 contract, pinned)") {
+    // baskets 1 and 2 are {10,20}; basket 3 holds ONLY a null membership.
+    // The null item must not reach basket size, the item table, or the
+    // pair supports — but basket 3 itself still exists (empty item set)
+    // and counts toward n_baskets, exactly as the size<=cap spelling
+    // behaved. See Association.basketItems' contract note.
+    val memb = Seq(
+      (1L, Some(10L)), (1L, Some(20L)), (1L, None),
+      (2L, Some(10L)), (2L, Some(20L)),
+      (3L, None)
+    ).toDF("b", "i")
+    val got = Association.cooccurrencePairs(memb, "b", "i", minSupport = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // support 2, cnt_10 = cnt_20 = 2, n_baskets = 3 (basket 3 counted,
+    // its null item not): lift = 3·2/(2·2) = 1.5 — a null-dropping
+    // regression on n_baskets would read 1.0 here
+    assert(got == Seq((10L, 20L, 2L, 2L, 2L, 1.5)))
+    // null items do not advance the basket-size cap either: {10,20,null}
+    // at maxBasket=2 must survive
+    assert(Association.cooccurrencePairs(memb, "b", "i", 2, maxBasket = 2)
+      .count() == 1)
+  }
+
+  test("CappedCollectSet: per-group state bounded by the cap on every path") {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    def capped(c: org.apache.spark.sql.Column, cap: Int) =
+      ColumnGlue.column(graft.plans.CappedCollectSet(
+        ColumnGlue.expression(c), cap).toAggregateExpression())
+    // over-cap group → NULL (the marker basketItems filters on); the
+    // 8-partition repartition forces partial buffers through
+    // serialize/merge, so the overflow must survive the exchange
+    val wide = (1 to 50).map(i => ("g", i.toLong)).toDF("g", "v").repartition(8)
+    val r1 = wide.groupBy("g").agg(capped(col("v"), 49).as("s"))
+      .select(col("s")).collect()
+    assert(r1.head.isNullAt(0), "50 distinct values over a cap of 49 → null")
+    // exactly-at-cap group survives with the full set
+    val r2 = wide.groupBy("g").agg(capped(col("v"), 50).as("s"))
+      .select(explode(col("s")).as("v")).as[Long].collect().sorted
+    assert(r2.toSeq == (1L to 50L))
+    // duplicates never advance the cap (distinct semantics)
+    val dup = (1 to 100).map(_ => ("g", 7L)).toDF("g", "v").repartition(8)
+    val r3 = dup.groupBy("g").agg(capped(col("v"), 1).as("s"))
+      .select(col("s")).as[Seq[Long]].head()
+    assert(r3 == Seq(7L))
+    // string elements: UTF8String values must be COPIED out of the scan's
+    // reused row buffer — aliasing would corrupt the set's contents
+    val strs = (1 to 30).map(i => ("g", f"val_$i%03d")).toDF("g", "v").repartition(8)
+    val r4 = strs.groupBy("g").agg(capped(col("v"), 30).as("s"))
+      .select(explode(col("s")).as("v")).as[String].collect().sorted
+    assert(r4.toSeq == (1 to 30).map(i => f"val_$i%03d"))
+    // nulls dropped, like collect_set: a group of only nulls is EMPTY,
+    // not null — distinguishable from overflow by construction
+    val nulls = Seq(("g", None: Option[Long]), ("g", None)).toDF("g", "v")
+    val r5 = nulls.groupBy("g").agg(capped(col("v"), 1).as("s"))
+      .select(col("s")).as[Seq[Long]].head()
+    assert(r5 == Seq.empty)
+  }
+
   test("timeDecayScore: half-life weights, sorted fold, cents-exact") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val t7 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
