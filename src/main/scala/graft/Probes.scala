@@ -594,7 +594,22 @@ object Probes {
       val t0 = System.nanoTime()
       drain()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // listener bus is async; let the tail progress land
+      // the listener bus is async: drain it EXACTLY before reading the
+      // buffer (a fixed sleep can drop the final batch's progress event
+      // on a loaded host and overstate overhead_sec — the very floor
+      // this probe measures). Fallback: poll until the buffer is stable.
+      try org.apache.spark.graftglue.BusGlue.waitUntilEmpty(
+        spark.sparkContext, 10000)
+      catch { case _: Throwable =>
+        var last = -1
+        var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val n = buf.size()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+      }
       val ps = buf.asScala.toSeq
       val sums = keys.map(k => k ->
         ps.flatMap(p => Option(p.durationMs.get(k)).map(_.longValue)).sum).toMap
