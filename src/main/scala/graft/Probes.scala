@@ -73,6 +73,7 @@ object Probes {
     case Some("q94") => q94Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("q94jvm") => q94JvmRounds(args(1), args.lift(2).map(_.toInt).getOrElse(5))
     case Some("q181") => q181Phases(args(1), args.lift(2).getOrElse("all"))
+    case Some("q149") => q149Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("streamfloor") => streamFloor(args(1),
       args.lift(2).getOrElse("q186_stream_histogram_quantiles"))
     case Some("decade") => decadePairs(args(1), args(2), args(3),
@@ -547,6 +548,66 @@ object Probes {
     }
     def f(d: Double) = f"$d%.2f"
     println(s"""{"probe":"q181_phases","sf":"$sfDir","rung":"$rung"""" +
+      s""","runs":${secs.map(f).mkString("[", ",", "]")}""" +
+      s""","median":${f(median(secs))},"warmup":$probeWarmup""" +
+      (if (n >= 0) s""","n_rows":$n}""" else "}"))
+    spark.stop()
+  }
+
+  /** q149 phase attribution (round-13 verdict #6): the suite's most
+    * expensive query (3.78 s anchor min) is PPJoin pairs → connected
+    * components → struct-max keeper → anti-join. Rungs, each meant for
+    * its own fresh JVM (the q76 lesson), cut at the OPERATOR boundaries
+    * so every stage is the exact public entry point the query calls —
+    * no inline re-implementation to desynchronize (the q181-rig ADVICE):
+    *   pairs = corpus build + Dedup.jaccardPairsPrefixFilter — the
+    *           prefix-filter inverted index + verification;
+    *   cc    = pairs + Dedup.connectedComponents (delta vs pairs = the
+    *           pointer-jump loop + checkpoint);
+    *   full  = the whole q149 query (delta vs cc = scored join,
+    *           struct-max keeper, anti-join, final agg).
+    * Corpus spelling matches SparkEntry's q149 body (documents ∪ an
+    * 1/11 mutated copy). */
+  private def q149Phases(sfDir: String, rung: String): Unit = {
+    require(Set("all", "pairs", "cc", "full")(rung), s"rung $rung")
+    val spark = session("graft-q149-phases", Map.empty)
+    import graft.core.Tables
+    import graft.operators.Dedup
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    def clear(): Unit = {
+      core.InternalCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    def samples(body: String => Unit): Seq[Double] = {
+      if (probeWarmup) { body(sfDir); clear() }
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); body(sfDir)
+        val t = (System.nanoTime() - t0) / 1e9; clear(); t
+      }
+    }
+    def corpus(d: String) = {
+      val base = Tables.documents(spark, d).select("doc_id", "text")
+      val m1 = base.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" extra suffix token")))
+      base.unionByName(m1)
+    }
+    def pairs(d: String) =
+      Dedup.jaccardPairsPrefixFilter(corpus(d), "doc_id", "text", 3, 0.5)
+    var n = -1L
+    val secs = rung match {
+      case "pairs" => samples { d => n = pairs(d).count() }
+      case "cc" => samples { d =>
+        n = Dedup.connectedComponents(pairs(d), "id_a", "id_b").count()
+      }
+      case "full" | "all" => samples { d =>
+        SparkEntry.queries("q149_dedup_keep_best")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    def f(d: Double) = f"$d%.2f"
+    println(s"""{"probe":"q149_phases","sf":"$sfDir","rung":"$rung"""" +
       s""","runs":${secs.map(f).mkString("[", ",", "]")}""" +
       s""","median":${f(median(secs))},"warmup":$probeWarmup""" +
       (if (n >= 0) s""","n_rows":$n}""" else "}"))

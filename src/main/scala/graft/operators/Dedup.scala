@@ -330,10 +330,38 @@ object Dedup {
     // doesn't abort the job. Superseded LOCAL checkpoint blocks are
     // released by the ContextCleaner; reliable-mode snapshots are NOT
     // auto-deleted — see graft.core.Checkpoints for the dir lifecycle.
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
-      .transform(graft.core.Checkpoints.cut)
+    // The edge COUNT rides the checkpoint's own action (the Observation
+    // pattern every bookkeeping read in this loop uses), so the
+    // small-graph gate below costs zero extra jobs.
+    val edgeObs = org.apache.spark.sql.Observation()
+    val edges = graft.core.Checkpoints.cut(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+        .distinct()
+        .observe(edgeObs, count(lit(1)).as("n")))
+    val nEdges = edgeObs.get("n").asInstanceOf[Long]
+    // Small-graph fast path (round 13, measured on the q149 phase rig):
+    // the loop's cost on a near-dup-sized graph is almost entirely FIXED
+    // — labels-init cut + two round cuts, each a full job with three
+    // joins and an aggregation, ~2.9 s at sf0.1 for 1.5k edges. When the
+    // (already materialized, already counted) edge set is small enough to
+    // collect within a hard byte bound, exact union-find on the driver
+    // replaces the whole loop: same labeling by construction (union-find
+    // roots remapped to the component-min id — the value the min-
+    // propagation fixpoint converges to), one bounded collect (<= 2
+    // longs x spark.graft.ccDriverMaxEdges ~= 4 MB at the default)
+    // instead of 3+ checkpoint jobs, and the output is a LocalTableScan
+    // every downstream join broadcasts for free. At corpus scale the
+    // gate simply never fires and the distributed loop below is the
+    // path; set spark.graft.ccDriverMaxEdges=0 to pin the distributed
+    // loop in measurement protocols (the decade/width rigs do).
+    val driverMaxEdges = pairs.sparkSession.conf
+      .get("spark.graft.ccDriverMaxEdges", "262144").toLong
+    if (nEdges <= driverMaxEdges) {
+      log.info(s"connectedComponents: $nEdges edges <= gate $driverMaxEdges" +
+        " — exact driver union-find (distributed loop skipped)")
+      return driverComponents(edges)
+    }
     // Convergence via the label-sum fixpoint: min-propagation only ever
     // LOWERS labels, so an unchanged sum means an unchanged labeling.
     // The sum rides the CHECKPOINT'S OWN action as an observed metric
@@ -392,6 +420,43 @@ object Dedup {
       else log.warn(msg)
     }
     labels
+  }
+
+  /** Exact union-find over an already-bounded edge set — the small-graph
+    * fast path of [[connectedComponents]]. Union-by-min (the smaller
+    * root adopts) + path halving, so the final root of every node IS the
+    * component-min id: byte-identical labeling to the distributed
+    * min-propagation fixpoint. The caller guarantees boundedness (the
+    * `ccDriverMaxEdges` gate on a count that rode the checkpoint
+    * action); the output is a local relation downstream joins broadcast. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val id = it.next(); out += ((id, find(id))) }
+    out.toSeq.toDF("id", "component")
   }
 
   /** Benchmark decontamination: ids of corpus docs sharing ANY word

@@ -152,11 +152,20 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
       (100L, 101L)).toDF("id_a", "id_b")
+    // a graph this small takes the round-13 driver union-find fast path…
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
     assert((10L to 15L).forall(comp(_) == 10L))
     assert(comp(100L) == 100L && comp(101L) == 100L)
+    // …and the distributed min-propagation loop must produce the SAME
+    // labeling (union-by-min root == the min-label fixpoint)
+    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    try {
+      val dist = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(dist == comp, "driver and distributed paths must agree exactly")
+    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
     // dedup decision: keep exactly one doc per cluster
     val df = comp.keys.toSeq.toDF("id")
     val kept = Dedup.dropNearDups(df, "id", pairs)
@@ -167,11 +176,15 @@ class OperatorsSpec extends SparkSpec {
   test("connectedComponents: pointer jumping closes a 200-node chain within default rounds") {
     // min-label alone moves one hop per round (199 rounds here); the
     // label-chase step makes depth halve per round, so the default
-    // maxIter=20 must be plenty
+    // maxIter=20 must be plenty. Gate pinned off: this spec exists to
+    // exercise the DISTRIBUTED loop's pointer jumping.
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    assert(comp.size == 200 && comp.values.forall(_ == 0L))
+    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    try {
+      val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(comp.size == 200 && comp.values.forall(_ == 0L))
+    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
   }
 
   test("reliable-checkpoint mode without a checkpoint dir fails loudly") {
@@ -207,15 +220,20 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("connectedComponents: non-convergence fails loudly, not silently") {
+    // gate pinned off: maxIter only exists on the distributed loop (the
+    // driver union-find is exact in one pass by construction)
     val chain = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
-    }
-    assert(e.getMessage.contains("NOT reached"))
-    // opt-out returns the partial labeling instead of throwing
-    val partial = Dedup.connectedComponents(chain, "id_a", "id_b",
-      maxIter = 2, failOnNonConvergence = false)
-    assert(partial.count() == 150L + 1)
+    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+      }
+      assert(e.getMessage.contains("NOT reached"))
+      // opt-out returns the partial labeling instead of throwing
+      val partial = Dedup.connectedComponents(chain, "id_a", "id_b",
+        maxIter = 2, failOnNonConvergence = false)
+      assert(partial.count() == 150L + 1)
+    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
   }
 
   test("incremental dedup: a new delivery dedups against the stored index alone") {
