@@ -6,7 +6,12 @@
 # between-JVM wall subtraction is unusable on this box (±50%, PLANS
 # round 9). JIT warms on <warmupDir> (one decade down) off the clock.
 #
-# Usage: dev/decade_bench.sh <dirA> <dirB> <warmupDir> <outJsonl> [rounds]
+# Usage: dev/decade_bench.sh <dirA> <dirB> <warmupDir> <outJsonl> [rounds] [q1,q2,...]
+#
+# Round-13 note: the CC small-graph gate must be pinned OFF for decade
+# runs (SPARK_GRAFT_EXTRA_CONF="spark.graft.graphDriverMaxEdges=0;...") so
+# the artifact measures the DISTRIBUTED loop's constants — the scale
+# path — and stays comparable with the r11/r12 decade artifacts.
 #
 # Disk budget: one paired round holds BOTH scales' shuffle files plus
 # any local checkpoints until the probe's between-run GC lets the
@@ -21,12 +26,14 @@
 # (sbt test, a second bench session) and cause fetch failures there.
 set -u
 DIRA=$1; DIRB=$2; WARMDIR=$3; OUT=$4; ROUNDS=${5:-4}
+QUERIES=${6:-q124_decontaminate_bloom q76_neardup_components q94_neardup_dedup}
+QUERIES=${QUERIES//,/ }
 RUNTMP=$(mktemp -d /tmp/graft_decade_run_XXXX)
 trap 'rm -rf "$RUNTMP"' EXIT
 CP="$(dirname "$0")/../target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 : > "$OUT"
-for q in q124_decontaminate_bloom q76_neardup_components q94_neardup_dedup; do
+for q in $QUERIES; do
   echo "=== $q ===" >&2
   ERR=$(mktemp /tmp/decade_err_XXXX.log)
   env SPARK_GRAFT_WARMUP_SF_DIR="$WARMDIR" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \

@@ -349,14 +349,14 @@ object Dedup {
     // replaces the whole loop: same labeling by construction (union-find
     // roots remapped to the component-min id — the value the min-
     // propagation fixpoint converges to), one bounded collect (<= 2
-    // longs x spark.graft.ccDriverMaxEdges ~= 4 MB at the default)
+    // longs x spark.graft.graphDriverMaxEdges ~= 4 MB at the default)
     // instead of 3+ checkpoint jobs, and the output is a LocalTableScan
     // every downstream join broadcasts for free. At corpus scale the
     // gate simply never fires and the distributed loop below is the
-    // path; set spark.graft.ccDriverMaxEdges=0 to pin the distributed
+    // path; set spark.graft.graphDriverMaxEdges=0 to pin the distributed
     // loop in measurement protocols (the decade/width rigs do).
     val driverMaxEdges = pairs.sparkSession.conf
-      .get("spark.graft.ccDriverMaxEdges", "262144").toLong
+      .get("spark.graft.graphDriverMaxEdges", "262144").toLong
     if (nEdges <= driverMaxEdges) {
       log.info(s"connectedComponents: $nEdges edges <= gate $driverMaxEdges" +
         " — exact driver union-find (distributed loop skipped)")
@@ -427,7 +427,7 @@ object Dedup {
     * root adopts) + path halving, so the final root of every node IS the
     * component-min id: byte-identical labeling to the distributed
     * min-propagation fixpoint. The caller guarantees boundedness (the
-    * `ccDriverMaxEdges` gate on a count that rode the checkpoint
+    * `graphDriverMaxEdges` gate on a count that rode the checkpoint
     * action); the output is a local relation downstream joins broadcast. */
   private def driverComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -245,6 +245,23 @@ object Graphs {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct())
+    // Small-graph fast path, same gate as connectedComponents (round
+    // 13): each peel round is a full checkpoint job (degree agg + two
+    // semi-joins), almost entirely fixed cost on a near-dup-sized graph
+    // — q192 paid 7 such rounds. The canonical edge set is already
+    // materialized and counted (the Observation above), so when it fits
+    // the bounded-collect gate, the exact integer peel runs on the
+    // driver: identical loop bound, identical fixpoint-exit semantics,
+    // identical (id, degree) output by construction. Pin
+    // spark.graft.graphDriverMaxEdges=0 to force the distributed loop
+    // (measurement protocols do).
+    val driverMaxEdges = edges.sparkSession.conf
+      .get("spark.graft.graphDriverMaxEdges", "262144").toLong
+    if (prevN <= driverMaxEdges) {
+      log.info(s"kCorePeel: $prevN edges <= gate $driverMaxEdges" +
+        " — exact driver peel (distributed loop skipped)")
+      return driverKCorePeel(e, k, rounds)
+    }
     var round = 0
     var fixed = false
     while (round < rounds && !fixed) {
@@ -264,5 +281,41 @@ object Graphs {
     e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Exact k-core peel over an already-bounded canonical edge set — the
+    * small-graph fast path of [[kCorePeel]]. Replays the distributed
+    * loop's exact semantics: at most `rounds` peels, early exit when a
+    * round removes nothing, output = surviving vertices with their
+    * within-subgraph degree. Generic over the id type (collected JVM
+    * values carry standard equality); the caller guarantees boundedness. */
+  private def driverKCorePeel(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = canonEdges.sparkSession
+    val idType = canonEdges.schema("u").dataType
+    var es: Array[(Any, Any)] = canonEdges.collect()
+      .map(r => (r.get(0), r.get(1)))
+    var round = 0
+    var fixed = false
+    while (round < rounds && !fixed) {
+      val deg = new java.util.HashMap[Any, Long]()
+      es.foreach { case (u, v) =>
+        deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+      }
+      val next = es.filter { case (u, v) => deg.get(u) >= k && deg.get(v) >= k }
+      fixed = next.length == es.length
+      es = next
+      round += 1
+    }
+    if (fixed) log.info(s"kCorePeel(driver): fixpoint after $round of $rounds rounds")
+    val deg = new java.util.HashMap[Any, Long]()
+    es.foreach { case (u, v) =>
+      deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](deg.size())
+    deg.forEach((id, d) => rows.add(org.apache.spark.sql.Row(id, d)))
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("degree",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

@@ -160,12 +160,12 @@ class OperatorsSpec extends SparkSpec {
     assert(comp(100L) == 100L && comp(101L) == 100L)
     // …and the distributed min-propagation loop must produce the SAME
     // labeling (union-by-min root == the min-label fixpoint)
-    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    spark.conf.set("spark.graft.graphDriverMaxEdges", "0")
     try {
       val dist = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .as[(Long, Long)].collect().toMap
       assert(dist == comp, "driver and distributed paths must agree exactly")
-    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
+    } finally spark.conf.unset("spark.graft.graphDriverMaxEdges")
     // dedup decision: keep exactly one doc per cluster
     val df = comp.keys.toSeq.toDF("id")
     val kept = Dedup.dropNearDups(df, "id", pairs)
@@ -179,12 +179,12 @@ class OperatorsSpec extends SparkSpec {
     // maxIter=20 must be plenty. Gate pinned off: this spec exists to
     // exercise the DISTRIBUTED loop's pointer jumping.
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    spark.conf.set("spark.graft.graphDriverMaxEdges", "0")
     try {
       val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
         .as[(Long, Long)].collect().toMap
       assert(comp.size == 200 && comp.values.forall(_ == 0L))
-    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
+    } finally spark.conf.unset("spark.graft.graphDriverMaxEdges")
   }
 
   test("reliable-checkpoint mode without a checkpoint dir fails loudly") {
@@ -223,7 +223,7 @@ class OperatorsSpec extends SparkSpec {
     // gate pinned off: maxIter only exists on the distributed loop (the
     // driver union-find is exact in one pass by construction)
     val chain = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    spark.conf.set("spark.graft.graphDriverMaxEdges", "0")
     try {
       val e = intercept[IllegalStateException] {
         Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
@@ -233,7 +233,7 @@ class OperatorsSpec extends SparkSpec {
       val partial = Dedup.connectedComponents(chain, "id_a", "id_b",
         maxIter = 2, failOnNonConvergence = false)
       assert(partial.count() == 150L + 1)
-    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
+    } finally spark.conf.unset("spark.graft.graphDriverMaxEdges")
   }
 
   test("incremental dedup: a new delivery dedups against the stored index alone") {
@@ -2234,10 +2234,27 @@ class OperatorsSpec extends SparkSpec {
   test("kCorePeel: triangle survives k=2, tails peel, k=3 empties it") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
       .toDF("u", "v")
+    // small graph → round-13 driver peel fast path…
     val core2 = Graphs.kCorePeel(edges, "u", "v", k = 2, rounds = 6)
       .as[(Long, Long)].collect().toMap
     assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     assert(Graphs.kCorePeel(edges, "u", "v", k = 3, rounds = 6).count() == 0)
+    // …which must agree exactly with the distributed peel loop,
+    // including the rounds cap (1 round peels the 5-tail but not the
+    // 4-tail it exposes — a partial result both paths must share)
+    spark.conf.set("spark.graft.graphDriverMaxEdges", "0")
+    try {
+      val dist2 = Graphs.kCorePeel(edges, "u", "v", k = 2, rounds = 6)
+        .as[(Long, Long)].collect().toMap
+      assert(dist2 == core2, "driver and distributed peels must agree")
+      val distCap = Graphs.kCorePeel(edges, "u", "v", k = 2, rounds = 1)
+        .as[(Long, Long)].collect().toMap
+      spark.conf.unset("spark.graft.graphDriverMaxEdges")
+      val drvCap = Graphs.kCorePeel(edges, "u", "v", k = 2, rounds = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(drvCap == distCap, "the rounds cap must bind identically: " +
+        s"driver $drvCap vs distributed $distCap")
+    } finally spark.conf.unset("spark.graft.graphDriverMaxEdges")
   }
 
   test("bpeMerges equals an in-memory reference trainer (Sennrich corpus)") {
