@@ -61,6 +61,27 @@ object Graphs {
     require(iters >= 1 && iters <= 50, s"iters $iters out of [1,50]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "graphs"))
+    // Small-graph fast path, same gate as the other iterative loops
+    // (round 13). Bit-parity survives it BECAUSE of the exact-fold
+    // contract: per-target contributions fold in sorted-source order —
+    // an engine-independent order the driver reproduces with the same
+    // IEEE ops, so the gated path emits the identical doubles (the
+    // dangling scalar keeps its documented ≤1-ulp fold-order caveat,
+    // same as between any two distributed runs). Gated additionally on
+    // BOTH id columns being integral: the driver sorts ids itself, and
+    // only integral orderings are trivially identical to Catalyst's
+    // (UTF8String binary order is not JVM String order). The count is
+    // one map-side scan of the just-persisted edge list.
+    val driverMaxEdges = edges.sparkSession.conf
+      .get("spark.graft.graphDriverMaxEdges", "262144").toLong
+    val integralIds = e.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (driverMaxEdges > 0 && integralIds && e.count() <= driverMaxEdges) {
+      log.info(s"pageRank: edge count <= gate $driverMaxEdges" +
+        " — exact driver iterations (distributed loop skipped)")
+      return driverPageRank(e, iters, damping)
+    }
     val useExactFold = exactFold &&
       resolveExactFold(e, exactFoldMaxInDegree)
     val nodes = e.select(col("src").as("id"))
@@ -112,6 +133,69 @@ object Graphs {
       dangling = nextDangling
     }
     pr.select(col("id"), col("pr"))
+  }
+
+  /** Exact PageRank iterations over an already-bounded integral-id edge
+    * set — the small-graph fast path of [[pageRank]]. Replays the
+    * distributed exact-fold arithmetic operation for operation:
+    * contributions pr(src)/deg(src) fold per target in ascending-source
+    * order from 0.0; pr' = base + damping·(s + dangling/n); dangling
+    * re-summed from the new ranks each round (ascending node order — the
+    * one scalar whose fold order was already a documented ≤1-ulp
+    * caveat). The caller guarantees boundedness and integral ids. */
+  private def driverPageRank(e: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val idType = e.schema("src").dataType
+    def key(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => throw new IllegalStateException(
+        s"driverPageRank gated on integral ids, got: $other")
+    }
+    val edgesArr: Array[(Long, Long)] = e.collect()
+      .map(r => (key(r.get(0)), key(r.get(1))))
+    val nodes: Array[Long] =
+      (edgesArr.map(_._1) ++ edgesArr.map(_._2)).distinct.sorted
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("pr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    if (nodes.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val n = nodes.length.toLong
+    val deg = new java.util.HashMap[Long, Long]()
+    edgesArr.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
+    // in-edge sources per target, ascending — the exact-fold order;
+    // duplicate edges contribute once each, exactly like the edge rows
+    val inSrcs: scala.collection.Map[Long, Array[Long]] =
+      edgesArr.groupBy(_._2).map { case (dst, es) => dst -> es.map(_._1).sorted }
+    val base = (1.0 - damping) / n
+    var pr = new java.util.HashMap[Long, Double](nodes.length * 2)
+    nodes.foreach(id => pr.put(id, 1.0 / n))
+    def danglingMass(p: java.util.HashMap[Long, Double]): Double = {
+      var s = 0.0
+      nodes.foreach(id => if (!deg.containsKey(id)) s += p.get(id))
+      s
+    }
+    var dangling = danglingMass(pr)
+    for (_ <- 1 to iters) {
+      val dn = dangling / n
+      val next = new java.util.HashMap[Long, Double](nodes.length * 2)
+      nodes.foreach { id =>
+        var s = 0.0
+        inSrcs.get(id).foreach(_.foreach(src => s += pr.get(src) / deg.get(src)))
+        next.put(id, base + damping * (s + dn))
+      }
+      pr = next
+      dangling = danglingMass(pr)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.length)
+    val intIds = idType == org.apache.spark.sql.types.IntegerType
+    nodes.foreach { id =>
+      val outId: Any = if (intIds) id.toInt else id
+      rows.add(org.apache.spark.sql.Row(outId, pr.get(id)))
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** The exact-fold safety decision, factored out so the demotion branch

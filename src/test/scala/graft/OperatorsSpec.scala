@@ -1627,15 +1627,36 @@ class OperatorsSpec extends SparkSpec {
     // though this graph's hub violates a hypothetical per-target read
     assert(Graphs.resolveExactFold(eNorm, 59L))
     // demoted run end-to-end: ranks match the exact fold within
-    // float-reassociation noise, and mass is conserved
-    val demoted = Graphs.pageRank(hubEdges, "src", "dst", iters = 3,
-        exactFold = true, exactFoldMaxInDegree = 5L)
-      .as[(Long, Double)].collect()
-    val exact = Graphs.pageRank(hubEdges, "src", "dst", iters = 3)
+    // float-reassociation noise, and mass is conserved. Gate pinned off:
+    // this block exists to exercise the DISTRIBUTED demotion path.
+    spark.conf.set("spark.graft.graphDriverMaxEdges", "0")
+    try {
+      val demoted = Graphs.pageRank(hubEdges, "src", "dst", iters = 3,
+          exactFold = true, exactFoldMaxInDegree = 5L)
+        .as[(Long, Double)].collect()
+      val exact = Graphs.pageRank(hubEdges, "src", "dst", iters = 3)
+        .as[(Long, Double)].collect().toMap
+      assert(demoted.length == 31)
+      assert(math.abs(demoted.map(_._2).sum - 1.0) < 1e-9)
+      demoted.foreach { case (id, pr) => assert(math.abs(exact(id) - pr) < 1e-12) }
+    } finally spark.conf.unset("spark.graft.graphDriverMaxEdges")
+  }
+
+  test("pageRank: driver fast path is BIT-identical to the distributed exact fold") {
+    // no dangling nodes (every node has an out-edge), so even the
+    // dangling scalar's ≤1-ulp fold-order caveat is out of play: the two
+    // paths must produce the same doubles, not merely close ones
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 1L))
+      .toDF("src", "dst")
+    val drv = Graphs.pageRank(edges, "src", "dst", iters = 3)
       .as[(Long, Double)].collect().toMap
-    assert(demoted.length == 31)
-    assert(math.abs(demoted.map(_._2).sum - 1.0) < 1e-9)
-    demoted.foreach { case (id, pr) => assert(math.abs(exact(id) - pr) < 1e-12) }
+    spark.conf.set("spark.graft.graphDriverMaxEdges", "0")
+    try {
+      val dist = Graphs.pageRank(edges, "src", "dst", iters = 3)
+        .as[(Long, Double)].collect().toMap
+      assert(drv == dist,
+        s"exact-fold bit parity must hold across paths: $drv vs $dist")
+    } finally spark.conf.unset("spark.graft.graphDriverMaxEdges")
   }
 
   // ---- targeted delete
