@@ -252,6 +252,23 @@ object Bench {
       case None => (None, None)
     }
 
+  /** Whether a PRIOR artifact's canary is usable as the drift estimator
+    * (round 13, found live on the first post-fix full run): a prior
+    * whose own brackets carried a storm has a canary min inflated by an
+    * UNKNOWABLE factor — the r12 driver artifact's brackets were
+    * [80.9, 12.2, 6.08, 14.0], min 6.081 on a ~2.0 s box, so a quiet
+    * current run read as "box 3× faster", the fast-cap collided with
+    * the honest median ratio, and the uniform-regression cross-check
+    * fired on garbage. (The r11 storm's min 1.933 happened to catch a
+    * quiet instant — which case a given storm is can't be known, so a
+    * stormy prior demotes to the median-query estimator either way; the
+    * quiet-pinned ANCHOR leg remains the cumulative backstop, and the
+    * advisory-file redirect keeps future baselines quiet.) Pure for
+    * BenchGateSpec. */
+  def priorCanaryUsable(priorSamples: Seq[Double],
+                        priorAdvisoryFlag: Boolean): Boolean =
+    !priorAdvisoryFlag && weatherAdvisory(priorSamples).isEmpty
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -560,7 +577,18 @@ object Bench {
             s"${prior.canaryKind.getOrElse("(pre-round-10 none / round-10 agg)")}, " +
             s"this run is ${core.Canary.Kind} — canary seconds are not " +
             "comparable across generations; using the median-query drift estimator")
-        val prevCanary = prior.canary.filter(_ => kindMatch)
+        // a storm in the PRIOR's own brackets makes its canary min
+        // untrustworthy by an unknowable factor — demote to the
+        // median-query estimator (see priorCanaryUsable)
+        val priorUsable = priorCanaryUsable(prior.canarySamples, prior.weatherAdvisory)
+        if (prior.canary.nonEmpty && kindMatch && !priorUsable)
+          System.err.println(s"bench compare: PRIOR artifact $path was " +
+            "weather-contaminated during its own canary brackets — its " +
+            "canary min is inflated by an unknowable factor, so it is " +
+            "DEMOTED as the drift source (median-query estimator instead; " +
+            "the uniform-regression cross-check needs a trustworthy canary " +
+            "and is off for this leg). Re-pin/compare from a quiet run.")
+        val prevCanary = prior.canary.filter(_ => kindMatch && priorUsable)
         val ratios = prevQ.toSeq.flatMap { case (name, pv) =>
           curQ.get(name).collect { case cv if pv >= 0.1 && cv >= 0 => cv / pv }
         }

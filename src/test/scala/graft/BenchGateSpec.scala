@@ -331,6 +331,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(bad.get("exit").asInt() == 1)
   }
 
+  // ---- round 13, found live on the round's first post-fix full run:
+  // the PRIOR artifact (the r12 driver run) was storm-contaminated, so
+  // its canary min (6.081 on a ~2.0 s box) made tonight's quiet 2.128
+  // read as "box 3x faster"; the fast-cap collided with the honest
+  // median ratio 1.133 (the box really was ~17% slower than the anchor
+  // evening) and the uniform-regression cross-check fired on garbage ----
+
+  test("a storm-contaminated PRIOR canary is demoted to the median estimator") {
+    val r12DriverPriorSamples = Seq(80.948, 12.225, 6.081, 14.012)
+    val tonightSamples = Seq(4.114, 2.128, 2.5, 2.833)
+    // the prior is unusable; tonight's own brackets are sub-storm quiet
+    assert(!Bench.priorCanaryUsable(r12DriverPriorSamples, priorAdvisoryFlag = false))
+    assert(Bench.priorCanaryUsable(tonightSamples, priorAdvisoryFlag = false))
+    // an artifact that STAMPED itself advisory is unusable even if its
+    // samples were lost to an older schema
+    assert(!Bench.priorCanaryUsable(Nil, priorAdvisoryFlag = true))
+    // counterfactual (the exit-1 this replays): canary drift 2.128/6.081
+    // = 0.35 vs median 1.133 — the cross-check fires on a garbage ratio
+    val (_, _, badWarn) =
+      Bench.driftEstimate(Some(2.128), Some(6.081), ratios(1.133))
+    assert(badWarn.nonEmpty, "the garbage prior canary produced the false flag")
+    // demoted: canary absent → median estimator, no cross-check, and the
+    // 1.133 box-slowdown normalizes the priors instead of flagging them
+    val (d, src, warn) = Bench.driftEstimate(Some(2.128), None, ratios(1.133))
+    assert(src == "median_query_ratio" && math.abs(d - 1.133) < 1e-9 && warn.isEmpty)
+  }
+
   test("driftPolicy on a quiet run defers to driftEstimate unchanged") {
     val quiet = Seq(2.1, 2.3, 2.2, 2.4)
     val (d, src, warn, advisory) =
