@@ -247,12 +247,35 @@ object Graphs {
     // executed plan carried 31 parquet scans and 88 exchanges (13 reused)
     // of which each re-ran the co-occurrence backbone aggregation. At
     // 100 TB that is re-deriving the edge list dozens of times per count.
-    val und = edges
+    // canonical-edge count rides the checkpoint's action (the standing
+    // Observation pattern) for the small-graph gate below
+    val undObs = org.apache.spark.sql.Observation()
+    val und = graft.core.Checkpoints.cut(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .transform(graft.core.Checkpoints.cut)
+      .observe(undObs, count(lit(1)).as("n")))
+    val nUnd = undObs.get("n").asInstanceOf[Long]
+    // Small-graph fast path, same gate as the iterative loops (round
+    // 13): the second cut + the degree/orientation joins + the wedge
+    // join are all fixed cost on a near-dup-sized graph, and triangle
+    // counts are INTEGER-exact — any correct enumeration produces the
+    // identical (id, n_triangles) rows, so the parity argument needs no
+    // float reasoning at all. Integral ids only (the driver orients by
+    // (deg, id) and only integral orderings trivially match Catalyst's);
+    // pin spark.graft.graphDriverMaxEdges=0 to force the distributed
+    // plan in measurement protocols.
+    val triDriverMax = edges.sparkSession.conf
+      .get("spark.graft.graphDriverMaxEdges", "262144").toLong
+    val triIntegral = und.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (nUnd <= triDriverMax && triIntegral) {
+      log.info(s"triangleCounts: $nUnd edges <= gate $triDriverMax" +
+        " — exact driver enumeration (distributed plan skipped)")
+      return driverTriangles(und)
+    }
     // undirected degree, then the total order (deg, id) that orients edges
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
@@ -281,6 +304,76 @@ object Graphs {
     val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Exact triangle counting over an already-bounded canonical edge set
+    * — the small-graph fast path of [[triangleCounts]]. The same
+    * degree-ordered orientation as the distributed plan (each triangle
+    * enumerated exactly once at its lowest-ranked corner), counted once
+    * per corner; output rows are integers, so parity with the
+    * distributed plan is structural, not numeric. */
+  private def driverTriangles(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    val idType = und.schema("u").dataType
+    def key(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => throw new IllegalStateException(
+        s"driverTriangles gated on integral ids, got: $other")
+    }
+    val es: Array[(Long, Long)] = und.collect()
+      .map(r => (key(r.get(0)), key(r.get(1))))
+    val deg = new java.util.HashMap[Long, Long]()
+    es.foreach { case (u, v) => deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _) }
+    // rank order (deg, id): lower rank = fewer neighbors, ties by id —
+    // the same orientation the distributed plan uses
+    def lowerRank(a: Long, b: Long): Boolean = {
+      val da = deg.get(a); val db = deg.get(b)
+      da < db || (da == db && a < b)
+    }
+    val out = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    val edgeSet = new java.util.HashSet[Long]()
+    // canonical pairs hash safely only for 32-bit ids; fall back to a
+    // boxed-tuple set above that
+    val fits32 = es.forall { case (u, v) =>
+      u >= 0 && u < (1L << 31) && v >= 0 && v < (1L << 31) }
+    val edgeSetWide = new java.util.HashSet[(Long, Long)]()
+    es.foreach { case (u, v) =>
+      val (lo, hi) = if (lowerRank(u, v)) (u, v) else (v, u)
+      out.computeIfAbsent(lo, _ => new java.util.ArrayList[Long]()).add(hi)
+      if (fits32) edgeSet.add((math.min(u, v) << 32) | math.max(u, v))
+      else edgeSetWide.add((math.min(u, v), math.max(u, v)))
+    }
+    def hasEdge(a: Long, b: Long): Boolean = {
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      if (fits32) edgeSet.contains((lo << 32) | hi) else edgeSetWide.contains((lo, hi))
+    }
+    val tri = new java.util.HashMap[Long, Long]()
+    out.forEach { (a, ns) =>
+      val n = ns.size()
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val b = ns.get(i); val c = ns.get(j)
+          if (hasEdge(b, c)) {
+            tri.merge(a, 1L, _ + _); tri.merge(b, 1L, _ + _); tri.merge(c, 1L, _ + _)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](tri.size())
+    val intIds = idType == org.apache.spark.sql.types.IntegerType
+    tri.forEach { (id, c) =>
+      val outId: Any = if (intIds) id.toInt else id
+      rows.add(org.apache.spark.sql.Row(outId, c))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("n_triangles",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** k-core peel, fixed `rounds`: repeatedly remove vertices with degree

@@ -1784,6 +1784,21 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       10L -> 1L, 11L -> 1L, 12L -> 1L))
+    // the small graph above took the round-13 driver enumeration; the
+    // distributed orientation plan must produce the identical rows
+    spark.conf.set("spark.graft.graphDriverMaxEdges", "0")
+    try {
+      val dist = Graphs.triangleCounts(edges, "u", "v")
+        .as[(Long, Long)].collect().toMap
+      assert(dist == got, "driver and distributed triangle counts must agree")
+    } finally spark.conf.unset("spark.graft.graphDriverMaxEdges")
+    // ids above 2^31 exercise the wide (boxed-pair) edge-set fallback
+    val big = 5000000000L
+    val wide = Seq((big, big + 1), (big + 1, big + 2), (big + 2, big))
+      .toDF("u", "v")
+    val wideGot = Graphs.triangleCounts(wide, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(wideGot == Map(big -> 1L, (big + 1) -> 1L, (big + 2) -> 1L))
   }
 
   // ---- containment
