@@ -126,10 +126,15 @@ MXC="$RUN/ckpt_mx"
 # A bare `pgrep -f CoarseGrainedExecutorBackend` matches ANY executor on
 # the box — on a shared dev host it could SIGKILL an unrelated job's
 # executor and let this leg pass on false evidence (round-12 ADVICE).
+# graphDriverMaxEdges=0 (round 13): this leg exists to kill an executor
+# mid-DISTRIBUTED-CC; without the pin the small-graph driver fast path
+# would skip the loop under test. Leg 1 runs the default (gated) config
+# — the count-parity assertion then also covers driver≡distributed.
 "$SUBMIT" --class CorpusPipeline --master 'local-cluster[2,16,12288]' \
   --driver-memory 8g \
   --jars "$RUN/userapp/lib/$(basename "$JAR")" \
   --conf spark.graft.reliableCheckpoint=true \
+  --conf spark.graft.graphDriverMaxEdges=0 \
   --conf spark.checkpoint.dir="$MXC" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
