@@ -74,6 +74,7 @@ object Probes {
     case Some("q94jvm") => q94JvmRounds(args(1), args.lift(2).map(_.toInt).getOrElse(5))
     case Some("q181") => q181Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("q149") => q149Phases(args(1), args.lift(2).getOrElse("all"))
+    case Some("q176") => q176Phases(args(1), args.lift(2).getOrElse("all"))
     case Some("streamfloor") => streamFloor(args(1),
       args.lift(2).getOrElse("q186_stream_histogram_quantiles"))
     case Some("decade") => decadePairs(args(1), args(2), args(3),
@@ -608,6 +609,63 @@ object Probes {
     }
     def f(d: Double) = f"$d%.2f"
     println(s"""{"probe":"q149_phases","sf":"$sfDir","rung":"$rung"""" +
+      s""","runs":${secs.map(f).mkString("[", ",", "]")}""" +
+      s""","median":${f(median(secs))},"warmup":$probeWarmup""" +
+      (if (n >= 0) s""","n_rows":$n}""" else "}"))
+    spark.stop()
+  }
+
+  /** q176 phase attribution: madOutliers is the last unattributed
+    * heavy (2.59 s anchor min) — two exact per-group ranking passes plus
+    * the final gate aggregation over lineitem (600k rows, THREE groups,
+    * so each window sort runs on 3 tasks of a 32-thread box). Rungs cut
+    * at the operator's own package-private stages (the q181-rig ADVICE:
+    * no inline re-spelling):
+    *   cents = scan + half-cent projection (I/O floor);
+    *   med   = cents + first ranking pass + boundary agg;
+    *   dev   = med + broadcast-back + deviation stamp;
+    *   mad   = dev + second ranking pass;
+    *   full  = the whole q176 query to noop (delta vs mad = the gate
+    *           count aggregation + the med/dev re-derivation the lazy
+    *           no-materialize choice accepts). */
+  private def q176Phases(sfDir: String, rung: String): Unit = {
+    require(Set("all", "cents", "med", "dev", "mad", "full")(rung),
+      s"rung $rung")
+    val spark = session("graft-q176-phases", Map.empty)
+    import graft.core.Tables
+    import graft.operators.Quantiles
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    def samples(body: String => Unit): Seq[Double] = {
+      if (probeWarmup) body(sfDir)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); body(sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def cents(d: String) = Quantiles.madCents(
+      Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice")
+    var n = -1L
+    val secs = rung match {
+      case "cents" => samples { d => n = cents(d).count() }
+      case "med" => samples { d =>
+        n = Quantiles.exactGroupQuantiles(cents(d), "l_returnflag", "c2",
+          Seq(0.5), Seq("med2")).count()
+      }
+      case "dev" => samples { d =>
+        n = Quantiles.madDeviations(cents(d), "l_returnflag").count()
+      }
+      case "mad" => samples { d =>
+        n = Quantiles.madScale(
+          Quantiles.madDeviations(cents(d), "l_returnflag"),
+          "l_returnflag").count()
+      }
+      case "full" | "all" => samples { d =>
+        SparkEntry.queries("q176_mad_outliers")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    def f(d: Double) = f"$d%.2f"
+    println(s"""{"probe":"q176_phases","sf":"$sfDir","rung":"$rung"""" +
       s""","runs":${secs.map(f).mkString("[", ",", "]")}""" +
       s""","median":${f(median(secs))},"warmup":$probeWarmup""" +
       (if (n >= 0) s""","n_rows":$n}""" else "}"))

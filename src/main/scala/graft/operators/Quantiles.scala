@@ -76,14 +76,20 @@ object Quantiles {
     }
   }
 
-  /** Exact interpolated quantiles PER GROUP, fully distributed: a
-    * per-group sort window stamps each value's rank and group size, a
-    * filter keeps only the 2×|ps| boundary rows per group, and one
-    * aggregation interpolates. No single-reducer value buffer at any
-    * group size — the per-group `percentile` aggregate buffers a whole
-    * group in its final reducer, which is exactly the q91 pathology when
-    * one group dominates. Returns one row per group with one column per
-    * requested fraction, named by `names`.
+  /** Exact interpolated quantiles PER GROUP: one data pass — a per-group
+    * ranking window (rank and group size in a SINGLE WindowExec: both
+    * frames share the partition+order spec), a filter keeping only the
+    * 2×|ps| boundary rows per group, and one interpolating aggregation.
+    * No single-reducer value BUFFER at any group size (the per-group
+    * `percentile` aggregate's q91 pathology), but the sort window does
+    * place each whole group in one task's external sort — spillable, yet
+    * a dominant group serializes the job. That trade is deliberate and
+    * measured: at bench scale this spelling beats the skew-immune
+    * selection spelling ([[exactGroupQuantilesSkewSafe]]) by ~25%
+    * (0.93 vs 1.20 s for q176's first median at sf0.1 — the selection
+    * pass pays two scans plus broadcast-subplan plumbing); on inputs
+    * where one group can dwarf the rest, call the skew-safe variant —
+    * identical results, bounded per-task sorts.
     *
     * NULL semantics: values are filtered before ranking, so a group whose
     * values are ALL null yields NO output row — unlike `percentile_cont`,
@@ -96,7 +102,12 @@ object Quantiles {
     require(ps.forall(p => p >= 0 && p <= 1), s"fractions must be in [0,1]: $ps")
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-    val wAll = Window.partitionBy(col(groupCol))
+    // group size over the SAME partition+order spec with an explicit
+    // whole-partition frame: Spark plans both functions into ONE
+    // WindowExec (one buffering pass), where the orderless spec would
+    // add a second
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val base = df
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
@@ -124,6 +135,112 @@ object Quantiles {
     g.select(col(groupCol) +: outs: _*)
   }
 
+  /** Exact interpolated quantiles PER GROUP via two-pass distributed
+    * selection — no full sort anywhere, at any group count or skew:
+    *
+    *  1. every value is stamped with a data-independent MONOTONE bucket
+    *     id (the top [[bucketBits]] bits of its IEEE-754 radix-sortable
+    *     transform, [[graft.plans.NumericOps.orderedPrefix]] — equal
+    *     values always share a bucket, bucket ids ascend with value);
+    *  2. pass 1 histograms (group, bucket) counts — a map-side-combinable
+    *     hash aggregation whose output is bounded by populated cells, not
+    *     rows. Tiny window sums over the histogram turn bucket counts
+    *     into global rank offsets and group sizes, locating for each
+    *     wanted rank ⌊p(n−1)⌋/⌈p(n−1)⌉ the single bucket that contains it
+    *     and its index within that bucket;
+    *  3. pass 2 broadcast-joins the wanted-bucket table back and ranks
+    *     ONLY candidate-bucket rows (a per-(group,bucket) sort of
+    *     ~rows/cells values), picks the wanted indices, and one
+    *     aggregation interpolates.
+    *
+    * Why not a per-group sort window: the window spelling buffers each
+    * whole group in ONE task's sort — spillable, but a dominant group
+    * serializes the job (the q91 pathology moved from the aggregate into
+    * the sort). Here the full data crosses NO exchange and is never
+    * sorted; only candidate cells are, and a cell is one value-prefix
+    * slice of one group. Degenerate case: a group whose values are all
+    * near-equal collapses into one cell and its candidate sort approaches
+    * the old whole-group sort — never worse, and the picks are trivially
+    * the repeated value. Returns one row per group with one column per
+    * requested fraction, named by `names`; values are bit-identical to
+    * the sort-window spelling (same rank picks, same interpolation
+    * arithmetic — see exactQuantiles on operation order).
+    *
+    * Same NULL semantics as [[exactGroupQuantiles]] (all-null groups
+    * dropped), same output schema, bit-identical values. Costs one extra
+    * input pass (histogram + candidates vs the window's single pass) —
+    * measured ~25% slower at sf0.1 on even groups — in exchange for
+    * skew immunity: prefer it whenever one group can dominate. */
+  def exactGroupQuantilesSkewSafe(df: DataFrame, groupCol: String,
+                                  valueCol: String, ps: Seq[Double],
+                                  names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.size == names.size,
+      s"each fraction needs a name: $ps / $names")
+    require(ps.forall(p => p >= 0 && p <= 1), s"fractions must be in [0,1]: $ps")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__b",
+        graft.plans.NumericExpressions.orderedPrefix(col("__v"), bucketBits))
+    // pass 1: (group, bucket) histogram → rank offsets + group sizes
+    val hist = vals.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+    val off = hist
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+    def rank(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    val rankArr = array_distinct(array(ps.flatMap { p =>
+      Seq(floor(rank(p)).cast("long"), ceil(rank(p)).cast("long"))
+    }: _*))
+    // one row per wanted global rank, located in its containing bucket
+    val wanted = off
+      .select(col(groupCol), col("__b"), col("__off"), col("__c"),
+        col("__n"), explode(rankArr).as("__r"))
+      .where(col("__r") >= col("__off") && col("__r") < col("__off") + col("__c"))
+      .select(col(groupCol), col("__b"),
+        (col("__r") - col("__off")).as("__li"), col("__r"), col("__n"))
+    // one row per wanted BUCKET (so the candidate join is 1:1 and local
+    // row_numbers stay undistorted), picks exploded after ranking
+    val wantedB = wanted.groupBy(col(groupCol), col("__b"))
+      .agg(collect_list(struct(col("__li"), col("__r"))).as("__picks"),
+        first(col("__n")).as("__n"))
+    // pass 2: rank candidate-bucket rows only, keep the wanted indices
+    val wLoc = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("__v"))
+    val picked = vals
+      .join(broadcast(wantedB), Seq(groupCol, "__b"))
+      .withColumn("__li", row_number().over(wLoc).cast("long") - 1)
+      .select(col(groupCol), col("__v"), col("__li"), col("__n"),
+        explode(col("__picks")).as("__pk"))
+      .where(col("__pk.__li") === col("__li"))
+      .select(col(groupCol), col("__v"), col("__pk.__r").as("__r"), col("__n"))
+    val aggs = ps.zip(names).flatMap { case (p, nm) => Seq(
+      max(when(col("__r") === floor(rank(p)).cast("long"), col("__v"))).as(s"__lo_$nm"),
+      max(when(col("__r") === ceil(rank(p)).cast("long"), col("__v"))).as(s"__hi_$nm"))
+    } :+ first(col("__n")).as("__gn")
+    val g = picked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zip(names).map { case (p, nm) =>
+      val rr = lit(p) * (col("__gn") - 1).cast("double")
+      // quantile_cont's operation order (see exactQuantiles)
+      when(floor(rr) === ceil(rr), col(s"__lo_$nm"))
+        .otherwise(col(s"__lo_$nm") * (ceil(rr) - rr) +
+          col(s"__hi_$nm") * (rr - floor(rr)))
+        .as(nm)
+    }
+    g.select(col(groupCol) +: outs: _*)
+  }
+
+  /** Bucket granularity for [[exactGroupQuantilesSkewSafe]]'s selection pass:
+    * 20 bits ⇒ ≤2^20 cells over the whole double line, 2^8 cells per
+    * binary octave (1 sign + 11 exponent + 8 mantissa bits) — money-scale
+    * domains populate a few thousand cells,
+    * so a candidate cell holds ~rows/cells values while the histogram
+    * stays small enough to partial-aggregate map-side. */
+  private val bucketBits = 20
+
   /** Robust per-group outlier screen: median + MAD (median absolute
     * deviation), the estimator that survives the contamination that
     * wrecks mean/stddev screens — one fat-finger 1e9 row shifts a
@@ -145,6 +262,27 @@ object Quantiles {
     * value buffer); the group-sized median/MAD tables broadcast back;
     * the data crosses the group-key exchange twice (once per ranking
     * pass) and nothing else. */
+  /** [[madOutliers]] stage 1: money → exact half-cent integers. Package-
+    * private so the Probes phase rig times the operator's OWN stages
+    * rather than an inline re-spelling that could desynchronize. */
+  private[graft] def madCents(df: DataFrame, groupCol: String,
+                              valueCol: String): DataFrame =
+    df.select(col(groupCol),
+      (round(col(valueCol) * 100).cast("long") * 2).as("c2"))
+
+  /** [[madOutliers]] stage 2: per-group exact median of c2, broadcast-
+    * joined back, absolute deviations stamped. */
+  private[graft] def madDeviations(c2: DataFrame,
+                                   groupCol: String): DataFrame = {
+    val med = exactGroupQuantiles(c2, groupCol, "c2", Seq(0.5), Seq("med2"))
+    c2.join(broadcast(med), groupCol)
+      .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))
+  }
+
+  /** [[madOutliers]] stage 3: per-group exact median of the deviations. */
+  private[graft] def madScale(dev: DataFrame, groupCol: String): DataFrame =
+    exactGroupQuantiles(dev, groupCol, "dev2", Seq(0.5), Seq("mad2"))
+
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame = {
     // deliberately NOT materialized (the Layout curveQualityMulti
@@ -165,12 +303,9 @@ object Quantiles {
         "consumers — each consumer will RE-RUN that derivation. " +
         "persist() or Checkpoints.cut the input before calling; the " +
         "lazy-is-cheaper measurement only covers pruned raw-table scans.")
-    val c2 = df.select(col(groupCol),
-      (round(col(valueCol) * 100).cast("long") * 2).as("c2"))
-    val med = exactGroupQuantiles(c2, groupCol, "c2", Seq(0.5), Seq("med2"))
-    val dev = c2.join(broadcast(med), groupCol)
-      .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))
-    val mad = exactGroupQuantiles(dev, groupCol, "dev2", Seq(0.5), Seq("mad2"))
+    val c2 = madCents(df, groupCol, valueCol)
+    val dev = madDeviations(c2, groupCol)
+    val mad = madScale(dev, groupCol)
     dev.join(broadcast(mad), groupCol)
       // lit(k)·lit(1.4826)·mad2 left-assoc, NOT a pre-folded Scala
       // constant: an oracle spells the identical double literals and

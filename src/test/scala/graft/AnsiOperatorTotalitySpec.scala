@@ -131,6 +131,27 @@ class AnsiOperatorTotalitySpec extends SparkSpec {
       s"\n${problems.size} function(s) not ANSI-total:\n  " + problems.mkString("\n  "))
   }
 
+  test("orderedPrefix is total, ANSI-invisible, and monotone on the double zoo") {
+    import spark.implicits._
+    import graft.plans.{NumericExpressions, NumericOps}
+    val zoo: Seq[Option[Double]] = Seq(None, Some(0.0), Some(-0.0),
+      Some(1.5), Some(-1.5), Some(Double.NaN), Some(Double.PositiveInfinity),
+      Some(Double.NegativeInfinity), Some(Double.MinPositiveValue),
+      Some(-Double.MinPositiveValue), Some(Double.MaxValue),
+      Some(Double.MinValue), Some(1e-300), Some(-1e-300), Some(1234567.89))
+    val problems = sweep[Option[Double]](zoo, _.toDF("v"),
+      Seq("NumericExpressions.orderedPrefix(20)" ->
+        ((c: Column) => NumericExpressions.orderedPrefix(c, 20))))
+    assert(problems.isEmpty,
+      s"\n${problems.size} function(s) not ANSI-total:\n  " + problems.mkString("\n  "))
+    // the quantile selection pass's load-bearing property: bucket ids are
+    // monotone non-strict in the double's total order (NaN greatest)
+    val sorted = zoo.flatten.sortWith(java.lang.Double.compare(_, _) < 0)
+    val prefs = sorted.map(NumericOps.orderedPrefix(_, 20))
+    assert(prefs.zip(prefs.tail).forall { case (a, b) => a <= b },
+      s"orderedPrefix not monotone: $sorted -> $prefs")
+  }
+
   test("KMV estimate and aggregate are total and ANSI-invisible") {
     import spark.implicits._
     val problems =

@@ -947,6 +947,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exactGroupQuantiles selection spelling: negatives, sign straddle, " +
+    "extremes, duplicates, dominant group") {
+    // the distributed-selection rewrite's new edge paths: the bit-flip
+    // branch (all-negative group), a group straddling ±0, p=0/1 picks,
+    // heavy duplicates (many rows per bucket cell), a single-row group,
+    // and one dominant group (the skew case the rewrite exists for)
+    val rows =
+      (1 to 2000).map(i => ("skew", (i % 7).toDouble - 3.0)) ++     // dominant, 7 distinct values
+      (1 to 37).map(i => ("neg", -i * 2.5)) ++                       // all negative
+      Seq(("mix", -1.5), ("mix", -0.5), ("mix", 0.0), ("mix", 0.5),
+        ("mix", 1.5), ("mix", 2.5)) ++                               // straddles zero
+      Seq(("one", 42.25))                                            // single row
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val names = Seq("p0", "p25", "p50", "p90", "p100")
+    val want = df.groupBy("g")
+      .agg(percentile(col("v"), array(ps.map(lit): _*)).as("qs"))
+      .orderBy("g").collect()
+    val spellings = Seq(
+      "window" -> Quantiles.exactGroupQuantiles _,
+      "skewSafe" -> Quantiles.exactGroupQuantilesSkewSafe _)
+    val results = spellings.map { case (label, fn) =>
+      val got = fn(df, "g", "v", ps, names).orderBy("g").collect()
+      assert(got.length == want.length && got.length == 4, label)
+      got.zip(want).foreach { case (a, b) =>
+        assert(a.getString(0) == b.getString(0), label)
+        val qs = b.getSeq[Double](1)
+        ps.indices.foreach { i =>
+          assert(math.abs(a.getDouble(i + 1) - qs(i)) < 1e-9,
+            s"$label ${a.getString(0)} p=${ps(i)}: ${a.getDouble(i + 1)} vs ${qs(i)}")
+        }
+      }
+      // non-interpolated picks (p=0, p=1, and any integral (n−1)p) must
+      // be EXACT data values — bit-equality, not tolerance
+      val skew = got.find(_.getString(0) == "skew").get
+      assert(skew.getDouble(1) == -3.0 && skew.getDouble(5) == 3.0, label)
+      val one = got.find(_.getString(0) == "one").get
+      assert(names.indices.forall(i => one.getDouble(i + 1) == 42.25), label)
+      got.map(_.toSeq).toSeq
+    }
+    // the two spellings' documented contract: bit-identical outputs
+    assert(results.head == results(1),
+      "window and skewSafe spellings diverged")
+  }
+
   // ---- CDC compaction
 
   test("compactChangelog keeps latest per key, honors tombstones") {
