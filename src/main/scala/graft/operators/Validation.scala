@@ -190,28 +190,36 @@ object Validation {
     val base = rebased(baseCols :+ binCol, Seq(col(cntCol).as("__cnt0")))
       .groupBy((baseCols :+ binCol).map(col): _*)
       .agg(sum(col("__cnt0")).as("__bc"))
-    // three consumers read this frame (the group totals, the base
-    // totals, and the final term join) — cut it to a leaf or each one
+    // several consumers read this frame — cut it to a leaf or each one
     // re-executes the whole grid build + both joins (and re-scans
-    // `counts` three times apiece). Size is groups × bins rows: bounded
+    // `counts` apiece). Size is groups × bins rows: bounded
     // by group cardinality, fine to materialize at any scale. Found via
     // the round-12 stream-floor attribution: q196's "overhead" was this
     // subtree running three times per drain.
     val withBase = cur.join(base, baseCols :+ binCol, "left")
       .withColumn("__bc", coalesce(col("__bc"), lit(0L)))
       .transform(graft.core.Checkpoints.cut)
-    val tGrp = withBase.groupBy(grpCols.map(col): _*)
-      .agg(sum("__c").as("__tg"))
-    val tBase = withBase
-      .select((baseCols :+ binCol).map(col) :+ col("__bc"): _*).distinct()
-      .groupBy(baseCols.map(col): _*).agg(sum("__bc").as("__tb"))
+    // both totals ride whole-partition windows ON the cut frame instead
+    // of separate aggregate+broadcast subplans (each was its own job; at
+    // this frame's size the fixed job cost dwarfed the work). The base
+    // total needs each (base, bin) count ONCE, but the window sees it
+    // once per group sharing the base — and the grid guarantees exactly
+    // `bins` rows per group, so groups-per-base = count(*) div bins and
+    // an exact integer division recovers the true total. Long `div`
+    // arithmetic throughout: no double rounding at any magnitude.
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(grpCols.map(col): _*)
+    val wb = Window.partitionBy(baseCols.map(col): _*)
+    val withTot = withBase
+      .withColumn("__tg", sum(col("__c")).over(wg))
+      .withColumn("__sb", sum(col("__bc")).over(wb))
+      .withColumn("__nb", count(lit(1)).over(wb))
+      .withColumn("__tb", expr(s"__sb div (__nb div $bins)"))
     val p = (col("__c").cast("double") + lit(0.5)) /
       (col("__tg").cast("double") + lit(bins * 0.5))
     val q = (col("__bc").cast("double") + lit(0.5)) /
       (col("__tb").cast("double") + lit(bins * 0.5))
-    withBase
-      .join(broadcast(tGrp), grpCols)
-      .join(broadcast(tBase), baseCols)
+    withTot
       .withColumn("__tm", round((p - q) * log(p / q) * 1e6, 0).cast("long"))
       .groupBy(grpCols.map(col): _*)
       .agg(first(col("__tg")).as("n"),

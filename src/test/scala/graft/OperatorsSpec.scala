@@ -2270,6 +2270,45 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got(2)._2) < 0.05, s"baseline-shaped window ${got(2)}")
   }
 
+  test("psiByGroup: window-total spelling matches the join/aggregate " +
+    "spelling bit-for-bit under unequal groups-per-base") {
+    // typ 'a' has 3 windows, 'b' has 2: the groups-per-base integer
+    // division (count(*) div bins) must recover each base's true pooled
+    // total exactly even when bases differ in group count
+    val counts = Seq(
+      (1L, "a", 0, 7L), (1L, "a", 3, 5L), (2L, "a", 1, 11L),
+      (3L, "a", 2, 2L), (3L, "a", 3, 9L),
+      (10L, "b", 0, 100L), (11L, "b", 4, 3L))
+      .toDF("win", "typ", "bin", "cnt")
+    val bins = 5
+    val got = Validation.psiByGroup(counts, Seq("win", "typ"), Seq("typ"),
+      "bin", "cnt", bins)
+    // independent reference: the aggregate+broadcast-join spelling the
+    // operator used before the totals moved onto windows
+    val grid = counts.select("win", "typ").distinct()
+      .crossJoin(spark.range(bins.toLong).select(col("id").cast("int").as("bin")))
+    val cur = grid.join(counts.select(col("win"), col("typ"), col("bin"),
+        col("cnt").as("__c")), Seq("win", "typ", "bin"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val base = counts.groupBy("typ", "bin").agg(sum("cnt").as("__bc"))
+    val wb = cur.join(base, Seq("typ", "bin"), "left")
+      .withColumn("__bc", coalesce(col("__bc"), lit(0L)))
+    val tGrp = wb.groupBy("win", "typ").agg(sum("__c").as("__tg"))
+    val tBase = wb.select("typ", "bin", "__bc").distinct()
+      .groupBy("typ").agg(sum("__bc").as("__tb"))
+    val p = (col("__c").cast("double") + lit(0.5)) /
+      (col("__tg").cast("double") + lit(bins * 0.5))
+    val q = (col("__bc").cast("double") + lit(0.5)) /
+      (col("__tb").cast("double") + lit(bins * 0.5))
+    val ref = wb.join(tGrp, Seq("win", "typ")).join(tBase, Seq("typ"))
+      .withColumn("__tm", round((p - q) * log(p / q) * 1e6, 0).cast("long"))
+      .groupBy("win", "typ")
+      .agg(first(col("__tg")).as("n"), round(sum("__tm") / 1e6, 6).as("psi"))
+    val a = got.orderBy("win").collect().toSeq.map(_.toSeq)
+    val b = ref.orderBy("win").collect().toSeq.map(_.toSeq)
+    assert(a == b, s"window spelling $a vs join spelling $b")
+  }
+
   test("calibrationBins: clamped fixed grid, per-bin positive rates") {
     val rows = Seq((-99.0, false), (0.1, false), (0.1, true), (0.6, true),
       (99.0, true))
