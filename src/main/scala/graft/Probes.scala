@@ -629,8 +629,8 @@ object Probes {
     *           count aggregation + the med/dev re-derivation the lazy
     *           no-materialize choice accepts). */
   private def q176Phases(sfDir: String, rung: String): Unit = {
-    require(Set("all", "cents", "med", "dev", "mad", "full")(rung),
-      s"rung $rung")
+    require(Set("all", "cents", "med", "dev", "mad", "full",
+      "selmed", "selmad")(rung), s"rung $rung")
     val spark = session("graft-q176-phases", Map.empty)
     import graft.core.Tables
     import graft.operators.Quantiles
@@ -650,6 +650,20 @@ object Probes {
       case "med" => samples { d =>
         n = Quantiles.exactGroupQuantiles(cents(d), "l_returnflag", "c2",
           Seq(0.5), Seq("med2")).count()
+      }
+      // selection-spelling twins of med/mad: the skew-safe variant over
+      // the same stages, for window-vs-selection scale comparisons
+      case "selmed" => samples { d =>
+        n = Quantiles.exactGroupQuantilesSkewSafe(cents(d), "l_returnflag",
+          "c2", Seq(0.5), Seq("med2")).count()
+      }
+      case "selmad" => samples { d =>
+        val dev = cents(d)
+          .join(broadcast(Quantiles.exactGroupQuantilesSkewSafe(cents(d),
+            "l_returnflag", "c2", Seq(0.5), Seq("med2"))), "l_returnflag")
+          .withColumn("dev2", abs(col("c2").cast("double") - col("med2")))
+        n = Quantiles.exactGroupQuantilesSkewSafe(dev, "l_returnflag",
+          "dev2", Seq(0.5), Seq("mad2")).count()
       }
       case "dev" => samples { d =>
         n = Quantiles.madDeviations(cents(d), "l_returnflag").count()

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * `percentile_cont`/`quantile_cont`. */
 object Quantiles {
 
+  /** Runtime selector for [[exactGroupQuantiles]]'s implementation:
+    * `window` (default) or `selection` — see the method Scaladoc for the
+    * measured crossover. */
+  val SpellingConf = "spark.graft.quantileSpelling"
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Contract guard for [[madOutliers]]'s deliberate no-materialize
@@ -94,9 +99,22 @@ object Quantiles {
     * NULL semantics: values are filtered before ranking, so a group whose
     * values are ALL null yields NO output row — unlike `percentile_cont`,
     * which would emit the group with NULL quantiles. Callers needing
-    * aggregate parity should left-join the group list back. */
+    * aggregate parity should left-join the group list back.
+    *
+    * The runtime conf [[SpellingConf]] (`spark.graft.quantileSpelling`)
+    * selects the implementation: `window` (default — fastest on quiet
+    * boxes below ~1M rows/group) or `selection` (the skew-safe spelling;
+    * measured ~2× faster already at 2M rows/group, and the window's CPU
+    * per decade grows 12–22× vs the selection's linear histogram — set
+    * it on cluster deployments). Results are bit-identical either way. */
   def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                           ps: Seq[Double], names: Seq[String]): DataFrame = {
+    val spelling =
+      df.sparkSession.conf.get(SpellingConf, "window")
+    require(spelling == "window" || spelling == "selection",
+      s"$SpellingConf must be 'window' or 'selection': $spelling")
+    if (spelling == "selection")
+      return exactGroupQuantilesSkewSafe(df, groupCol, valueCol, ps, names)
     require(ps.nonEmpty && ps.size == names.size,
       s"each fraction needs a name: $ps / $names")
     require(ps.forall(p => p >= 0 && p <= 1), s"fractions must be in [0,1]: $ps")

@@ -990,6 +990,19 @@ class OperatorsSpec extends SparkSpec {
     // the two spellings' documented contract: bit-identical outputs
     assert(results.head == results(1),
       "window and skewSafe spellings diverged")
+    // conf dispatch: spark.graft.quantileSpelling=selection must route
+    // the default entry point to the skew-safe spelling (same results),
+    // and an unknown value must refuse loudly
+    spark.conf.set(Quantiles.SpellingConf, "selection")
+    try {
+      val viaConf = Quantiles.exactGroupQuantiles(df, "g", "v", ps, names)
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      assert(viaConf == results.head, "conf-dispatched selection diverged")
+      spark.conf.set(Quantiles.SpellingConf, "bogus")
+      intercept[IllegalArgumentException] {
+        Quantiles.exactGroupQuantiles(df, "g", "v", ps, names)
+      }
+    } finally spark.conf.unset(Quantiles.SpellingConf)
   }
 
   // ---- CDC compaction
