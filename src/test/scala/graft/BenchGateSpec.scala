@@ -358,6 +358,44 @@ class BenchGateSpec extends AnyFunSuite {
     assert(src == "median_query_ratio" && math.abs(d - 1.133) < 1e-9 && warn.isEmpty)
   }
 
+  // ---- round 13 continuation, the THIRD wrong-verdict mode, found
+  // live: the prior (driver) artifact's bracket [2.878, 3.736, 2.474,
+  // 5.944] spread 2.40x — UNDER the 3x storm bar, so priorCanaryUsable
+  // passed it — yet every sample was elevated; its min declared "box
+  // 46% faster" (0.683) against an honest median ratio 0.942, and the
+  // cross-check called a 135.2 s best-equalling run a uniform code
+  // regression while the ANCHOR leg read 0.998 against the quiet pin ----
+
+  test("uniform-regression flag refuted by the anchor leg: the literal " +
+    "second-full-run numbers pass; a true regression still gates") {
+    val priorSamples = Seq(2.878, 3.736, 2.474, 5.944)
+    // sub-storm: the usability gate passes this bracket (that is the hole)
+    assert(Bench.priorCanaryUsable(priorSamples, priorAdvisoryFlag = false))
+    // the flag fires exactly as it did live (0.942 > 0.683 * 1.15)
+    val (_, _, warn) =
+      Bench.driftEstimate(Some(1.690), Some(2.474), ratios(0.9423))
+    assert(warn.nonEmpty, "replay must reproduce the live false flag")
+    // refutation: no per-query findings, anchor leg quiet at 0.998
+    assert(Bench.uniformFlagRefutedByAnchor(warn, Nil, Some(0.998),
+      anchorAdvisory = false))
+    // counterfactuals — every leg of the refutation is necessary:
+    // a TRUE uniform regression reads high against the anchor too
+    assert(!Bench.uniformFlagRefutedByAnchor(warn, Nil, Some(1.30),
+      anchorAdvisory = false))
+    // no anchor leg → nothing to corroborate with → still gates
+    assert(!Bench.uniformFlagRefutedByAnchor(warn, Nil, None,
+      anchorAdvisory = false))
+    // a stormy anchor leg cannot refute anything
+    assert(!Bench.uniformFlagRefutedByAnchor(warn, Nil, Some(0.998),
+      anchorAdvisory = true))
+    // per-query findings are their own evidence — no override
+    assert(!Bench.uniformFlagRefutedByAnchor(warn, Seq("q1: 1.0 -> 2.0"),
+      Some(0.998), anchorAdvisory = false))
+    // no flag → nothing to refute
+    assert(!Bench.uniformFlagRefutedByAnchor(None, Nil, Some(0.998),
+      anchorAdvisory = false))
+  }
+
   test("driftPolicy on a quiet run defers to driftEstimate unchanged") {
     val quiet = Seq(2.1, 2.3, 2.2, 2.4)
     val (d, src, warn, advisory) =
