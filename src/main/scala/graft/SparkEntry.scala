@@ -1387,19 +1387,21 @@ object SparkEntry {
     }),
 
     // Multi-EXISTS shape (TPC-H Q21 family): suppliers who are the ONLY
-    // supplier with a returned line on an order — a semi-join feeding an
-    // anti-join, both on the same (order, supplier) key set.
+    // supplier with a returned line on an order. The NOT-EXISTS
+    // self-join the oracle spells is algebraically "orders whose
+    // DISTINCT returned-supplier count is 1" — one count-distinct
+    // aggregation (two exchanges total, partial-agg map side) instead
+    // of distinct → self-join → distinct → anti-join (~5 exchanges of
+    // the same pair set, the shape the old body mirrored 1:1). When
+    // c = 1 the group's max(l_suppkey) IS the solo supplier.
     "q100_solo_return_suppliers" -> ((s0, d) => {
       val s = prep(s0)
-      val ret = Tables.lineitem(s, d)
+      Tables.lineitem(s, d)
         .where(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey").distinct()
-      val bad = ret.join(
-          ret.select(col("l_orderkey"), col("l_suppkey").as("other")),
-          Seq("l_orderkey"))
-        .where(col("l_suppkey") =!= col("other"))
-        .select("l_orderkey", "l_suppkey").distinct()
-      ret.join(bad, Seq("l_orderkey", "l_suppkey"), "left_anti")
+        .groupBy("l_orderkey")
+        .agg(count_distinct(col("l_suppkey")).as("c"),
+          max(col("l_suppkey")).as("l_suppkey"))
+        .where(col("c") === 1)
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_solo_orders"))
         .orderBy(col("n_solo_orders").desc, col("l_suppkey"))
