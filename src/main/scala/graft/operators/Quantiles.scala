@@ -51,34 +51,27 @@ object Quantiles {
     }
   }
 
-  /** Exact interpolated quantiles of `valueCol` at fractions `ps`.
-    * Three bounded jobs: count, sorted index pick, tiny collect. */
+  /** Exact interpolated quantiles of `valueCol` at fractions `ps` —
+    * the whole-column case of [[exactGroupQuantilesSkewSafe]] (a
+    * constant group), so the column is never globally sorted: the old
+    * orderBy + zipWithIndex spelling paid a full range-partition sort
+    * TWICE (zipWithIndex's count job, then the filtered collect
+    * recomputing its parent), where the selection pass is two
+    * column-pruned scans and a candidate-cell sort. Interpolation is
+    * quantile_cont's exact operation order (lo·(crn−r) + hi·(r−frn),
+    * NOT lo + (hi−lo)·frac — the forms differ by an ulp on some inputs
+    * and the oracle compare is bit-exact); empty/all-null input → NaNs,
+    * preserving the old contract. */
   def exactQuantiles(df: DataFrame, valueCol: String,
                      ps: Seq[Double]): Seq[Double] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"fractions must be in [0,1]: $ps")
-    val vals = df.select(col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
-    val n = vals.count()
-    if (n == 0) return ps.map(_ => Double.NaN)
-    val wanted = ps.flatMap { p =>
-      val r = p * (n - 1)
-      Seq(math.floor(r).toLong, math.ceil(r).toLong)
-    }.toSet
-    val picked = vals.orderBy(col("v")).rdd.zipWithIndex()
-      .filter { case (_, i) => wanted.contains(i) }
-      .map { case (row, i) => (i, row.getDouble(0)) }
-      .collect().toMap
-    ps.map { p =>
-      val r = p * (n - 1)
-      val lo = picked(math.floor(r).toLong)
-      val hi = picked(math.ceil(r).toLong)
-      // quantile_cont's exact operation order: lo·(crn−r) + hi·(r−frn),
-      // NOT lo + (hi−lo)·frac — the forms differ by an ulp on some
-      // inputs and the oracle compare is bit-exact
-      if (math.floor(r) == math.ceil(r)) lo
-      else lo * (math.ceil(r) - r) + hi * (r - math.floor(r))
-    }
+    val names = ps.indices.map(i => s"__q$i")
+    val rows = exactGroupQuantilesSkewSafe(
+      df.select(col(valueCol)).withColumn("__g", lit(1)),
+      "__g", valueCol, ps, names).collect()
+    if (rows.isEmpty) ps.map(_ => Double.NaN)
+    else ps.indices.map(i => rows.head.getDouble(i + 1))
   }
 
   /** Exact interpolated quantiles PER GROUP: one data pass — a per-group
