@@ -1286,15 +1286,18 @@ object SparkEntry {
     // supplier key in the output ordering.
     "q102_cheapest_supplier" -> ((s0, d) => {
       val s = prep(s0)
-      val li = Tables.lineitem(s, d)
+      // argmin as ONE aggregation: min(struct(price, supp)) is
+      // lexicographic — minimum price first, ties broken by minimum
+      // suppkey — exactly the min-price-then-min-supp semantics the
+      // old min-per-part + join-back + re-agg spelling computed in two
+      // full passes and a broadcast
+      Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-      val minP = li.groupBy("l_partkey")
-        .agg(min("l_extendedprice").as("min_price"))
-      li.join(broadcast(minP), Seq("l_partkey"))
-        .where(col("l_extendedprice") === col("min_price"))
         .groupBy("l_partkey")
-        .agg(min("l_suppkey").as("best_supp"),
-          min("l_extendedprice").as("best_price"))
+        .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey"),
+          col("m.l_suppkey").as("best_supp"),
+          col("m.l_extendedprice").as("best_price"))
         .orderBy(col("l_partkey")).limit(50)
     }),
 
