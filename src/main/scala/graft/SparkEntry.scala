@@ -1281,9 +1281,7 @@ object SparkEntry {
           sum2(col("l_extendedprice")).as("total_price"))
     }),
 
-    // Min-per-group join shape (TPC-H Q2): each part's cheapest supplier
-    // — the per-part minimum joins back as an equi-key, ties broken by
-    // supplier key in the output ordering.
+    // Min-per-group shape (TPC-H Q2): each part's cheapest supplier.
     "q102_cheapest_supplier" -> ((s0, d) => {
       val s = prep(s0)
       // argmin as ONE aggregation: min(struct(price, supp)) is
