@@ -84,9 +84,14 @@ object SparkEntry {
     * co-occurrence graph must not be used. */
   private def coSupplierBackbone(s: SparkSession, d: String,
                                  topK: Int): DataFrame = {
-    val sup = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
+    // persisted (r13): the self-join's two sides each re-ran the lineitem
+    // scan + the (ok, sk) DISTINCT (an exchange + aggregate, not a free
+    // projection — the §4 revert test that kills speculative caches does
+    // not apply). Two longs per row, bounded by |lineitem| at any scale.
+    val sup = graft.core.InternalCaches.persistTracked(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct())
     sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
       .where(col("sk") < col("sk2"))
       .groupBy(col("sk").as("u"), col("sk2").as("v"))

@@ -191,12 +191,22 @@ object Dedup {
     // rk = rank among the doc's SHARED shingles (df-ordered); nsh = how
     // many shared shingles the doc has. Both feed the POSITIONAL filter
     // below — PPJoin's second prune (Xiao et al., WWW '08).
+    // materialized ONCE: the self-join below reads `ranked` as BOTH sides,
+    // and Spark does not share common subtrees across self-join sides — the
+    // unpersisted spelling re-ran the whole chain (posting explode + the
+    // freq aggregation's second explode + the exchange/sort/windows) per
+    // side: 4 full shingle explodes per call, measured as ~75% of q94's
+    // runtime in the r13 phase rig. Prefix rows are (g, id, sz, rk, nsh)
+    // fixed-width longs — far smaller than the arrays the docs cache
+    // already holds, so the cache trade is strictly better than the
+    // recompute at any scale.
     val ranked = posting.join(freq, Seq("g"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
       .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("id"))))
       .where(col("rk") <= col("sz") - floor(col("sz") * prefFrac) + 1)
       .select(col("g"), col("id"), col("sz"), col("rk"), col("nsh"))
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "dedup"))
     val a = ranked.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"),
       col("rk").as("rk_a"), col("nsh").as("nsh_a"))
     val b = ranked.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"),
@@ -220,6 +230,12 @@ object Dedup {
         (lit(1.0) + least(col("nsh_a") - col("rk_a"),
           col("nsh_b") - col("rk_b")).cast("double")) >= alpha - lit(1e-9))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      // materialized so the verify joins see candidates with a REAL size
+      // estimate: unestimated, the planner built its hash relations from
+      // the docs side instead — broadcasting every document's full shingle
+      // array TWICE per call (the candidate list is a bare id-pair table,
+      // orders of magnitude lighter at every scale)
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "dedup"))
     // verify: re-join the sorted hash arrays by id, linear-merge Jaccard
     val arrA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val arrB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -265,6 +281,13 @@ object Dedup {
     val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)
+    // NOT materialized (r13, measured): probe and index both read `shared`,
+    // but unlike jaccardPairsPrefixFilter's prefix-filtered `ranked` this
+    // is the FULL shared-posting table — the largest frame in the operator
+    // — and the duplicate work it would save is two explodes over a
+    // column-pruned scan. persistTracked here read q164 at +0.1 s in the
+    // controlled A/B and +0.7 s in two independent full-suite runs (cache
+    // build + suite memory pressure); reverted, same §4 criterion.
     val shared = posting.join(freq, Seq("g"))
     // probe side: rarest-first prefix of length sz - ceil(τ·sz) + 1
     val probe = shared
@@ -333,10 +356,18 @@ object Dedup {
     // The edge COUNT rides the checkpoint's own action (the Observation
     // pattern every bookkeeping read in this loop uses), so the
     // small-graph gate below costs zero extra jobs.
+    // Both edge directions come from ONE read of `pairs` (r13): the old
+    // two-branch union planned the ENTIRE pair-generation lineage twice —
+    // for the prefix-filter callers (q76/q94/q149) that was the whole
+    // posting/window/self-join/verify pipeline re-executed inside the
+    // edges cut, measured at ~0.5 s per query at sf0.1. explode-of-two-
+    // structs emits the identical directed-edge set from a single pass.
     val edgeObs = org.apache.spark.sql.Observation()
     val edges = graft.core.Checkpoints.cut(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      pairs.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct()
         .observe(edgeObs, count(lit(1)).as("n")))
     val nEdges = edgeObs.get("n").asInstanceOf[Long]
@@ -838,14 +869,24 @@ object Dedup {
                            aCol: String = "id_a",
                            bCol: String = "id_b"): DataFrame = {
     val comp = connectedComponents(pairs, aCol, bCol)
+    // both materialized (r13): `scored` feeds the keeper aggregation AND
+    // the losers join, and the final anti-join's right side is pushed
+    // through any Union in `df` (PushDownLeftSemiAntiJoin duplicates the
+    // right subtree per branch) — unmaterialized, the whole keeper chain
+    // (incl. the score expression over the corpus, e.g. a tokenizing
+    // length) re-ran once per consumer per branch: 4× in the q149 plan.
+    // Both frames are inner-joined to `comp`, i.e. bounded by the
+    // CLUSTERED docs only — small at any scale.
     val scored = df.select(col(idCol).as("id"), score.as("__s"))
       .join(comp, Seq("id"))
+      .transform(d => graft.core.InternalCaches.persistTracked(d, scope = "dedup"))
     // struct max = (score asc, -id asc) → highest score, smallest id
     val keep = scored.groupBy("component")
       .agg(max(struct(col("__s"), negate(col("id")).as("__ni"))).as("__k"))
       .select(col("component"), negate(col("__k").getField("__ni")).as("keeper"))
     val losers = scored.join(keep, Seq("component"))
       .where(col("id") =!= col("keeper")).select(col("id"))
+      .transform(d => graft.core.InternalCaches.persistTracked(d, scope = "dedup"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 

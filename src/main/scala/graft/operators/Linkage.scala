@@ -87,9 +87,15 @@ object Linkage {
     // side and outside on the other under divergent orders)
     val lPost = l.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val rPost = r.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    // materialized: BOTH prefix computations below consume `freq`, and an
+    // unmaterialized plan re-ran the union of the two posting explodes per
+    // consumer (4 explodes per call — the same self-join-sides miss the
+    // r13 round measured in Dedup.jaccardPairsPrefixFilter). Shared-gram
+    // counts are a (hash, long) table, tiny at any scale.
     val freq = lPost.select("g").unionAll(rPost.select("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "linkage"))
     val prefFrac = threshold / (1.0 + threshold)
     def prefix(post: DataFrame): DataFrame =
       post.join(freq, Seq("g"))
@@ -115,6 +121,10 @@ object Linkage {
         (lit(1.0) + least(col("nsh_a") - col("rk_a"),
           col("nsh_b") - col("rk_b")).cast("double")) >= alpha - lit(1e-9))
       .select("left_id", "right_id").dropDuplicates("left_id", "right_id")
+      // materialized so the verify joins see a REAL candidate-size estimate
+      // (unestimated, the planner hash-built from the document caches —
+      // every gram array broadcast twice; see Dedup.jaccardPairsPrefixFilter)
+      .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "linkage"))
     // verify: sorted-hash-array linear-merge Jaccard; ROUND before the
     // threshold filter, matching the SQL oracle's round-then-filter order
     cand.join(l.select(col("id").as("left_id"), col("sh").as("sh_a")), Seq("left_id"))
