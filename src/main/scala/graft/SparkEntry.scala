@@ -450,11 +450,20 @@ object SparkEntry {
       val s = prep(s0)
       s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
       s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
-      Tables.orders(s, d).write.format("parquet")
+      // repartition by the bucket key BEFORE the bucketed write (r13):
+      // hashpartitioning(col, 8) is the same Murmur3-pmod function bucketBy
+      // uses, so each write task holds exactly one bucket and writes ONE
+      // file — the unpartitioned write emitted a file per (task, bucket)
+      // pair (up to 256 tiny files per table), paying open/commit per file
+      // and per-file reader opens in the join below (guide §6 sizing; the
+      // join result is byte-identical — layout only)
+      Tables.orders(s, d).repartition(8, col("o_custkey"))
+        .write.format("parquet")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", scratch("bkt_orders"))
         .mode("overwrite").saveAsTable("graft_bkt_orders")
-      Tables.customer(s, d).write.format("parquet")
+      Tables.customer(s, d).repartition(8, col("c_custkey"))
+        .write.format("parquet")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", scratch("bkt_customer"))
         .mode("overwrite").saveAsTable("graft_bkt_customer")
