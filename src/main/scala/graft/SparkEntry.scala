@@ -91,7 +91,8 @@ object SparkEntry {
     val sup = graft.core.InternalCaches.persistTracked(
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct())
+        .distinct(),
+      scope = "graphs")
     sup.join(sup.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
       .where(col("sk") < col("sk2"))
       .groupBy(col("sk").as("u"), col("sk2").as("v"))

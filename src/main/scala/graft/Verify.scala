@@ -41,6 +41,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drain operator-internal persists after each query, mirroring
+      // Bench.clearCaches — one 205-query session otherwise accumulates
+      // every dedup/linkage cache and the heap pressure lands on whichever
+      // queries run late in the suite (r13 ADVICE)
+      graft.core.InternalCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

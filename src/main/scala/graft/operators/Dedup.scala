@@ -200,6 +200,12 @@ object Dedup {
     // fixed-width longs — far smaller than the arrays the docs cache
     // already holds, so the cache trade is strictly better than the
     // recompute at any scale.
+    // storage level stays the deserialized default (r14, measured): the
+    // VERDICT-suggested MEMORY_AND_DISK_SER switch for these fixed-width
+    // frames A/B'd flat-to-worse (q125 1.09-1.17x, q94 1.05-1.12x) with
+    // no suite-pressure relief on untouched neighbors — SQL caches are
+    // already compact columnar CachedBatches, so SER only adds a
+    // serialize/deserialize pass (OPTIMIZATION_r14.md)
     val ranked = posting.join(freq, Seq("g"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
@@ -279,15 +285,20 @@ object Dedup {
       .where(col("sz") > 0)
       .transform(df => graft.core.InternalCaches.persistTracked(df, scope = "dedup"))
     val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-    val freq = posting.groupBy("g").agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2)
-    // NOT materialized (r13, measured): probe and index both read `shared`,
-    // but unlike jaccardPairsPrefixFilter's prefix-filtered `ranked` this
-    // is the FULL shared-posting table — the largest frame in the operator
-    // — and the duplicate work it would save is two explodes over a
-    // column-pruned scan. persistTracked here read q164 at +0.1 s in the
-    // controlled A/B and +0.7 s in two independent full-suite runs (cache
-    // build + suite memory pressure); reverted, same §4 criterion.
+    // `freq` IS materialized (r14) — the (hash, long) aggregation output,
+    // exactly as Linkage.linkPairsPrefixFilter does: probe and index both
+    // consume `shared`, so the unpersisted plan re-ran the posting explode
+    // PLUS the full groupBy exchange+aggregate once per side. The r13
+    // revert killed a cache of the full `shared` posting table (docs-sized,
+    // +0.7 s under suite pressure); freq is orders of magnitude smaller
+    // (distinct shared shingles, two fixed-width columns, SER level).
+    val freq = graft.core.InternalCaches.persistTracked(
+      posting.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2),
+      scope = "dedup")
+    // the full `shared` posting table itself stays UNmaterialized (r13,
+    // measured: +0.1 s isolated / +0.7 s full-suite — cache build + suite
+    // memory pressure on a docs-sized frame; same §4 criterion)
     val shared = posting.join(freq, Seq("g"))
     // probe side: rarest-first prefix of length sz - ceil(τ·sz) + 1
     val probe = shared

@@ -315,6 +315,14 @@ object Quantiles {
         "persist() or Checkpoints.cut the input before calling; the " +
         "lazy-is-cheaper measurement only covers pruned raw-table scans.")
     val c2 = madCents(df, groupCol, valueCol)
+    // `dev` also stays UNmaterialized (r14, measured): it fans out to
+    // madScale AND the final aggregation with the med window in its
+    // subtree — the exchange-bearing shape that usually warrants a
+    // persist — but BOTH storage levels measured ~1.09× SLOWER in 4-round
+    // alternating-JVM A/Bs at sf0.1 (SER and deserialized alike): the
+    // re-run subtree parallelizes across every core while the cache
+    // build+read serializes on the single-partition-per-group window
+    // output. Rig + A/B numbers in OPTIMIZATION_r14.md.
     val dev = madDeviations(c2, groupCol)
     val mad = madScale(dev, groupCol)
     dev.join(broadcast(mad), groupCol)

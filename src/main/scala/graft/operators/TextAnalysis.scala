@@ -759,16 +759,20 @@ object TextAnalysis {
       else {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        cur = cur.withColumn("rep",
-            replace(col("rep"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
-          .localCheckpoint(true)
         // the compression curve: corpus symbol count after this merge —
         // the number a tokenizer budget actually negotiates with (each
-        // merge trades one vocab slot for Σ freq fewer symbols)
-        val nSyms = cur.agg(sum(col("freq") *
+        // merge trades one vocab slot for Σ freq fewer symbols). It RIDES
+        // the checkpoint's own materialization as an observed metric (the
+        // connectedComponents bookkeeping pattern) instead of a separate
+        // per-round aggregate job over the checkpointed table (r14).
+        val symObs = org.apache.spark.sql.Observation()
+        cur = cur.withColumn("rep",
+            replace(col("rep"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          .observe(symObs, sum(col("freq") *
             size(filter(split(trim(col("rep"), "|"), "\\|\\|"),
               t => t =!= ""))).as("ns"))
-          .first().getLong(0)
+          .localCheckpoint(true)
+        val nSyms = symObs.get("ns").asInstanceOf[Long]
         merges += ((step, a, b, cnt, nSyms))
       }
     }
@@ -858,14 +862,17 @@ object TextAnalysis {
           val syms = Seq(a, b, a + b)
           if (!syms.exists(used.contains)) { picks += ((a, b, c)); used ++= syms }
         }
+        // symbols_after rides the checkpoint action as an observed metric
+        // (one job per round instead of two — see bpeMerges, r14)
+        val symObs = org.apache.spark.sql.Observation()
         cur = cur.withColumn("rep",
             picks.foldLeft(col("rep")) { case (e, (a, b, _)) =>
               replace(e, lit(s"|$a||$b|"), lit(s"|$a$b|")) })
-          .localCheckpoint(true)
-        val nSyms = cur.agg(sum(col("freq") *
+          .observe(symObs, sum(col("freq") *
             size(filter(split(trim(col("rep"), "|"), "\\|\\|"),
               t => t =!= ""))).as("ns"))
-          .first().getLong(0)
+          .localCheckpoint(true)
+        val nSyms = symObs.get("ns").asInstanceOf[Long]
         picks.zipWithIndex.foreach { case ((a, b, c), j) =>
           out += ((step + j + 1, round, a, b, a + b, c, nSyms)) }
         step += picks.size
